@@ -1,0 +1,669 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{ChannelOps, Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.functions.{Hashing, Vectors}
+
+/** The correctness-gate catalog: one named query per operator family from
+  * SURVEY.md §2 plus the training-data-pipeline extensions, each paired with
+  * DuckDB oracle SQL over the same parquet tables.
+  *
+  * Determinism contract with the oracle:
+  *  - every query ORDER BYs its full key set, in both engines;
+  *  - aggregate doubles are rounded: inputs with fixed decimals (prices,
+  *    discounts) at 2dp (fp noise ≪ half-ulp of the decimal grid), free reals
+  *    at 4-6dp;
+  *  - hashes/fingerprints use [[Hashing.stableHash]] (md5-derived) so both
+  *    engines compute identical integers;
+  *  - vector math widens float→double first and left-folds in index order in
+  *    both engines, so cosines match bit-for-bit (ranking ties impossible to
+  *    diverge);
+  *  - counts are BIGINT in the oracle (DuckDB sum(int) is HUGEINT otherwise).
+  */
+object QueryCatalog {
+
+  final case class QuerySpec(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------- core §2
+
+  /** A-1/A-2/A-7 group-by + SUM/COUNT (the reference's final_agg shape). */
+  private val q01 = QuerySpec(
+    "q01_group_sum",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_price,
+      count(*) AS n_rows
+      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** P-1/P-2/F-14 projection with aliases + literal columns (S1:120,146-147). */
+  private val q02 = QuerySpec(
+    "q02_proj_literals",
+    (s, dir) => t(s, dir, "nation")
+      .select(
+        col("n_name").as("nation_name"),
+        lit("XOLAIR").as("brand"),
+        lit("US").as("country"),
+        col("n_nationkey").cast("string").as("nation_key_str"))
+      .orderBy(col("nation_name")),
+    Some("""SELECT n_name AS nation_name, 'XOLAIR' AS brand, 'US' AS country,
+      CAST(n_nationkey AS VARCHAR) AS nation_key_str
+      FROM nation ORDER BY nation_name"""))
+
+  /** P-4/P-5/F-16/F-17 range + null predicates + lexicographic date-string
+    * compare (S1:99,132,289 — do NOT "fix" to date type). */
+  private val q03 = QuerySpec(
+    "q03_filter_range",
+    (s, dir) => t(s, dir, "lineitem")
+      .where(col("l_quantity").between(10, 20)
+        && col("l_returnflag").isNotNull
+        && date_format(col("l_shipdate"), "yyyy-MM-dd") <= "1997-12-31")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_discount")), 2).as("sum_disc"))
+      .orderBy(col("l_linestatus")),
+    Some("""SELECT l_linestatus, count(*) AS n_rows,
+      round(sum(l_discount), 2) AS sum_disc
+      FROM lineitem
+      WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IS NOT NULL
+        AND strftime(l_shipdate, '%Y-%m-%d') <= '1997-12-31'
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** P-6/P-7/P-8 IN-list + wildcard-free LIKE + upper() compound predicate
+    * (S1:296,713,848). */
+  private val q04 = QuerySpec(
+    "q04_in_like_pred",
+    (s, dir) => t(s, dir, "orders")
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")
+        && col("o_orderstatus").like("F")
+        && upper(col("o_orderstatus")) === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority, count(*) AS n_orders,
+      round(sum(o_totalprice), 2) AS sum_price
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        AND o_orderstatus LIKE 'F' AND upper(o_orderstatus) = 'F'
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** J-1/J-4/J-11 chained inner equi-joins; dims broadcast (S1:126-131). */
+  private val q05 = QuerySpec(
+    "q05_join_chain",
+    (s, dir) => t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("r_name"), col("n_name")),
+    Some("""SELECT r_name, n_name, count(*) AS n_cust,
+      round(sum(c_acctbal), 2) AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** J-2/F-7 equi-join + array-membership predicate (S1:129-131
+    * `array_contains(product_brand_name, 'XOLAIR')`). */
+  private val q06 = QuerySpec(
+    "q06_join_array_contains",
+    (s, dir) => {
+      val part = t(s, dir, "part")
+      t(s, dir, "lineitem")
+        .join(part, col("l_partkey") === col("p_partkey")
+          && array_contains(split(col("p_type"), " "), "PROMO"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, count(*) AS n_items,
+      round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem JOIN part
+        ON l_partkey = p_partkey
+        AND list_contains(str_split(p_type, ' '), 'PROMO')
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** J-3/J-5/F-1 join on cast/expression keys (S1:151-152,940-941) +
+    * substring grouping. */
+  private val q07 = QuerySpec(
+    "q07_join_castkey",
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "nation"),
+        col("c_nationkey").cast("string") === col("n_nationkey").cast("string"))
+      .groupBy(substring(col("n_name"), 1, 2).as("name_prefix"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("name_prefix")),
+    Some("""SELECT substring(n_name, 1, 2) AS name_prefix, count(*) AS n_cust,
+      round(sum(c_acctbal), 2) AS sum_bal
+      FROM customer JOIN nation
+        ON CAST(c_nationkey AS VARCHAR) = CAST(n_nationkey AS VARCHAR)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** J-8/F-5 left outer join + null-aware aggregation (S1:492-493). */
+  private val q08 = QuerySpec(
+    "q08_join_left",
+    (s, dir) => t(s, dir, "nation")
+      .join(t(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"), "left")
+      .groupBy(col("n_name"))
+      .agg(
+        count(col("c_custkey")).as("n_cust"),
+        coalesce(round(sum(col("c_acctbal")), 2), lit(0.0)).as("sum_bal"))
+      .orderBy(col("n_name")),
+    Some("""SELECT n_name, count(c_custkey) AS n_cust,
+      coalesce(round(sum(c_acctbal), 2), 0.0) AS sum_bal
+      FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** J-10/F-5/P-9 full outer join with coalesce-reconciled keys — the
+    * reference's missing-cost probe (S1:1004-1027). */
+  private val q09 = QuerySpec(
+    "q09_join_full_coalesce",
+    (s, dir) => {
+      val d = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyyMM").as("ym_d"))
+        .agg(round(sum(col("o_totalprice")), 2).as("reach"))
+      val ca = t(s, dir, "lineitem")
+        .groupBy(date_format(col("l_shipdate"), "yyyyMM").as("ym_c"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("cost"))
+      d.join(ca, col("ym_d") === col("ym_c"), "full")
+        .select(
+          coalesce(col("ym_d"), col("ym_c")).as("ym"),
+          col("reach"), col("cost"),
+          when(col("reach").isNull, lit("MISSING_REACH"))
+            .when(col("cost").isNull, lit("MISSING_COST"))
+            .otherwise(lit("OK")).as("probe"))
+        .orderBy(col("ym"))
+    },
+    Some("""WITH d AS (
+        SELECT strftime(o_orderdate, '%Y%m') AS ym_d,
+               round(sum(o_totalprice), 2) AS reach
+        FROM orders GROUP BY 1),
+      ca AS (
+        SELECT strftime(l_shipdate, '%Y%m') AS ym_c,
+               round(sum(l_extendedprice), 2) AS cost
+        FROM lineitem GROUP BY 1)
+      SELECT coalesce(ym_d, ym_c) AS ym, reach, cost,
+        CASE WHEN reach IS NULL THEN 'MISSING_REACH'
+             WHEN cost IS NULL THEN 'MISSING_COST'
+             ELSE 'OK' END AS probe
+      FROM d FULL JOIN ca ON ym_d = ym_c ORDER BY ym"""))
+
+  /** W-1/W-2/S-9/F-12 the flagship reference semantic: proportional cost
+    * allocation over an unbounded window partition (S1:164,311), budget from an
+    * inline VALUES table (S1:134-140). Invariant: per-partition allocs re-sum
+    * to the budget. */
+  private val q10 = QuerySpec(
+    "q10_window_alloc",
+    (s, dir) => {
+      import s.implicits._
+      val budgets = Seq(("A", 1000.0), ("N", 2000.0), ("R", 1500.0))
+        .toDF("flag", "budget")
+      val li = t(s, dir, "lineitem")
+        .withColumn("yr", year(col("l_shipdate")).cast("long"))
+      li.join(broadcast(budgets), col("l_returnflag") === col("flag"))
+        .withColumn("alloc",
+          ChannelOps.allocateByShare(col("budget"), col("l_quantity"),
+            col("l_returnflag"), col("yr")))
+        .groupBy(col("l_returnflag"), col("yr"), col("l_linestatus"))
+        .agg(round(sum(col("alloc")), 4).as("alloc_cost"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("yr"), col("l_linestatus"))
+    },
+    Some("""WITH budgets(flag, budget) AS (
+        VALUES ('A', 1000.0), ('N', 2000.0), ('R', 1500.0)),
+      alloc AS (
+        SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS yr,
+          l_linestatus,
+          budget * l_quantity /
+            sum(l_quantity) OVER (PARTITION BY l_returnflag,
+              CAST(year(l_shipdate) AS BIGINT)) AS alloc
+        FROM lineitem JOIN budgets ON l_returnflag = flag)
+      SELECT l_returnflag, yr, l_linestatus,
+        round(sum(alloc), 4) AS alloc_cost, count(*) AS n_rows
+      FROM alloc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** O-1 UNION ALL bag semantics — duplicate branch kept (S1:100,105,110). */
+  private val q11 = QuerySpec(
+    "q11_union_all",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.where(col("o_orderstatus") === "F")
+      val p = o.where(col("o_orderstatus") === "O")
+      f.union(p).union(f) // F twice: bag union, counts must double
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH u AS (
+        SELECT * FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL SELECT * FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL SELECT * FROM orders WHERE o_orderstatus = 'F')
+      SELECT o_orderstatus, count(*) AS n_rows,
+        round(sum(o_totalprice), 2) AS sum_price
+      FROM u GROUP BY 1 ORDER BY 1"""))
+
+  /** O-2/F-12 manual unpivot: spread monthly totals over fixed channel shares —
+    * the reference's exact share constants (S1:957-969). */
+  private val q12 = QuerySpec(
+    "q12_union_shares",
+    (s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyyMM").as("ym"))
+        .agg(sum(col("o_totalprice")).as("total_cost"))
+      ChannelOps.spreadByShares(monthly, "total_cost", Seq(
+          "EHR" -> 0.39, "3RD_PARTY_EMAIL" -> 0.22, "POC" -> 0.06,
+          "DISPLAY" -> 0.08, "VIDEO" -> 0.08, "CUSTOM" -> 0.01))
+        .select(col("ym"), col("channel"), round(col("cost"), 2).as("cost"))
+        .orderBy(col("ym"), col("channel"))
+    },
+    Some("""WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y%m') AS ym,
+          sum(o_totalprice) AS total_cost
+        FROM orders GROUP BY 1),
+      spread AS (
+        SELECT ym, 'EHR' AS channel, total_cost * 0.39 AS cost FROM monthly
+        UNION ALL SELECT ym, '3RD_PARTY_EMAIL', total_cost * 0.22 FROM monthly
+        UNION ALL SELECT ym, 'POC', total_cost * 0.06 FROM monthly
+        UNION ALL SELECT ym, 'DISPLAY', total_cost * 0.08 FROM monthly
+        UNION ALL SELECT ym, 'VIDEO', total_cost * 0.08 FROM monthly
+        UNION ALL SELECT ym, 'CUSTOM', total_cost * 0.01 FROM monthly)
+      SELECT ym, channel, round(cost, 2) AS cost
+      FROM spread ORDER BY ym, channel"""))
+
+  /** A-3/F-11 conditional aggregation (pivot-by-CASE, no ELSE → NULL;
+    * S1:698-699,834-835). */
+  private val q13 = QuerySpec(
+    "q13_case_pivot",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        round(ChannelOps.pivotMetric(col("event_type"), col("value"), "click"), 2).as("reach"),
+        round(ChannelOps.pivotMetric(col("event_type"), col("value"), "purchase"), 2).as("engage"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+      round(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DOUBLE) END), 2) AS reach,
+      round(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DOUBLE) END), 2) AS engage,
+      count(*) AS n_events
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** A-4/A-5 SELECT DISTINCT dedup projection (S1:245-248). */
+  private val q14 = QuerySpec(
+    "q14_distinct",
+    (s, dir) => t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey")).distinct()
+      .orderBy(col("c_mktsegment"), col("c_nationkey")),
+    Some("""SELECT DISTINCT c_mktsegment, c_nationkey
+      FROM customer ORDER BY 1, 2"""))
+
+  /** A-9/A-6 aggregate-of-aggregate joined back to detail for a ratio — the
+    * reference's groupBy+join allocation twin (S1:650-675,993-1002). */
+  private val q15 = QuerySpec(
+    "q15_agg_of_agg",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("ym", date_format(col("o_orderdate"), "yyyyMM"))
+      val monthly = ChannelOps.withGroupTotal(
+        o.select(col("ym"), col("o_orderstatus"), col("o_totalprice")),
+        "o_totalprice", Seq("ym"))
+      monthly.groupBy(col("ym"), col("o_orderstatus"))
+        .agg(
+          round(sum(col("o_totalprice") / col("total_o_totalprice")), 6).as("share"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("ym"), col("o_orderstatus"))
+    },
+    Some("""WITH o AS (
+        SELECT strftime(o_orderdate, '%Y%m') AS ym, o_orderstatus, o_totalprice
+        FROM orders),
+      monthly AS (SELECT ym, sum(o_totalprice) AS total FROM o GROUP BY 1)
+      SELECT o.ym, o_orderstatus,
+        round(sum(o_totalprice / total), 6) AS share,
+        max(o_totalprice) AS max_price
+      FROM o JOIN monthly ON o.ym = monthly.ym
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** F-1..F-10 scalar-function sweep: substring/cast/replace-money/upper/
+    * coalesce/concat/date_format/to_date/add_months (S1:287,582,717). */
+  private val q16 = QuerySpec(
+    "q16_scalar_funcs",
+    (s, dir) => t(s, dir, "orders")
+      .where(col("o_orderkey") <= 50)
+      // a deterministic thousands-separated money string, built with integer
+      // ops only (identical in the oracle), then parsed back (F-3 semantics)
+      .withColumn("n", col("o_orderkey") * 1234 + 567)
+      .withColumn("money_str", concat(
+        expr("n div 1000").cast("string"), lit(","),
+        lpad((col("n") % 1000).cast("string"), 3, "0"), lit(".25")))
+      .select(
+        col("o_orderkey"),
+        col("money_str"),
+        ChannelOps.parseMoney(col("money_str")).as("money_parsed"),
+        date_format(col("o_orderdate"), "yyyyMM").as("ym"),
+        substring(date_format(col("o_orderdate"), "yyyyMM"), 1, 4).as("yr"),
+        date_format(
+          add_months(to_date(concat(substring(date_format(col("o_orderdate"), "yyyyMM"), 1, 4),
+            lit("-01-01"))), 3),
+          "yyyy-MM-dd").as("q2_start"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        coalesce(lit(null).cast("string"), col("o_orderstatus"), lit("?")).as("status_co"))
+      .orderBy(col("o_orderkey")),
+    Some("""WITH src AS (
+        SELECT *, o_orderkey * 1234 + 567 AS n FROM orders WHERE o_orderkey <= 50)
+      SELECT o_orderkey,
+      CAST(n // 1000 AS VARCHAR) || ',' || lpad(CAST(n % 1000 AS VARCHAR), 3, '0') || '.25' AS money_str,
+      CAST(replace(CAST(n // 1000 AS VARCHAR) || ',' || lpad(CAST(n % 1000 AS VARCHAR), 3, '0') || '.25',
+        ',', '') AS DOUBLE) AS money_parsed,
+      strftime(o_orderdate, '%Y%m') AS ym,
+      substring(strftime(o_orderdate, '%Y%m'), 1, 4) AS yr,
+      strftime(CAST(strptime(substring(strftime(o_orderdate, '%Y%m'), 1, 4) || '-01-01',
+        '%Y-%m-%d') AS DATE) + to_months(3), '%Y-%m-%d') AS q2_start,
+      upper(o_orderpriority) AS prio_upper,
+      coalesce(CAST(NULL AS VARCHAR), o_orderstatus, '?') AS status_co
+      FROM src ORDER BY o_orderkey"""))
+
+  /** F-13 resolution: week-of-year bucket → month via the Spark-dialect twin
+    * (S1:717), replacing the Athena-dialect original (S1:853). */
+  private val q17 = QuerySpec(
+    "q17_week_to_month",
+    (s, dir) => t(s, dir, "lineitem")
+      .withColumn("yrwk",
+        (year(col("l_shipdate")) * 100 + weekofyear(col("l_shipdate"))).cast("long"))
+      .withColumn("month_bucket",
+        date_format(ChannelOps.weekToMonth(col("yrwk")), "yyyy-MM"))
+      .groupBy(col("month_bucket"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("month_bucket")),
+    Some("""WITH wk AS (
+        SELECT CAST(year(l_shipdate) * 100 + weekofyear(l_shipdate) AS BIGINT) AS yrwk,
+          l_quantity
+        FROM lineitem),
+      bucketed AS (
+        SELECT strftime(
+          CAST(strptime(substring(CAST(yrwk AS VARCHAR), 1, 4) || '-01-01', '%Y-%m-%d') AS DATE)
+            + to_months(CAST(floor((CAST(substring(CAST(yrwk AS VARCHAR), 5, 2) AS INT) - 1) / 4.0) AS INT)),
+          '%Y-%m') AS month_bucket, l_quantity
+        FROM wk)
+      SELECT month_bucket, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+      FROM bucketed GROUP BY 1 ORDER BY 1"""))
+
+  // ------------------------------------------------- extensions: dedup
+
+  /** Exact dedup by content hash (scale path: hash groupBy, 1 shuffle). */
+  private val q18 = QuerySpec(
+    "q18_dedup_exact",
+    (s, dir) => Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("content_hash")),
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+      count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  private def minhashOracle(numHashes: Int, bands: Int): String = {
+    val rowsPer = numHashes / bands
+    val sigTerms = Hashing.minhashCoeffs(numHashes).map { case (a, b) =>
+      s"list_min(list_transform(hh, h -> ($a * h + $b) % 2147483647))"
+    }.mkString("[", ", ", "]")
+    s"""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+          i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS shs FROM toks),
+      hs AS (SELECT doc_id,
+        list_transform(shs, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hh
+        FROM sh),
+      sig AS (SELECT doc_id, $sigTerms AS sig FROM hs),
+      bands AS (SELECT doc_id, sig, b.band_idx,
+          md5(array_to_string(list_slice(sig, b.band_idx * $rowsPer + 1,
+            b.band_idx * $rowsPer + $rowsPer), ',')) AS band_hash
+        FROM sig, (SELECT unnest(range(0, $bands)) AS band_idx) b),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_filter(range(1, $numHashes + 1),
+            i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $numHashes AS est_jaccard
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        WHERE a.doc_id < b.doc_id)
+      SELECT id_a, id_b, est_jaccard FROM cand ORDER BY id_a, id_b"""
+  }
+
+  /** MinHash + LSH near-dup candidates: per-row signatures (narrow, no
+    * explode), band-bucket self-join (shuffle only on band hash). */
+  private val q19 = QuerySpec(
+    "q19_dedup_minhash",
+    (s, dir) => Dedup.minhashCandidates(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(minhashOracle(numHashes = 32, bands = 16)))
+
+  private def simhashOracleExpr(hashListCol: String): String =
+    (0 until Dedup.SimhashBits).map { b =>
+      s"(CASE WHEN list_sum(list_transform($hashListCol, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+
+  /** SimHash signatures (per-row, narrow). */
+  private val q20 = QuerySpec(
+    "q20_dedup_simhash",
+    (s, dir) => Dedup.withSimhash(t(s, dir, "documents"), "text", "simhash")
+      .select(col("doc_id"), col("simhash"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH th AS (SELECT doc_id,
+        list_transform(str_split(text, ' '),
+          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hh
+      FROM documents)
+      SELECT doc_id, ${simhashOracleExpr("hh")} AS simhash
+      FROM th ORDER BY doc_id"""))
+
+  /** n-gram Jaccard near-dup pairs via inverted-index self-join with a
+    * doc-frequency cut (the skew guard at scale). */
+  private val q21 = QuerySpec(
+    "q21_dedup_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.1, maxDocFreq = 20)
+      .select(col("id_a"), col("id_b"), col("shared"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH sh AS (SELECT doc_id, unnest(list_distinct(
+          list_transform(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
+            i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')))) AS sh
+        FROM documents),
+      filt AS (SELECT doc_id, sh FROM (
+          SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+        WHERE df <= 20),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM filt GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM filt a JOIN filt b ON a.sh = b.sh
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT id_a, id_b, shared,
+        round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.1
+      ORDER BY id_a, id_b"""))
+
+  // -------------------------------------------- extensions: similarity
+
+  /** Brute-force exact cosine top-k (broadcast queries; fp-identical to the
+    * oracle because both widen to double and left-fold in index order). */
+  private val q22 = QuerySpec(
+    "q22_ann_bruteforce",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8), k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id,
+          list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]),
+            (x, y) -> x + y) /
+          (sqrt(list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]),
+            (x, y) -> x + y)) *
+           sqrt(list_reduce(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]),
+            (x, y) -> x + y))) AS cosine
+        FROM c, q WHERE query_id <> neighbor_id),
+      ranked AS (SELECT query_id, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** Embedding near-dup pairs above a cosine threshold. */
+  private val q23 = QuerySpec(
+    "q23_embedding_neardup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.thresholdPairs(emb, emb.where(col("vec_id") < 32), minCosine = 0.6)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 32),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id,
+          list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]),
+            (x, y) -> x + y) /
+          (sqrt(list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]),
+            (x, y) -> x + y)) *
+           sqrt(list_reduce(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]),
+            (x, y) -> x + y))) AS cosine
+        FROM c, q WHERE query_id < neighbor_id)
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine
+      FROM scored WHERE cosine >= 0.6 ORDER BY query_id, neighbor_id"""))
+
+  // ------------------------------------------- extensions: text analysis
+
+  /** Token counts, ratios, composite quality score. */
+  private val q24 = QuerySpec(
+    "q24_text_stats",
+    (s, dir) => t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+        round(TextAnalysis.avgWordLength(col("text")), 6).as("avg_word_len"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+      len(str_split(text, ' ')) AS n_tokens,
+      CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe,
+      round(CAST(list_sum(list_transform(str_split(text, ' '), x -> len(x))) AS DOUBLE)
+        / greatest(len(str_split(text, ' ')), 1), 6) AS avg_word_len,
+      round(CAST(len(list_filter(str_split(text, ' '),
+          t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t))) AS DOUBLE)
+        / greatest(len(str_split(text, ' ')), 1), 6) AS stopword_ratio,
+      round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        / greatest(length(text), 1), 6) AS punct_ratio,
+      round(
+        0.4 * least(CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+        + 0.3 * (CASE WHEN (CAST(list_sum(list_transform(str_split(text, ' '), x -> len(x))) AS DOUBLE)
+            / greatest(len(str_split(text, ' ')), 1)) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+        + 0.15 * (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+            / greatest(length(text), 1) * 4.0, 1.0))
+        + 0.15 * (1.0 - least(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+            / greatest(length(text), 1) * 4.0, 1.0)), 6) AS quality
+      FROM documents ORDER BY doc_id"""))
+
+  /** Heuristic language ID via per-language function-word hits. */
+  private val q25 = QuerySpec(
+    "q25_lang_id",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val hits = TextAnalysis.StopwordsByLang.map { case (lang, ws) =>
+        TextAnalysis.stopwordHits(col("text"), ws).cast("long").as(s"${lang}_hits")
+      }
+      d.select((Seq(col("doc_id"), TextAnalysis.langIdGuess(col("text")).as("lang_guess"))
+        ++ hits): _*).orderBy(col("doc_id"))
+    },
+    Some {
+      val hitExpr = TextAnalysis.StopwordsByLang.map { case (lang, ws) =>
+        val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
+        s"CAST(len(list_filter(str_split(text, ' '), t -> list_contains($list, t))) AS BIGINT) AS ${lang}_hits"
+      }.mkString(",\n        ")
+      val langs = TextAnalysis.StopwordsByLang.map(_._1)
+      val bestExpr = langs.map(l => s"${l}_hits").reduce((a, b) => s"greatest($a, $b)")
+      val caseArms = langs.map(l => s"WHEN ${l}_hits = best THEN '$l'").mkString(" ")
+      s"""WITH hits AS (SELECT doc_id, $hitExpr FROM documents),
+      scored AS (SELECT *, $bestExpr AS best FROM hits)
+      SELECT doc_id,
+        CASE WHEN best <= 0 THEN 'unknown' $caseArms ELSE 'unknown' END AS lang_guess,
+        ${langs.map(l => s"${l}_hits").mkString(", ")}
+      FROM scored ORDER BY doc_id"""
+    })
+
+  /** Order-sensitive rolling-hash document fingerprint. */
+  private val q26 = QuerySpec(
+    "q26_fingerprint",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CASE WHEN len(str_split(text, ' ')) = 0 THEN 0
+        ELSE list_reduce(
+          list_transform(str_split(text, ' '),
+            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 100003),
+          (acc, x) -> (acc * 31 + x) % 1000000007)
+      END AS fingerprint
+      FROM documents ORDER BY doc_id"""))
+
+  // ------------------------------------------- extensions: multimodal
+
+  /** Binary-payload plumbing: opaque bytes + typed metadata through the
+    * mapPartitions decode stub (SURVEY north-star; codec is stubbed, the
+    * Spark-side schema/partitioning/batching is real). */
+  private val q27 = QuerySpec(
+    "q27_multimodal_meta",
+    (s, dir) => {
+      val media = Multimodal.fromDocuments(s, t(s, dir, "documents"))
+      Multimodal.decode(media).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"), col("n_bytes"))
+        .orderBy(col("media_id"))
+    },
+    Some("""SELECT doc_id AS media_id, 'image' AS kind,
+      64 + (octet_length(encode(text)) % 577) AS width,
+      64 + (octet_length(encode(text)) % 433) AS height,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents ORDER BY media_id"""))
+
+  /** Tumbling-window event aggregation (the batch shape of the streaming agg;
+    * Spark window() and DuckDB time_bucket share epoch-aligned boundaries). */
+  private val q28 = QuerySpec(
+    "q28_events_window",
+    (s, dir) => t(s, dir, "events")
+      // ts arrives as long nanos (nanosAsLong, see Sessions); `div` keeps the
+      // µs conversion exact — a double division would lose precision at 2^60.
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(
+        window(col("ts"), "5 minutes").getField("start").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("w"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type")),
+    Some("""SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
+        '%Y-%m-%d %H:%M') AS window_start,
+      event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ----------------------------------------------------------- catalog
+
+  val all: Seq[QuerySpec] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23, q24, q25, q26, q27, q28)
+}

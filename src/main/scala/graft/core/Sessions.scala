@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session bootstrap for the engine.
+  *
+  * Re-expresses the reference's Glue session bootstrap
+  * (`PySpark_Scripts/stage_1_hcp_channel_all_hardcode.py:1273-1277`) as a plain
+  * SparkSession factory with the configuration the ported semantics depend on:
+  *
+  *   - `spark.sql.ansi.enabled=false` — the reference runs on Glue Spark where ANSI
+  *     mode is off; its SQL relies on lenient casts (string money with thousands
+  *     separators cast to double after replace, int columns fed to substring,
+  *     bad casts yielding NULL instead of errors; see S1:255,287,828). Spark 4.x
+  *     defaults ANSI to true, so we pin it off.
+  *   - UTC session timezone — deterministic date/timestamp formatting vs the oracle.
+  *   - AQE on — runtime broadcast-join conversion + skew-join handling stand in for
+  *     the tuning the reference left entirely to the engine (SURVEY §4).
+  *   - shuffle partitions sized to the local core count, not the 200 default; on a
+  *     real cluster this would be set per-job from input size.
+  */
+object Sessions {
+  /** Apply engine configs to an existing builder (callers own master/appName). */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type — read
+      // as long and convert with integer division (see QueryCatalog q28).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      shufflePartitions = cores
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

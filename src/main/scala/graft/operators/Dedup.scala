@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Four families, all expressed as distributed hash-partition-friendly plans
+  * (no driver-side loops, no O(n²) cross joins — candidate generation always
+  * goes through a bucket/blocking join that shuffles on a small key):
+  *
+  *  - exact:        group by content hash                  (1 shuffle)
+  *  - MinHash+LSH:  shingle → per-row signature (narrow) → band-bucket join
+  *  - SimHash:      per-row 64-bit signature (narrow) → bucket by signature
+  *  - n-gram Jaccard: shingle-inverted-index self-join within blocks
+  *
+  * Hashes are [[Hashing.stableHash]]-based so the DuckDB oracle reproduces them.
+  */
+object Dedup {
+  import Hashing.P
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (1-based slice; a doc shorter than n yields its full
+    * token string as the single shingle). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(t, i, lit(n))))
+  }
+
+  /** Exact dedup: group identical content by md5, keep the smallest id as the
+    * canonical copy. One hash-shuffle; at 100 TB the md5 is computed map-side
+    * next to the scan and only (hash, id) pairs move. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature over an already-hashed shingle array:
+    * sig_i = min over shingles of (a_i * h + b_i) mod P. Keep the md5-based
+    * shingle hashing in a separate materialized column ([[withMinhash]]) —
+    * inlining it here would recompute every md5 numHashes times. */
+  def minhashOfHashes(shingleHashes: Column, numHashes: Int): Column =
+    array(Hashing.minhashCoeffs(numHashes).map { case (a, b) =>
+      array_min(transform(shingleHashes, h => (lit(a) * h + lit(b)) % lit(P)))
+    }: _*)
+
+  /** Adds a MinHash signature column — entirely within the row via higher-order
+    * functions: NO explode, NO shuffle. The shingle-hash array is materialized
+    * once per row (`_hs`) so each of the numHashes permutations reuses it. */
+  def withMinhash(df: DataFrame, textCol: String, out: String,
+      shingleSize: Int, numHashes: Int): DataFrame =
+    df.withColumn("_hs",
+        transform(shingles(col(textCol), shingleSize), s => Hashing.stableHash31(s)))
+      .withColumn(out, minhashOfHashes(col("_hs"), numHashes))
+      .drop("_hs")
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand` and
+    * hash each band; docs sharing any band hash are near-dup candidates.
+    * Output: one row per (doc, band) — the thing you groupBy/join on. */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = df.select(
+      col(idCol),
+      col(sigCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        md5(concat_ws(",", slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    banded
+  }
+
+  /** Candidate near-dup pairs via LSH: self-join on (band_idx, band_hash) —
+    * the shuffle key is the band hash, so comparisons happen only within
+    * buckets (the whole point of LSH at scale). Estimated Jaccard = fraction
+    * of matching signature positions. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = withMinhash(df.select(col(idCol).as("id"), col(textCol)),
+      textCol, "sig", shingleSize, numHashes).select("id", "sig")
+    val b = lshBands(sigs, "id", "sig", bands, rowsPerBand)
+    val l = b.select(col("band_idx"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = b.select(col("band_idx"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band_idx", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / lit(numHashes)).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash bit width (stableHash provides 60 usable bits; 32 keeps the plan
+    * compact while preserving near-dup recall on word unigrams). */
+  val SimhashBits = 32
+
+  /** SimHash over word unigrams: bit b of the signature is the sign of
+    * Σ_tokens (2*bit_b(h(token)) - 1). Entirely per-row (narrow, no shuffle).
+    * Token hashes are materialized once in `_th` so the md5 per token is
+    * computed once, not once per bit. */
+  def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
+    val hashed = df.withColumn("_th",
+      transform(tokens(col(textCol)), t => Hashing.stableHash(t)))
+    val sig = (0 until SimhashBits).map { b =>
+      val bitSum = aggregate(col("_th"), lit(0L),
+        (s, h) => s + shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1)
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.withColumn(out, sig).drop("_th")
+  }
+
+  /** Hamming distance between two simhash signatures (near-dup if small). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** True n-gram Jaccard similarity for candidate pairs that share at least one
+    * shingle, via an inverted index (explode → self-join on shingle → count).
+    * `minShared` prunes the long tail before the join output explodes.
+    * At scale: the shuffle key is the shingle hash; hot shingles (stopword
+    * n-grams) are the skew risk — mitigated by dropping shingles that appear in
+    * more than `maxDocFreq` docs (standard df-cut, also improves precision). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5, maxDocFreq: Long = 100): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    val filtered = sh.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .where(col("df") <= maxDocFreq).drop("df")
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val pairs = filtered.as("a").join(filtered.as("b"), "sh")
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "shared", "jaccard")
+  }
+}

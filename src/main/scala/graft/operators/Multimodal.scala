@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media travel as opaque `binary` columns plus typed metadata — the schema,
+  * partition behavior, and batch shape are real and tested; only the codec call
+  * itself is stubbed (this container ships no image/audio libraries). The stub is
+  * deterministic (derived from payload bytes) so tests are stable; swapping in a
+  * real decoder means replacing ONE function body and nothing else.
+  *
+  * Scale notes: payloads never pass through a shuffle here — decode/feature
+  * extraction runs `mapPartitions`-style next to the scan (narrow), and anything
+  * aggregated downstream should project metadata/features first and drop the
+  * bytes. Batch sizing comes from parquet row groups via
+  * `spark.sql.files.maxPartitionBytes`, the same lever a real media pipeline uses.
+  */
+object Multimodal {
+
+  /** Typed media metadata carried beside the opaque payload. */
+  final case class MediaMeta(kind: String, width: Int, height: Int, nBytes: Long)
+
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  final case class DecodedRow(media_id: Long, kind: String, width: Int,
+      height: Int, n_bytes: Long, feature: Array[Float])
+
+  /** STUB — deterministic fake decode standing in for a real codec
+    * (e.g. JPEG decode / audio resample). Dimensions and the "feature vector"
+    * are pure functions of the payload bytes. Replace this body (and only
+    * this body) with the real library call in a full deployment. */
+  def decodeStub(payload: Array[Byte]): MediaMeta = {
+    val n = payload.length
+    MediaMeta(kind = "fake", width = 64 + (n % 577), height = 64 + (n % 433), nBytes = n.toLong)
+  }
+
+  /** Deterministic fake feature extraction: a tiny byte histogram (8 buckets),
+    * L1-normalized — the shape a real embedding/feature UDF would produce. */
+  def featureStub(payload: Array[Byte], dims: Int = 8): Array[Float] = {
+    val counts = new Array[Float](dims)
+    payload.foreach(b => counts((b & 0xff) % dims) += 1f)
+    val total = math.max(counts.sum, 1f)
+    counts.map(_ / total)
+  }
+
+  /** Batch decode: the Scala analogue of `mapInPandas` — per-partition iterator
+    * transform, zero driver involvement, preserves partitioning. */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = decodeStub(r.payload)
+        DecodedRow(r.media_id, r.kind, m.width, m.height, m.nBytes,
+          featureStub(r.payload))
+      }
+    }
+  }
+
+  /** Frame sampling for video-like payloads: split the byte stream into
+    * `frameSize` chunks, keep every `stride`-th — the row-explosion pattern a
+    * real frame sampler produces (one row in → many rows out, still narrow). */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int, stride: Int):
+      DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.payload.grouped(frameSize).zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .map { case (chunk, i) => (r.media_id, i, chunk.length, featureStub(chunk)) }
+    }.toDF("media_id", "frame_idx", "frame_bytes", "feature")
+  }
+
+  /** Build a media table from the `documents` fixture (text bytes as payload) —
+    * exercises the binary-column path end-to-end on shipped testdata. */
+  def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id"), lit("image").as("kind"),
+      col("text").cast("binary").as("payload")).as[MediaRow]
+  }
+}

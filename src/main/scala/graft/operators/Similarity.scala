@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - brute force: broadcast the (small) query set against the full corpus —
+  *    exact, one pass over the corpus, no corpus shuffle. The right baseline and
+  *    the right SCALE plan whenever |queries| is small: at 100 TB the corpus
+  *    streams map-side; only per-query top-k heaps (via window over query_id,
+  *    which shuffles |corpus|×|queries| scored rows hash-partitioned by
+  *    query_id) aggregate.
+  *  - LSH-bucketed: sign-random-projection signature on both sides, join on
+  *    bucket, exact re-rank within bucket. Sub-linear candidate generation when
+  *    |queries| is large; recall tunable by planes/probes.
+  */
+object Similarity {
+
+  /** Exact top-k per query by cosine. `queries` must be broadcast-small.
+    * Norms are precomputed once per side (not per pair) — the cosine per pair
+    * is then a single dot-product fold. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      Vectors.l2Norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      Vectors.l2Norm(col(vecCol)).as("c_norm"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Vectors.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** All pairs above a cosine threshold, query side broadcast (embedding
+    * near-dup detection when one side is small). */
+  def thresholdPairs(corpus: DataFrame, queries: DataFrame, minCosine: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      Vectors.l2Norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      Vectors.l2Norm(col(vecCol)).as("c_norm"))
+    c.join(broadcast(q), col("query_id") < col("neighbor_id"))
+      .withColumn("cosine",
+        Vectors.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .where(col("cosine") >= minCosine)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
+  /** Scale path: bucket corpus and queries by sign-LSH signature, join on the
+    * bucket (hash shuffle on a small key — no cross join anywhere), then exact
+    * cosine re-rank inside buckets. Approximate: recall < 1 by construction. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 12,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sig = (v: Column) => Vectors.lshSignBits(v, numPlanes)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      Vectors.l2Norm(col(vecCol)).as("c_norm"), sig(col(vecCol)).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      Vectors.l2Norm(col(vecCol)).as("q_norm"), sig(col(vecCol)).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Vectors.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}

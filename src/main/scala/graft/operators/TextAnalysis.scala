@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Text-quality / text-statistics operators for training-data curation —
+  * all built-in expressions (codegen'd, per-row, narrow; no shuffle, no UDF).
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: number of matches of a GPT-2-style pre-tokenizer
+    * pattern (letter runs / digit runs / punctuation runs / leading space). */
+  val BpePattern = "('(?:s|t|re|ve|m|ll|d))|( ?[a-zA-Z]+)|( ?[0-9]+)|( ?[^a-zA-Z0-9\\s]+)"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
+
+  def avgWordLength(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Tiny per-language function-word lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small — the heuristic, not the lexicon, is the
+    * operator under test. */
+  val StopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "im"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "en", "que", "pour", "dans"))
+
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val w = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(w, t)))
+  }
+
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text, StopwordsByLang.head._2).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Heuristic language ID: the language whose function words hit most;
+    * ties broken by list order above; zero hits everywhere → "unknown". */
+  def langIdGuess(text: Column): Column = {
+    val scored = StopwordsByLang.map { case (lang, ws) => (lang, stopwordHits(text, ws)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldLeft(when(best <= 0, lit("unknown"))) { case (acc, (lang, s)) =>
+      acc.when(s === best, lit(lang))
+    }.otherwise(lit("unknown"))
+  }
+
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^a-zA-Z0-9 ]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def digitRatio(text: Column): Column =
+    regexp_count(text, lit("[0-9]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1] — the standard curation recipe: favor
+    * mid-length docs with word-like tokens, penalize punctuation/digit soup.
+    * Deterministic arithmetic (mirrors exactly in the oracle SQL). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val wordScore = when(avgWordLength(text).between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    val punctPenalty = least(punctRatio(text) * lit(4.0), lit(1.0))
+    val digitPenalty = least(digitRatio(text) * lit(4.0), lit(1.0))
+    round(
+      lit(0.4) * lenScore + lit(0.3) * wordScore +
+        lit(0.15) * (lit(1.0) - punctPenalty) + lit(0.15) * (lit(1.0) - digitPenalty),
+      6)
+  }
+
+  /** Order-sensitive document fingerprint (rolling polynomial hash). */
+  def fingerprint(text: Column): Column = Hashing.rollingFingerprint(tokens(text))
+}
