@@ -660,10 +660,79 @@ object QueryCatalog {
       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** LSH-bucketed ANN — the scale path for large query sets (q22 is the
+    * broadcast baseline): sign-random-projection signature on both sides,
+    * hash-join on the bucket (no cross join anywhere), exact cosine re-rank
+    * inside buckets. Plane weights derive from stableHash so the oracle
+    * reconstructs the identical signature in SQL. Approximate by design:
+    * the oracle replays the same buckets, so results still match exactly. */
+  private val q29 = {
+    val planes = 6
+    QuerySpec(
+      "q29_ann_lsh",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.where(col("vec_id") < 16), k = 5, numPlanes = planes)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH sig AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+          list_reduce(list_transform(range(0, $planes), p ->
+            CASE WHEN list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+                embedding[i]::DOUBLE *
+                  ((('0x' || substr(md5(p::VARCHAR || '_' || (i - 1)::VARCHAR), 1, 15))::BIGINT
+                    % 2147483647)::DOUBLE / 2147483647.0 - 0.5)),
+              (x, y) -> x + y) >= 0 THEN 1 << p ELSE 0 END),
+            (x, y) -> x + y) AS bucket
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 16),
+      c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM sig),
+      scored AS (SELECT query_id, neighbor_id,
+          list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]),
+            (x, y) -> x + y) /
+          (sqrt(list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]),
+            (x, y) -> x + y)) *
+           sqrt(list_reduce(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]),
+            (x, y) -> x + y))) AS cosine
+        FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id),
+      ranked AS (SELECT query_id, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+  }
+
+  /** Gap-based sessionization in batch mode via the built-in session_window —
+    * the batch twin of graft.streaming.EventStreams.sessionWindows (the same
+    * operator runs under a watermark in streaming). Oracle: gaps-and-islands.
+    * Spark merges events when the gap is STRICTLY below the threshold, so the
+    * oracle starts a new session when diff >= gap. */
+  private val q30 = QuerySpec(
+    "q30_sessionize",
+    (s, dir) => t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window(col("ts"), "30 minutes").as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        date_format(col("s.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH marked AS (SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      grp AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS sid FROM marked)
+      SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM grp GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
 }
