@@ -27,19 +27,27 @@ object Vectors {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** md5-derived pseudo-random hyperplane weight, computed DRIVER-side:
+    * weight(p,d) = stableHash31("p_d")/P - 0.5 ∈ [-0.5, 0.5) — bit-identical
+    * to what `('0x' || substr(md5(p||'_'||d),1,15))::BIGINT % P` yields in the
+    * DuckDB oracle, so signatures still reconstruct exactly in SQL. */
+  def planeWeight(p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % Hashing.P).toDouble /
+      Hashing.P.toDouble - 0.5
+  }
+
   /** Sign-bit LSH signature for cosine similarity: one bit per pseudo-random
-    * hyperplane, packed into a long. Plane weights are derived per (plane, dim)
-    * from [[Hashing.stableHash]], so the oracle can reconstruct them in SQL and
-    * no giant literal arrays travel with the plan.
-    * weight(p,d) = stableHash31("p_d")/P - 0.5  ∈ [-0.5, 0.5). */
-  def lshSignBits(v: Column, numPlanes: Int): Column = {
+    * hyperplane, packed into a long. Weights are precomputed on the driver and
+    * shipped as literal arrays (numPlanes × dims doubles — a few KB in the
+    * plan), NOT per-row hash expressions: at corpus scale that saves
+    * rows × dims × planes md5 evaluations. */
+  def lshSignBits(v: Column, numPlanes: Int, dims: Int): Column = {
     val d = asDouble(v)
     val bits = (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        transform(d, (x, i) =>
-          x * (Hashing.stableHash31(concat(lit(s"${p}_"), i.cast("string")))
-            .cast("double") / lit(Hashing.P.toDouble) - lit(0.5))),
-        lit(0.0), _ + _)
+      val w = typedLit((0 until dims).map(i => planeWeight(p, i)))
+      val proj = aggregate(zip_with(d, w, _ * _), lit(0.0), _ + _)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

