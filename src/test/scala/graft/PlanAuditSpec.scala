@@ -1,0 +1,82 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+/** Physical-plan audit: the catalog queries must produce the plans we
+  * designed for scale, not merely correct answers (SURVEY §4).
+  *
+  * Checks (per query class):
+  *  - filters reach the parquet scan (`PushedFilters`), column pruning
+  *    reaches the reader (`ReadSchema` without unused columns);
+  *  - small dimension joins broadcast (BroadcastHashJoin), no accidental
+  *    cartesian products anywhere except the reference-verbatim coalesce-key
+  *    full join (J-10, a BroadcastNestedLoopJoin by construction);
+  *  - aggregates run partial+final (two HashAggregate levels → map-side
+  *    combine before the shuffle);
+  *  - the hot scan→filter→project path sits inside WholeStageCodegen.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Simple-mode physical plan: one line per operator (`*(n)` prefix marks
+    * WholeStageCodegen membership), so operator counts are exact. With
+    * `execute = true` the query runs first so AQE's FINAL plan (with codegen
+    * annotations and runtime join choices) is what gets printed. */
+  private def planOf(name: String, execute: Boolean = false): String = {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val df = QueryCatalog.all.find(_.name == name).get.run(spark, sfDir)
+    if (execute) df.collect()
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out) { df.explain() }
+    // post-execution AQE explain appends the pre-optimization "Initial Plan" —
+    // count operators only in the final plan section
+    out.toString.split("== Initial Plan ==").head
+  }
+
+  test("q03 filter+projection push into the parquet scan") {
+    val p = planOf("q03_filter_range")
+    assert(p.contains("PushedFilters"))
+    // quantity range + returnflag notnull are scan-level
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10"))
+    assert(p.contains("IsNotNull(l_returnflag)"))
+    // only the 4 referenced columns are read, not lineitem's 16
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"))
+  }
+
+  test("q05 dimension joins broadcast, no shuffle of the fact side for joins") {
+    val p = planOf("q05_join_chain")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q01 aggregates partially before the shuffle (map-side combine)") {
+    val p = planOf("q01_group_sum", execute = true)
+    assert(p.contains("partial_sum"))
+    assert(p.contains("*(")) // WholeStageCodegen spans in the final AQE plan
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+
+  test("q19 LSH band join is a hash/merge join on band keys, never cartesian") {
+    val p = planOf("q19_dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q22 brute-force ANN broadcasts the query side (corpus never shuffles for the join)") {
+    val p = planOf("q22_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin")) // non-equi by design, query side broadcast
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q29 LSH ANN joins on bucket equality — a real equi join, not a loop join") {
+    val p = planOf("q29_ann_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q10 window allocation shuffles once on the partition keys") {
+    val p = planOf("q10_window_alloc")
+    assert(p.contains("Window"))
+    // one exchange for the window partition, one for the final groupBy at most
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2)
+  }
+}

@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.{Hashing, Vectors}
+import graft.sources.CsvToParquet
+
+/** Semantic unit specs per extension operator (the oracle gate checks
+  * cross-engine value equality; these check the MEANING — known inputs with
+  * hand-derivable outputs, recall/precision behavior, edge cases). */
+class DedupSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exactGroups: identical texts collapse; keeper is min id") {
+    val d = docs(1L -> "alpha beta", 2L -> "alpha beta", 3L -> "gamma")
+    val g = Dedup.exactGroups(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(g == Set((1L, 2L), (3L, 1L))) // (keeper_id, n_copies)
+  }
+
+  test("minhash: identical docs get identical signatures; est_jaccard=1") {
+    val d = docs(1L -> "w1 w2 w3 w4 w5 w6", 2L -> "w1 w2 w3 w4 w5 w6",
+      3L -> "completely different words here now yes")
+    val cand = Dedup.minhashCandidates(d, "doc_id", "text", 3, 32, 16).collect()
+    val dup = cand.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(dup.isDefined && dup.get.getDouble(2) == 1.0)
+    // disjoint shingle sets should not band-collide
+    assert(!cand.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("minhashSigs agrees with the per-row withMinhash variant") {
+    val d = docs(1L -> "a b c d e f g", 2L -> "x", 3L -> "p q r")
+    val fast = Dedup.minhashSigs(d, "doc_id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val slow = Dedup.withMinhash(d.select(col("doc_id").as("id"), col("text")),
+        "text", "sig", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(fast == slow)
+  }
+
+  test("simhash: near-identical docs have small hamming distance, disjoint docs large") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy cat today",
+      3L -> "zzz yyy xxx www vvv uuu ttt sss rrr qqq")
+    val sigs = Dedup.withSimhash(d, "text", "sh").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+    assert(ham(sigs(1L), sigs(2L)) <= 8)
+  }
+
+  test("ngramJaccardPairs: exact jaccard on constructed overlap") {
+    // doc1: shingles {a b c, b c d} ; doc2: {a b c, b c x} → shared 1, union 3
+    val d = docs(1L -> "a b c d", 2L -> "a b c x")
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.0, 100).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(2) == 1L) // shared
+    assert(math.abs(pairs.head.getDouble(3) - 1.0 / 3) < 1e-12)
+  }
+
+  test("ngramJaccardPairs: maxDocFreq drops ubiquitous shingles") {
+    val common = (1L to 30L).map(i => i -> s"same same same unique$i tail$i")
+    val pairs = Dedup.ngramJaccardPairs(docs(common: _*), "doc_id", "text",
+      3, 0.0, maxDocFreq = 10)
+    // 'same same same' appears in 30 docs > df-cut 10 → no candidate pairs at all
+    assert(pairs.count() == 0)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK: exact ranking on constructed geometry") {
+    val v = vecs(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0f, 1f), 3L -> Seq(-1f, 0f))
+    val top = Similarity.bruteForceTopK(v, v.where(col("vec_id") === 0), k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toList
+    assert(top.map(_._2) == List(1L, 2L, 3L)) // by descending cosine to (1,0)
+  }
+
+  test("thresholdPairs: only pairs above minCosine, id_a < id_b") {
+    val v = vecs(0L -> Seq(1f, 0f), 1L -> Seq(1f, 0.01f), 2L -> Seq(0f, 1f))
+    val pairs = Similarity.thresholdPairs(v, v, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 1L)))
+  }
+
+  test("lshTopK: recall on identical vectors is 1 (same bucket by construction)") {
+    val v = vecs(0L -> Seq(1f, 2f, 3f, 4f), 1L -> Seq(1f, 2f, 3f, 4f),
+      2L -> Seq(-1f, -2f, -3f, -4f))
+    val res = Similarity.lshTopK(v, v.where(col("vec_id") === 0), k = 5,
+      numPlanes = 8, dims = 4).collect()
+    assert(res.exists(r => r.getLong(2) == 1L && math.abs(r.getDouble(3) - 1.0) < 1e-9))
+    // antipodal vector flips every sign bit → different bucket, never a candidate
+    assert(!res.exists(r => r.getLong(2) == 2L))
+  }
+
+  test("planeWeight matches the in-engine md5 derivation") {
+    import spark.implicits._
+    val fromSql = Seq("0_0", "0_1", "5_63").toDF("s")
+      .select(Hashing.stableHash31(col("s")).cast("double") / lit(Hashing.P.toDouble) - 0.5)
+      .collect().map(_.getDouble(0))
+    val fromDriver = Seq((0, 0), (0, 1), (5, 63)).map { case (p, d) => Vectors.planeWeight(p, d) }
+    assert(fromSql.toSeq == fromDriver)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def one(text: String): DataFrame = {
+    import spark.implicits._
+    Seq(text).toDF("text")
+  }
+
+  test("token counts and ratios on a constructed sentence") {
+    val r = one("the cat, sat on 42 mats!").select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.punctRatio(col("text")),
+      TextAnalysis.digitRatio(col("text")),
+      TextAnalysis.stopwordRatio(col("text"))).head()
+    assert(r.getInt(0) == 6)
+    assert(math.abs(r.getDouble(1) - 2.0 / 24) < 1e-12) // ',' and '!'
+    assert(math.abs(r.getDouble(2) - 2.0 / 24) < 1e-12) // '4' '2'
+    // 'the' and 'on' hit the en stopword list → 2/6
+    assert(math.abs(r.getDouble(3) - 2.0 / 6) < 1e-12)
+  }
+
+  test("langIdGuess picks the language with most function-word hits") {
+    val df = {
+      import spark.implicits._
+      Seq("the cat is on the mat", "der hund ist ein tier und das ist gut",
+        "el perro es un animal y es bueno", "zzz qqq www").toDF("text")
+    }
+    val got = df.select(TextAnalysis.langIdGuess(col("text"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "de", "es", "unknown"))
+  }
+
+  test("qualityScore: clean prose beats punctuation soup") {
+    val clean = one("this is a perfectly reasonable sentence about some things")
+      .select(TextAnalysis.qualityScore(col("text"))).head().getDouble(0)
+    val soup = one("!!! ### $$$ %%% 123 456 789 )))")
+      .select(TextAnalysis.qualityScore(col("text"))).head().getDouble(0)
+    assert(clean > soup)
+    assert(clean >= 0.0 && clean <= 1.0 && soup >= 0.0 && soup <= 1.0)
+  }
+
+  test("fingerprint is order-sensitive (anagram docs differ)") {
+    val a = one("alpha beta gamma").select(TextAnalysis.fingerprint(col("text"))).head().getLong(0)
+    val b = one("gamma beta alpha").select(TextAnalysis.fingerprint(col("text"))).head().getLong(0)
+    val a2 = one("alpha beta gamma").select(TextAnalysis.fingerprint(col("text"))).head().getLong(0)
+    assert(a != b && a == a2)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("decode: schema, determinism, feature normalization") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Array[Byte](1, 2, 3, 4, 5)),
+      Multimodal.MediaRow(2L, "audio", Array.fill[Byte](1000)(7))).toDS()
+    val out = Multimodal.decode(media).collect().sortBy(_.media_id)
+    assert(out.map(_.n_bytes).toSeq == Seq(5L, 1000L))
+    assert(out.forall(_.feature.length == 8))
+    assert(out.forall(r => math.abs(r.feature.sum - 1f) < 1e-5)) // L1-normalized
+    // deterministic: same payload → same decode
+    val again = Multimodal.decode(media).collect().sortBy(_.media_id)
+    assert(out.map(_.width).toSeq == again.map(_.width).toSeq)
+  }
+
+  test("sampleFrames: chunking and stride arithmetic") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, "video", Array.fill[Byte](100)(3))).toDS()
+    val frames = Multimodal.sampleFrames(media, frameSize = 10, stride = 2)
+      .orderBy("frame_idx").collect()
+    // 10 chunks, keep idx 0,2,4,6,8 → 5 frames of 10 bytes
+    assert(frames.length == 5)
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2, 4, 6, 8))
+    assert(frames.forall(_.getInt(2) == 10))
+  }
+
+  test("fromDocuments: binary payload round-trips through the decode path") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(10)
+    val decoded = Multimodal.decode(Multimodal.fromDocuments(spark, docs)).collect()
+    assert(decoded.length == 10)
+    assert(decoded.forall(_.n_bytes > 0))
+  }
+}
+
+class CsvToParquetSpec extends SparkSpec {
+
+  test("directory of CSVs converts with inferred schema; bad path yields None") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    java.nio.file.Files.writeString(dir.resolve("a.csv"), "id,name,score\n1,x,1.5\n2,y,2.5\n")
+    java.nio.file.Files.writeString(dir.resolve("b.csv"), "id,name,score\n3,z,3.5\n")
+    val n = CsvToParquet.convert(spark, dir.toString, s"$dir/out_parquet")
+    assert(n.contains(3L))
+    val back = spark.read.parquet(s"$dir/out_parquet")
+    assert(back.schema("id").dataType.typeName == "integer")
+    assert(back.schema("score").dataType.typeName == "double")
+    assert(CsvToParquet.convert(spark, "/nonexistent/nope", s"$dir/out2").isEmpty)
+  }
+}
+
+class ChannelOpsSpec extends SparkSpec {
+
+  test("allocateByShare conserves the budget within every partition (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      m <- 1 to 12; i <- 1 to (1 + rnd.nextInt(5))
+    } yield (s"2024-$m", 1000.0 * m, rnd.nextDouble() * 100 + 0.1)
+    val df = rows.toDF("month", "budget", "reach")
+    val out = df.withColumn("cost",
+      ChannelOps.allocateByShare(col("budget"), col("reach"), col("month")))
+    val check = out.groupBy("month").agg(
+      (abs(sum(col("cost")) - first(col("budget"))) < 1e-6).as("ok"))
+    assert(check.where(!col("ok")).count() == 0)
+  }
+
+  test("parseMoney handles separators and junk (lenient, ansi=false)") {
+    import spark.implicits._
+    val got = Seq("1,234.50", "999", "12,345,678.00", "n/a", null)
+      .toDF("s").select(ChannelOps.parseMoney(col("s"))).collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(1234.5), Some(999.0), Some(12345678.0), None, None))
+  }
+
+  test("caseNoElse yields NULL on no match; spreadByShares emits one row per share") {
+    import spark.implicits._
+    val c = Seq("A", "B", "Z").toDF("x")
+      .select(ChannelOps.caseNoElse(
+        (col("x") === "A") -> lit(1), (col("x") === "B") -> lit(2)).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
+    assert(c.toSeq == Seq(1, 2, -1))
+
+    val spread = ChannelOps.spreadByShares(
+      Seq(("2024", 100.0)).toDF("month", "total"), "total",
+      Seq("a" -> 0.6, "b" -> 0.3))
+    val rows = spread.collect()
+      .map(r => (r.getString(r.fieldIndex("channel")), r.getDouble(r.fieldIndex("cost")))).toSet
+    assert(rows == Set(("a", 60.0), ("b", 30.0)))
+  }
+}
