@@ -729,10 +729,40 @@ object QueryCatalog {
         count(*) AS n_events, round(sum(value), 2) AS total_value
       FROM grp GROUP BY user_id, sid ORDER BY user_id, session_start"""))
 
+  /** Skew-safe two-phase salted aggregation (ScaleOps) — result-identical to
+    * a plain GROUP BY, which is exactly what the oracle checks: the salt
+    * changes physical distribution only. */
+  private val q31 = QuerySpec(
+    "q31_skew_salted_agg",
+    (s, dir) => {
+      import graft.operators.ScaleOps
+      ScaleOps.saltedSum(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"),
+          "l_quantity", salt = 8)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** HyperLogLog++ approximate distinct — the one-pass fixed-memory
+    * count(distinct) replacement at 100 TB. Sketch values are engine-specific,
+    * so no value-level oracle (driver records the weaker rows-only check);
+    * ScaleOpsSpec asserts the estimate lands within the rsd bound. */
+  private val q32 = QuerySpec(
+    "q32_approx_distinct",
+    (s, dir) => {
+      import graft.operators.ScaleOps
+      ScaleOps.approxDistinct(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey")
+        .orderBy(col("l_returnflag"))
+    },
+    None)
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    q31, q32)
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Operators that exist purely for the 100 TB regime — they change the
+  * physical distribution of work, never the result.
+  *
+  * AQE's skew-join splitting (on in `Sessions`) handles most skew at runtime;
+  * these are the explicit tools for when the skew is KNOWN (a null-heavy key,
+  * a celebrity user_id) and you want the plan fixed at authoring time, or the
+  * join is aggregate-like where AQE can't help (skewed groupBy).
+  */
+object ScaleOps {
+
+  /** Salted equi-join for a skewed LEFT side: the left side's hot keys spread
+    * over `salt` sub-keys, the (smaller, but not broadcast-small) right side
+    * replicated `salt`× via explode — each (key, salt) bucket then shuffles
+    * independently, so one hot key occupies `salt` tasks instead of one.
+    * Result-identical to `left.join(right, keys)` (inner). */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      salt: Int): DataFrame = {
+    val saltedL = left.withColumn("_salt",
+      (rand(seed = 42) * salt).cast("int"))
+    val saltedR = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedL.join(saltedR, keys :+ "_salt").drop("_salt")
+  }
+
+  /** Skew-safe groupBy count/sum: two-phase aggregation through a salted
+    * intermediate key. Phase 1 aggregates (key, salt) partials — the hot key's
+    * rows split across `salt` reducers; phase 2 merges the ≤`salt` partials
+    * per key. Result-identical to `df.groupBy(keys).agg(sum)`. (Spark's own
+    * partial aggregation already does this when upstream partitioning is
+    * random; this forces it when the input arrives PRE-partitioned by the hot
+    * key — e.g. right after a join on it — where map-side combine can't help.) */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      salt: Int): DataFrame = {
+    val k = keys.map(col)
+    df.withColumn("_salt", (rand(seed = 42) * salt).cast("int"))
+      .groupBy(k :+ col("_salt"): _*)
+      .agg(sum(col(valueCol)).as("_partial"))
+      .groupBy(k: _*)
+      .agg(sum(col("_partial")).as(s"sum_$valueCol"))
+  }
+
+  /** Range-partitioned write: sorts files by `sortCols` so downstream range
+    * predicates prune row groups via parquet min/max stats (the poor man's
+    * clustering index — at 100 TB this is the difference between scanning a
+    * year and scanning a day). */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+      files: Int): Unit =
+    df.repartitionByRange(files, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
+  /** Explicit AQE-independent broadcast marker for dims known to be small.
+    * (Alias of functions.broadcast; exists so jobs name intent, not mechanism.) */
+  def dim(df: DataFrame): DataFrame = broadcast(df)
+
+  /** Approximate distinct count per group (HyperLogLog++, mergeable sketch —
+    * the 100 TB replacement for count(distinct), one pass, fixed memory).
+    * `rsd` = relative standard deviation (default 5%). */
+  def approxDistinct(df: DataFrame, keys: Seq[String], valueCol: String,
+      rsd: Double = 0.05): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(approx_count_distinct(col(valueCol), rsd).as(s"approx_distinct_$valueCol"))
+}

@@ -98,6 +98,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(out(1).n_events == 1 && out(1).total_value == 4.0)
   }
 
+  test("dedupedByContent drops in-watermark duplicates, keeps distinct rows") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.dedupedByContent(in.toDF(),
+        hashCols = Seq("user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    in.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 1, "click", 1.0), // duplicate content (id differs)
+      Event(3, ts(2), 1, "view", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(4, ts(3), 1, "click", 1.0)) // still within watermark → dropped
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L))
+  }
+
   test("readEvents/writeParquet: file-source round trip equals batch q28 shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // seed the source dir with the real sf0.001 events table
