@@ -758,11 +758,60 @@ object QueryCatalog {
     },
     None)
 
+  /** IVF ANN (the trained-partition scale path, q29's LSH sibling): cells by
+    * deterministic seed centroids, query probes nprobe cells, exact re-rank
+    * within. The oracle replays the identical assignment (same cosine fold,
+    * same tie-break), so this approximate index is still value-checked. */
+  private val q33 = {
+    val (nlist, nprobe) = (16, 4)
+    val cosSql = (a: String, b: String) =>
+      s"""list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]),
+          (x, y) -> x + y) /
+        (sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]),
+          (x, y) -> x + y)) *
+         sqrt(list_reduce(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]),
+          (x, y) -> x + y)))"""
+    QuerySpec(
+      "q33_ann_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 5,
+            nlist = nlist, nprobe = nprobe)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cent_vec
+          FROM embeddings WHERE vec_id < $nlist),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        assigned AS (SELECT neighbor_id, cv, cid FROM (
+            SELECT neighbor_id, cv, cid,
+              row_number() OVER (PARTITION BY neighbor_id
+                ORDER BY ${cosSql("cv", "cent_vec")} DESC, cid) AS rn
+            FROM c CROSS JOIN cent) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 8),
+        probes AS (SELECT query_id, qv, cid FROM (
+            SELECT query_id, qv, cid,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY ${cosSql("qv", "cent_vec")} DESC, cid) AS rn
+            FROM q CROSS JOIN cent) WHERE rn <= $nprobe),
+        scored AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cosine
+          FROM assigned JOIN probes USING (cid)
+          WHERE query_id <> neighbor_id),
+        ranked AS (SELECT query_id, neighbor_id, cosine,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+  }
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32)
+    q31, q32, q33)
 }

@@ -32,6 +32,10 @@ object Sessions {
       // as long and convert with integer division (see QueryCatalog q28).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // bucketed-table writes need a warehouse; keep it out of the repo tree
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("graft.warehouse.dir",
+          s"${System.getProperty("java.io.tmpdir")}/graft-warehouse"))
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / ad-hoc runs. */

@@ -58,6 +58,21 @@ object ScaleOps {
     * (Alias of functions.broadcast; exists so jobs name intent, not mechanism.) */
   def dim(df: DataFrame): DataFrame = broadcast(df)
 
+  /** Bucketed catalog table write: pre-shuffles ONCE at write time so every
+    * subsequent equi-join/aggregation on `bucketCols` runs exchange-free
+    * (co-located, and with sortBy also merge-ready). The 100 TB play for
+    * fact-to-fact joins repeated across jobs — pay the shuffle once, not per
+    * query. Requires a catalog table (bucket metadata lives in the
+    * metastore), hence saveAsTable rather than a path write. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String]): Unit =
+    df.write
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Approximate distinct count per group (HyperLogLog++, mergeable sketch —
     * the 100 TB replacement for count(distinct), one pass, fixed memory).
     * `rsd` = relative standard deviation (default 5%). */

@@ -54,6 +54,58 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nlist` cells by
+    * nearest centroid; a query probes only its `nprobe` nearest cells, so the
+    * scored candidate set shrinks ~nlist/nprobe-fold vs brute force. Centroid
+    * choice here is the deterministic seed scheme (first `nlist` vectors by
+    * id) rather than trained k-means — reproducible in the SQL oracle; a
+    * production deployment would swap trained centroids in without touching
+    * the plan shape. At scale: centroids broadcast (tiny), the corpus
+    * assignment is one narrow map-side pass, and the probe join shuffles on
+    * the cell id — the corpus is never cross-joined against queries. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
+      nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = corpus.where(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cent_vec"))
+    val cosTo = (v: Column) => Vectors.dot(v, col("cent_vec")) /
+      (Vectors.l2Norm(v) * Vectors.l2Norm(col("cent_vec")))
+
+    // corpus → owning cell (rank-1 centroid by cosine; ties → smallest cid)
+    val byCell = Window.partitionBy("neighbor_id")
+      .orderBy(col("cs").desc, col("cid").asc)
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        Vectors.l2Norm(col(vecCol)).as("c_norm"))
+      .join(broadcast(cent), lit(true))
+      .withColumn("cs", cosTo(col("c_vec")))
+      .withColumn("rn", row_number().over(byCell))
+      .where(col("rn") === 1)
+      .select("neighbor_id", "c_vec", "c_norm", "cid")
+
+    // query → nprobe nearest cells
+    val byProbe = Window.partitionBy("query_id")
+      .orderBy(col("cs").desc, col("cid").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        Vectors.l2Norm(col(vecCol)).as("q_norm"))
+      .join(broadcast(cent), lit(true))
+      .withColumn("cs", cosTo(col("q_vec")))
+      .withColumn("rn", row_number().over(byProbe))
+      .where(col("rn") <= nprobe)
+      .select("query_id", "q_vec", "q_norm", "cid")
+
+    // exact re-rank inside probed cells only
+    val scored = assigned.join(probes, Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Vectors.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Scale path: bucket corpus and queries by sign-LSH signature, join on the
     * bucket (hash shuffle on a small key — no cross join anywhere), then exact
     * cosine re-rank inside buckets. Approximate: recall < 1 by construction. */

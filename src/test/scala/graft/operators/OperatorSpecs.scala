@@ -105,6 +105,22 @@ class SimilaritySpec extends SparkSpec {
     assert(!res.exists(r => r.getLong(2) == 2L))
   }
 
+  test("ivfTopK: probing all cells recovers the exact brute-force ranking") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // nprobe == nlist → every cell searched → must equal brute force
+    val full = Similarity.ivfTopK(emb, queries, k = 3, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full == exact)
+    // restricted probing returns a subset-quality result: right shape, valid ranks
+    val probed = Similarity.ivfTopK(emb, queries, k = 3, nlist = 8, nprobe = 2).collect()
+    assert(probed.nonEmpty)
+    assert(probed.groupBy(_.getLong(0)).values.forall(_.map(_.getInt(1)).toSet
+      .subsetOf(Set(1, 2, 3))))
+  }
+
   test("planeWeight matches the in-engine md5 derivation") {
     import spark.implicits._
     val fromSql = Seq("0_0", "0_1", "5_63").toDF("s")

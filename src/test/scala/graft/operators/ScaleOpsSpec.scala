@@ -58,6 +58,25 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("writeBucketed: join of two co-bucketed tables plans without a shuffle") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    ScaleOps.writeBucketed(li, "li_bkt", 4, Seq("l_orderkey"))
+    ScaleOps.writeBucketed(ord, "ord_bkt", 4, Seq("o_orderkey"))
+    val joined = spark.table("li_bkt")
+      .join(spark.table("ord_bkt").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: SortMergeJoin with ZERO Exchange operators in the plan
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange"), plan.linesIterator.take(12).mkString("\n"))
+    // and the result is right
+    assert(joined.count() ==
+      li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
+  }
+
   test("approxDistinct within rsd of exact count(distinct)") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0).toDouble
