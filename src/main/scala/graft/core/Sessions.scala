@@ -33,9 +33,11 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       // bucketed-table writes need a warehouse; keep it out of the repo tree
+      // AND unique per JVM — the default metastore is in-memory, so a reused
+      // on-disk location would orphan table directories across runs
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("graft.warehouse.dir",
-          s"${System.getProperty("java.io.tmpdir")}/graft-warehouse"))
+          java.nio.file.Files.createTempDirectory("graft-warehouse").toString))
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / ad-hoc runs. */

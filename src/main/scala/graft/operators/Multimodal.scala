@@ -57,6 +57,23 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — stands in for a real image resample. Deterministic:
+    * nearest-neighbor byte subsampling of the payload to `targetW*targetH`
+    * bytes; metadata updated to the target dims. Replace the byte math with a
+    * real scaler without touching the Spark plumbing. */
+  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val n = targetW * targetH
+    if (payload.isEmpty) new Array[Byte](0)
+    else Array.tabulate(n)(i => payload((i.toLong * payload.length / n).toInt))
+  }
+
+  /** Batch resize: same per-partition narrow shape as [[decode]]. */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r =>
+      r.copy(payload = resizeStub(r.payload, targetW, targetH))))
+  }
+
   /** Frame sampling for video-like payloads: split the byte stream into
     * `frameSize` chunks, keep every `stride`-th — the row-explosion pattern a
     * real frame sampler produces (one row in → many rows out, still narrow). */

@@ -49,6 +49,24 @@ class NvsPipelineSpec extends SparkSpec {
     assert(d.where(col("reach") === 7777.0).count() == 0)
   }
 
+  test("dtc_display: exact golden rows (hand-computed allocation)") {
+    init
+    val got = NvsPipeline.dtcDisplay(spark).collect().map { r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getInt(4),
+        r.getString(6), r.getDouble(9), r.getDouble(10), r.getDouble(11))
+    }.toSet
+    // fixture arithmetic: 2022-03 budget 10,000 over reach {NY:1000, BOS:3000};
+    // 2022-04 NY alone takes 20,000; 2023-05 NY takes 15,000 (comma-parsed);
+    // 2024-01 BOS takes the 5,000 unpivot cost. 999-dma and cutoff rows gone.
+    val want = Set(
+      ("XOLAIR", "Display", "DTC", "2022", 3, "NEW YORK", 1000.0, 10.0, 2500.0),
+      ("XOLAIR", "Display", "DTC", "2022", 3, "BOSTON", 3000.0, 30.0, 7500.0),
+      ("XOLAIR", "Display", "DTC", "2022", 4, "NEW YORK", 2000.0, 20.0, 20000.0),
+      ("XOLAIR", "Display", "DTC", "2023", 5, "NEW YORK", 1500.0, 15.0, 15000.0),
+      ("XOLAIR", "Display", "DTC", "2024", 1, "BOSTON", 800.0, 8.0, 5000.0))
+    assert(got == want)
+  }
+
   test("dtc_poc/social: LEFT cost join keeps reach rows with NULL cost") {
     init
     val poc = NvsPipeline.dtcPoc(spark)

@@ -206,6 +206,18 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getInt(2) == 10))
   }
 
+  test("resize: payload shrinks to target dims, deterministic, empty-safe") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Array.tabulate[Byte](1000)(_.toByte)),
+      Multimodal.MediaRow(2L, "image", new Array[Byte](0))).toDS()
+    val out = Multimodal.resize(media, targetW = 8, targetH = 4)
+      .collect().sortBy(_.media_id)
+    assert(out(0).payload.length == 32 && out(1).payload.length == 0)
+    val again = Multimodal.resize(media, 8, 4).collect().sortBy(_.media_id)
+    assert(out(0).payload.toSeq == again(0).payload.toSeq)
+  }
+
   test("fromDocuments: binary payload round-trips through the decode path") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(10)
     val decoded = Multimodal.decode(Multimodal.fromDocuments(spark, docs)).collect()
