@@ -450,11 +450,10 @@ object QueryCatalog {
       s"(CASE WHEN list_sum(list_transform($hashListCol, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
     }.mkString(" + ")
 
-  /** SimHash signatures (per-row, narrow). */
+  /** SimHash signatures (explode → codegen'd hash → bit-sum aggregate). */
   private val q20 = QuerySpec(
     "q20_dedup_simhash",
-    (s, dir) => Dedup.withSimhash(t(s, dir, "documents"), "text", "simhash")
-      .select(col("doc_id"), col("simhash"))
+    (s, dir) => Dedup.simhashSigs(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id")),
     Some(s"""WITH th AS (SELECT doc_id,
         list_transform(str_split(text, ' '),

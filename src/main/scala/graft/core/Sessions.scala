@@ -22,7 +22,8 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   /** Apply engine configs to an existing builder (callers own master/appName). */
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
-    b.config("spark.sql.ansi.enabled", "false")
+    b.config("spark.sql.extensions", "graft.core.GraftExtensions")
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

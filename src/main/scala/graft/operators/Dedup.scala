@@ -103,25 +103,45 @@ object Dedup {
     * of matching signature positions. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8, maxBucketSize: Option[Int] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // persist: the banded signatures feed BOTH sides of the self-join below —
-    // without it the signature work runs twice. At warehouse scale, write sigs
-    // to parquet once and band from there instead (same effect, spillable).
+    // persist: signatures feed the banding AND the two signature joins at the
+    // end. At warehouse scale, write sigs to parquet once instead (same
+    // effect, spillable to object storage).
     val sigs = minhashSigs(df, idCol, textCol, shingleSize, numHashes)
-    val b = lshBands(sigs, "id", "sig", bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = b.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = b.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band_idx", "band_hash"))
-      .where(col("id_a") < col("id_b"))
+    // candidate pairs carry ONLY (id_a, id_b) through the band self-join:
+    // a pair colliding in k bands appears k times pre-distinct, and dup-heavy
+    // corpora make that join output enormous — 16-byte rows keep it cheap.
+    // The signature arrays join back AFTER the distinct, so the per-pair
+    // similarity fold runs exactly once per unique pair.
+    val banded = lshBands(sigs, "id", "sig", bands, rowsPerBand)
+      .select("band_idx", "band_hash", "id")
+    // maxBucketSize: a bucket of m docs emits C(m,2) pairs — one giant
+    // exact-dup cluster can dominate the whole job quadratically. The
+    // standard cap skips mega-buckets (run exactGroups first: identical docs
+    // are ITS job, and their bucket is degenerate by construction). None
+    // keeps exhaustive semantics (the oracle's shape).
+    val b = maxBucketSize match {
+      case None => banded
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band_hash")
+        banded.withColumn("_bs", count(lit(1)).over(w))
+          .where(col("_bs") <= cap).drop("_bs")
+    }
+    val pairs = b.as("l")
+      .join(b.as("r"), Seq("band_idx", "band_hash"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
           .cast("double") / lit(numHashes)).as("est_jaccard"))
-      .distinct()
   }
 
   /** SimHash bit width (stableHash provides 60 usable bits; 32 keeps the plan
@@ -129,9 +149,9 @@ object Dedup {
   val SimhashBits = 32
 
   /** SimHash over word unigrams: bit b of the signature is the sign of
-    * Σ_tokens (2*bit_b(h(token)) - 1). Entirely per-row (narrow, no shuffle).
-    * Token hashes are materialized once in `_th` so the md5 per token is
-    * computed once, not once per bit. */
+    * Σ_tokens (2*bit_b(h(token)) - 1). Per-row higher-order fold — narrow, no
+    * shuffle, token hashes materialized once in `_th`. Interpreted eval; for
+    * corpora where that dominates use [[simhashSigs]]. */
   def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
     val hashed = df.withColumn("_th",
       transform(tokens(col(textCol)), t => Hashing.stableHash(t)))
@@ -141,6 +161,25 @@ object Dedup {
       when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     hashed.withColumn(out, sig).drop("_th")
+  }
+
+  /** SimHash via explode → codegen'd md5 → 32 bit-sum aggregates. Same values
+    * as [[withSimhash]]; the shuffle carries ONLY (id, 32 longs) per doc —
+    * the payload column never moves — and map-side partial aggregation
+    * collapses token rows before the exchange. Returns (idCol, out). */
+  def simhashSigs(df: DataFrame, idCol: String, textCol: String,
+      out: String = "simhash"): DataFrame = {
+    val bitAggs = (0 until SimhashBits).map { b =>
+      sum(shiftright(col("_h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"_b$b")
+    }
+    val packed = (0 until SimhashBits).map { b =>
+      when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+      .select(col(idCol), Hashing.stableHash(col("_t")).as("_h"))
+      .groupBy(col(idCol))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col(idCol), packed.as(out))
   }
 
   /** Hamming distance between two simhash signatures (near-dup if small). */

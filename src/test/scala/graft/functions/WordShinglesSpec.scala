@@ -43,6 +43,17 @@ class WordShinglesSpec extends SparkSpec {
     }
   }
 
+  test("registered as a SQL function via SparkSessionExtensions") {
+    import spark.implicits._
+    Seq(("a b c d")).toDF("text").createOrReplaceTempView("ws_sql_t")
+    val got = spark.sql("SELECT word_shingles(text, 3) AS s FROM ws_sql_t")
+      .head().getSeq[String](0)
+    assert(got == Seq("a b c", "b c d"))
+    // default n = 3
+    assert(spark.sql("SELECT word_shingles(text) FROM ws_sql_t")
+      .head().getSeq[String](0) == Seq("a b c", "b c d"))
+  }
+
   test("codegen path active: shingle count formula holds on real docs") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val diff = docs.select(

@@ -55,6 +55,28 @@ class DedupSpec extends SparkSpec {
     assert(ham(sigs(1L), sigs(2L)) <= 8)
   }
 
+  test("minhashCandidates maxBucketSize drops mega-bucket pairs only") {
+    // 12 identical docs (degenerate bucket) + 2 near-dup docs
+    val rows = (1L to 12L).map(_ -> "same same same same same") ++
+      Seq(21L -> "near dup doc one two three", 22L -> "near dup doc one two four")
+    val d = docs(rows: _*)
+    val unlimited = Dedup.minhashCandidates(d, "doc_id", "text", 3, 32, 16)
+    assert(unlimited.where(col("id_a") <= 12 && col("id_b") <= 12).count() == 66) // C(12,2)
+    val capped = Dedup.minhashCandidates(d, "doc_id", "text", 3, 32, 16,
+      maxBucketSize = Some(8))
+    assert(capped.where(col("id_a") <= 12).count() == 0) // mega-cluster skipped
+    assert(capped.where(col("id_a") === 21 && col("id_b") === 22).count() == 1) // survivors intact
+  }
+
+  test("simhashSigs agrees with the per-row withSimhash variant") {
+    val real = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val slow = Dedup.withSimhash(real, "text", "sh")
+      .select("doc_id", "sh").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Dedup.simhashSigs(real, "doc_id", "text", "sh")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+  }
+
   test("ngramJaccardPairs: exact jaccard on constructed overlap") {
     // doc1: shingles {a b c, b c d} ; doc2: {a b c, b c x} → shared 1, union 3
     val d = docs(1L -> "a b c d", 2L -> "a b c x")
