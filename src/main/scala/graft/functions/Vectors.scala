@@ -16,14 +16,16 @@ object Vectors {
   /** Elementwise-widened copy (float → double, exact). */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Left-fold dot product of two equal-length vectors. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — the native codegen'd [[ArrayDot]] (same widen-first
+    * index-order left fold as the declarative twin [[dotDeclarative]]). */
+  def dot(a: Column, b: Column): Column = ArrayDot(a, b)
+
+  /** Built-in-only dot product twin (interpreted; the semantic oracle the
+    * native expression is property-tested against). */
+  def dotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), _ * _), lit(0.0), _ + _)
 
-  def l2Norm(v: Column): Column = {
-    val d = asDouble(v)
-    sqrt(aggregate(zip_with(d, d, _ * _), lit(0.0), _ + _))
-  }
+  def l2Norm(v: Column): Column = sqrt(ArrayDot(v, v))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
@@ -44,10 +46,9 @@ object Vectors {
     * plan), NOT per-row hash expressions: at corpus scale that saves
     * rows × dims × planes md5 evaluations. */
   def lshSignBits(v: Column, numPlanes: Int, dims: Int): Column = {
-    val d = asDouble(v)
     val bits = (0 until numPlanes).map { p =>
       val w = typedLit((0 until dims).map(i => planeWeight(p, i)))
-      val proj = aggregate(zip_with(d, w, _ * _), lit(0.0), _ + _)
+      val proj = ArrayDot(v, w)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

@@ -63,39 +63,53 @@ object Similarity {
     * the plan shape. At scale: centroids broadcast (tiny), the corpus
     * assignment is one narrow map-side pass, and the probe join shuffles on
     * the cell id — the corpus is never cross-joined against queries. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
-      nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The built IVF index: corpus rows tagged with their owning cell, plus the
+    * centroid table. Build is the expensive one-time pass (|corpus| × nlist
+    * scored assignments) — persist `assigned` (or write it to parquet
+    * partitioned by `cid`) and amortize it over every query batch; search
+    * cost then scales with |queries| × nprobe × cell size, independent of
+    * corpus size. */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** Build the inverted file: every corpus vector assigned to its nearest
+    * centroid (ties → smallest cid). Deterministic seed centroids (first
+    * `nlist` ids) keep it oracle-replayable; swap in trained centroids
+    * without changing shape. */
+  def ivfIndex(corpus: DataFrame, nlist: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): IvfIndex = {
     val cent = corpus.where(col(idCol) < nlist)
       .select(col(idCol).as("cid"), col(vecCol).as("cent_vec"))
-    val cosTo = (v: Column) => Vectors.dot(v, col("cent_vec")) /
-      (Vectors.l2Norm(v) * Vectors.l2Norm(col("cent_vec")))
-
-    // corpus → owning cell (rank-1 centroid by cosine; ties → smallest cid)
     val byCell = Window.partitionBy("neighbor_id")
       .orderBy(col("cs").desc, col("cid").asc)
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
         Vectors.l2Norm(col(vecCol)).as("c_norm"))
       .join(broadcast(cent), lit(true))
-      .withColumn("cs", cosTo(col("c_vec")))
+      .withColumn("cs", Vectors.dot(col("c_vec"), col("cent_vec")) /
+        (col("c_norm") * Vectors.l2Norm(col("cent_vec"))))
       .withColumn("rn", row_number().over(byCell))
       .where(col("rn") === 1)
       .select("neighbor_id", "c_vec", "c_norm", "cid")
+    IvfIndex(assigned, cent)
+  }
 
-    // query → nprobe nearest cells
+  /** Probe an IVF index: query → `nprobe` nearest cells → exact cosine
+    * re-rank against only those cells' vectors. */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val byProbe = Window.partitionBy("query_id")
       .orderBy(col("cs").desc, col("cid").asc)
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         Vectors.l2Norm(col(vecCol)).as("q_norm"))
-      .join(broadcast(cent), lit(true))
-      .withColumn("cs", cosTo(col("q_vec")))
+      .join(broadcast(index.centroids), lit(true))
+      .withColumn("cs", Vectors.dot(col("q_vec"), col("cent_vec")) /
+        (col("q_norm") * Vectors.l2Norm(col("cent_vec"))))
       .withColumn("rn", row_number().over(byProbe))
       .where(col("rn") <= nprobe)
       .select("query_id", "q_vec", "q_norm", "cid")
 
-    // exact re-rank inside probed cells only
-    val scored = assigned.join(probes, Seq("cid"))
+    val scored = index.assigned.join(probes, Seq("cid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         Vectors.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
@@ -105,6 +119,11 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** One-shot build+search convenience (the oracle-checked q33 shape). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
+      nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfSearch(ivfIndex(corpus, nlist, idCol, vecCol), queries, k, nprobe, idCol, vecCol)
 
   /** Scale path: bucket corpus and queries by sign-LSH signature, join on the
     * bucket (hash shuffle on a small key — no cross join anywhere), then exact

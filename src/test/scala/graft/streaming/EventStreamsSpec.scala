@@ -116,6 +116,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == Set(1L, 3L))
   }
 
+  test("intervalJoin: stream-stream join pairs events within the window only") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = EventStreams.intervalJoin(
+        clicks.toDF().select(col("user_id"), col("ts"), col("event_id").as("click_id")),
+        views.toDF().select(col("user_id"), col("ts"), col("event_id").as("view_id")),
+        key = "user_id", before = "5 minutes", after = "5 minutes")
+      .select(col("click_id"), col("view_id"))
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    clicks.addData(Event(100, ts(10), 1, "click", 0))
+    views.addData(
+      Event(200, ts(8), 1, "view", 0),   // within 5min before → match
+      Event(201, ts(14), 1, "view", 0),  // within 5min after → match
+      Event(202, ts(30), 1, "view", 0),  // outside → no match
+      Event(203, ts(9), 2, "view", 0))   // other user → no match
+    q.processAllAvailable()
+    clicks.addData(Event(101, Timestamp.valueOf("2024-01-01 11:30:00"), 9, "c", 0))
+    views.addData(Event(299, Timestamp.valueOf("2024-01-01 11:30:00"), 8, "v", 0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ivj").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 200L), (100L, 201L)))
+  }
+
   test("readEvents/writeParquet: file-source round trip equals batch q28 shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // seed the source dir with the real sf0.001 events table
