@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.WordShingles
+import graft.functions.{ArrayDot, WordShingles}
 
 /** Engine extensions registered through the sanctioned
   * `SparkSessionExtensions` hook (`spark.sql.extensions=graft.core.
@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text) => WordShingles(text, 3)
         case _ => throw new IllegalArgumentException(
           "word_shingles(text[, n]) — n must be an integer literal")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => ArrayDot(a, b)
+        case _ => throw new IllegalArgumentException("array_dot(a, b)")
       }))
   }
 }

@@ -32,6 +32,13 @@ class ArrayDotSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("registered as a SQL function via SparkSessionExtensions") {
+    import spark.implicits._
+    Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+      .createOrReplaceTempView("ad_sql_t")
+    assert(spark.sql("SELECT array_dot(a, b) FROM ad_sql_t").head().getDouble(0) == 11.0)
+  }
+
   test("interpreted eval path matches codegen (eval via filter on literal)") {
     import spark.implicits._
     // force interpreted: use the expression in a context with codegen off
