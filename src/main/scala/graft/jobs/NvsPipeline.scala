@@ -367,7 +367,12 @@ object NvsPipeline {
         $"cd.dma_name".as("dma"), $"state", $"country", $"reach", $"engage")
 
     // positional union: old month int ∪ new month string → string (A.16 quirk)
+    // persist: three downstream consumers (monthly_reach, the missing-cost
+    // probe, and the final allocation join) each re-derive this union — the
+    // reference's single-plan Catalyst run recomputes it per consumer too;
+    // caching changes execution cost only, never values
     val allHcp = hcpChannelsOld.union(hcpChannelsNew)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // S1:948-969: pre-2024 spend spread over fixed shares
     val spend = T(s, "costs_wide")
