@@ -806,11 +806,45 @@ object QueryCatalog {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
   }
 
+  /** Token-window chunking (context-window prep). Chunk arithmetic mirrored
+    * exactly: step = 40, numChunks = max(1, ceil((n - 10) / 40)). */
+  private val q34 = QuerySpec(
+    "q34_doc_chunking",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.chunk(col("text"), chunkTokens = 50, overlap = 10)))
+      .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+      chunks AS (SELECT doc_id,
+          greatest(CAST(floor((len(t) - 10 + 39) / 40.0) AS INT), 1) AS nc, t
+        FROM toks)
+      SELECT doc_id, i AS chunk_idx,
+        array_to_string(list_slice(t, i * 40 + 1, i * 40 + 50), ' ') AS chunk
+      FROM chunks, (SELECT unnest(range(0, 200)) AS i) ix
+      WHERE i < nc ORDER BY doc_id, chunk_idx"""))
+
+  /** Deterministic hash sampling — reproducible across engines BY
+    * CONSTRUCTION, which is exactly what the oracle proves: both engines
+    * select the identical 10% of rows. */
+  private val q35 = QuerySpec(
+    "q35_hash_sample",
+    (s, dir) => {
+      import graft.operators.ScaleOps
+      ScaleOps.hashSample(t(s, dir, "documents"), "doc_id", permille = 100)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 2147483647 % 1000 < 100
+      ORDER BY doc_id"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33)
+    q31, q32, q33, q34, q35)
 }

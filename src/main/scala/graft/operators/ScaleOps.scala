@@ -73,6 +73,17 @@ object ScaleOps {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Deterministic hash sampling: keep rows whose md5-derived key hash lands
+    * under `permille`/1000. Unlike rand()-based sampling this is REPRODUCIBLE
+    * across runs, engines, and partitionings — the right primitive for
+    * training-data mixing ratios (and the per-key decision composes: the
+    * same key samples consistently in every table it appears in). */
+  def hashSample(df: DataFrame, keyCol: String, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, "permille in [0, 1000]")
+    df.where(graft.functions.Hashing.stableHash31(col(keyCol).cast("string"))
+      % 1000 < permille)
+  }
+
   /** Approximate distinct count per group (HyperLogLog++, mergeable sketch —
     * the 100 TB replacement for count(distinct), one pass, fixed memory).
     * `rsd` = relative standard deviation (default 5%). */

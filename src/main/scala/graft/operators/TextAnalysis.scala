@@ -76,4 +76,21 @@ object TextAnalysis {
 
   /** Order-sensitive document fingerprint (rolling polynomial hash). */
   def fingerprint(text: Column): Column = Hashing.rollingFingerprint(tokens(text))
+
+  /** Token-window chunking for long documents: word chunks of `chunkTokens`
+    * with `overlap` tokens shared between consecutive chunks (the standard
+    * context-window prep for training/embedding pipelines). A doc shorter
+    * than one chunk yields itself. Chunk i covers tokens
+    * [i*step, i*step + chunkTokens), step = chunkTokens - overlap;
+    * numChunks = max(1, ceil((n_tokens - overlap) / step)). */
+  def chunk(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val t = tokens(text)
+    val nChunks = greatest(
+      floor((size(t) - lit(overlap) + lit(step - 1)).cast("double") / lit(step)).cast("int"),
+      lit(1))
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(t, i * step + 1, lit(chunkTokens))))
+  }
 }

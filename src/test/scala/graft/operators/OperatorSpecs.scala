@@ -193,6 +193,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(clean >= 0.0 && clean <= 1.0 && soup >= 0.0 && soup <= 1.0)
   }
 
+  test("chunk: window arithmetic, overlap, short-doc identity") {
+    import spark.implicits._
+    val words = (1 to 95).map(i => s"w$i").mkString(" ")
+    val chunks = Seq(words).toDF("text")
+      .select(TextAnalysis.chunk(col("text"), 50, 10)).head().getSeq[String](0)
+    // 95 tokens, step 40 → ceil(85/40) = 3 chunks: [1,50], [41,90], [81,95]
+    assert(chunks.length == 3)
+    assert(chunks(0).startsWith("w1 ") && chunks(0).endsWith(" w50"))
+    assert(chunks(1).startsWith("w41 ") && chunks(1).endsWith(" w90"))
+    assert(chunks(2).startsWith("w81 ") && chunks(2).endsWith(" w95"))
+    // overlap: chunk1 re-covers tokens 41-50
+    assert(chunks(1).split(" ").take(10).toSeq == (41 to 50).map(i => s"w$i"))
+    val short = Seq("just three words").toDF("text")
+      .select(TextAnalysis.chunk(col("text"), 50, 10)).head().getSeq[String](0)
+    assert(short == Seq("just three words"))
+  }
+
   test("fingerprint is order-sensitive (anagram docs differ)") {
     val a = one("alpha beta gamma").select(TextAnalysis.fingerprint(col("text"))).head().getLong(0)
     val b = one("gamma beta alpha").select(TextAnalysis.fingerprint(col("text"))).head().getLong(0)

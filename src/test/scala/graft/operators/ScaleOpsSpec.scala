@@ -77,6 +77,19 @@ class ScaleOpsSpec extends SparkSpec {
       li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
   }
 
+  test("hashSample: deterministic, composable across tables, ~proportional") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val s1 = ScaleOps.hashSample(docs, "doc_id", 100).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = ScaleOps.hashSample(docs, "doc_id", 100).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // reproducible
+    val s250 = ScaleOps.hashSample(docs, "doc_id", 250).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s250)) // permille thresholds nest
+    val n = docs.count().toDouble
+    assert(math.abs(s250.size / n - 0.25) < 0.08)
+    assert(ScaleOps.hashSample(docs, "doc_id", 0).count() == 0)
+    assert(ScaleOps.hashSample(docs, "doc_id", 1000).count() == n)
+  }
+
   test("approxDistinct within rsd of exact count(distinct)") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0).toDouble
