@@ -1,0 +1,76 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, ScaleOps, TextAnalysis}
+
+/** End-to-end training-data curation: the composition the operator library
+  * exists for. documents → language/quality gate → exact dedup → near-dup
+  * removal (MinHash+LSH) → token-window chunking → deterministic sampling.
+  *
+  * Every stage is a narrow projection or a key-shuffle over ids — no stage
+  * moves payload text except the final chunk projection, and document ids
+  * decide near-dup survivorship (smallest id in a candidate pair wins), so
+  * the result is deterministic under any partitioning. At 100 TB each arrow
+  * below is exactly one job stage boundary; checkpoints (parquet between
+  * stages) drop in without changing semantics.
+  */
+object CurationJob {
+
+  final case class Config(
+      lang: String = "en",
+      minQuality: Double = 0.5,
+      nearDupJaccard: Double = 0.8,
+      chunkTokens: Int = 50,
+      chunkOverlap: Int = 10,
+      samplePermille: Int = 1000, // 1000 = keep everything
+      minhashBands: Int = 16,
+      maxBucketSize: Option[Int] = Some(1024))
+
+  final case class Stats(input: Long, afterQuality: Long, afterExact: Long,
+      afterNearDup: Long, chunks: Long, sampled: Long)
+
+  /** The full pipeline. Returns (curated chunk table, per-stage row counts).
+    * Input schema: (doc_id: long, text: string, lang: string). */
+  def run(docs: DataFrame, cfg: Config = Config()): (DataFrame, Stats) = {
+    val input = docs.count()
+
+    // 1. language + quality gate — per-row, codegen'd, no shuffle
+    val gated = docs.where(
+        TextAnalysis.langIdGuess(col("text")) === cfg.lang &&
+          TextAnalysis.qualityScore(col("text")) >= cfg.minQuality)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val afterQuality = gated.count()
+
+    // 2. exact dedup — keep each content group's smallest doc_id
+    val keepers = Dedup.exactGroups(gated, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"))
+    val exact = gated.join(keepers, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val afterExact = exact.count()
+    gated.unpersist()
+
+    // 3. near-dup removal: any candidate pair above the threshold drops the
+    // LARGER id (transitively safe: the smallest doc of a dup cluster can
+    // never appear as the larger side of a pair)
+    val losers = Dedup.minhashCandidates(exact, "doc_id", "text",
+        bands = cfg.minhashBands, maxBucketSize = cfg.maxBucketSize)
+      .where(col("est_jaccard") >= cfg.nearDupJaccard)
+      .select(col("id_b").as("doc_id")).distinct()
+    val unique = exact.join(losers, Seq("doc_id"), "left_anti")
+    val afterNearDup = unique.count()
+
+    // 4. chunking — one row per context window
+    val chunked = unique.select(col("doc_id"),
+        posexplode(TextAnalysis.chunk(col("text"), cfg.chunkTokens, cfg.chunkOverlap)))
+      .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("chunk"))
+    val chunks = chunked.count()
+
+    // 5. deterministic sampling to the target budget (reproducible mixing)
+    val sampled = ScaleOps.hashSample(chunked, "doc_id", cfg.samplePermille)
+    val nSampled = if (cfg.samplePermille == 1000) chunks else sampled.count()
+    exact.unpersist()
+
+    (sampled, Stats(input, afterQuality, afterExact, afterNearDup, chunks, nSampled))
+  }
+}

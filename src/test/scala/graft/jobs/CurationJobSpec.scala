@@ -1,0 +1,53 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.TextAnalysis
+
+/** The composed curation pipeline: every gate provably fires on constructed
+  * inputs, and the real documents table flows end-to-end. */
+class CurationJobSpec extends SparkSpec {
+
+  test("constructed corpus: each stage drops exactly the rows it should") {
+    import spark.implicits._
+    val en = "the quick brown fox jumps over the lazy dog and it is a fine day for running"
+    val docs = Seq(
+      (1L, en, "en"),                                  // keeper
+      (2L, en, "en"),                                  // exact dup of 1 → dropped at stage 2
+      (3L, en + " extra tail word", "en"),             // near-dup of 1 → dropped at stage 3
+      (4L, "der hund ist ein tier und das ist gut so am tag", "de"), // wrong lang
+      (5L, "!!! ### 123 &&& ~~~ ((( ))) @@@", "en"),   // quality floor
+      (6L, "a completely different english document about the sea and the sky " +
+        "that it is in every way distinct for this test", "en")) // keeper
+      .toDF("doc_id", "text", "lang")
+
+    val (out, stats) = CurationJob.run(docs,
+      CurationJob.Config(minQuality = 0.4, nearDupJaccard = 0.5))
+    assert(stats.input == 6)
+    assert(stats.afterQuality == 4)   // 4 (lang) and 5 (quality) gone
+    assert(stats.afterExact == 3)     // 2 gone
+    assert(stats.afterNearDup == 2)   // 3 gone
+    val ids = out.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 6L))
+    // chunk text round-trips (docs shorter than one window → identity)
+    val c1 = out.where(col("doc_id") === 1).select("chunk").head().getString(0)
+    assert(c1 == en)
+  }
+
+  test("real documents table flows end-to-end with sane funnels") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (out, stats) = CurationJob.run(docs,
+      CurationJob.Config(minQuality = 0.3, samplePermille = 500))
+    assert(stats.afterQuality <= stats.input)
+    assert(stats.afterExact <= stats.afterQuality)
+    assert(stats.afterNearDup <= stats.afterExact)
+    assert(stats.chunks >= stats.afterNearDup) // chunking only multiplies
+    assert(stats.sampled <= stats.chunks)
+    assert(out.columns.toSeq == Seq("doc_id", "chunk_idx", "chunk"))
+    // deterministic: same config → same output set
+    val (out2, stats2) = CurationJob.run(docs,
+      CurationJob.Config(minQuality = 0.3, samplePermille = 500))
+    assert(stats == stats2)
+    assert(out.exceptAll(out2).isEmpty)
+  }
+}
