@@ -840,11 +840,39 @@ object QueryCatalog {
         % 2147483647 % 1000 < 100
       ORDER BY doc_id"""))
 
+  /** Batch twin of EventStreams.intervalJoin — a per-key time-range join
+    * (click→view attribution shape). Equi on user_id, range on ts: Spark
+    * plans a sort-merge join on the key with the range as a post-filter;
+    * same shape DuckDB uses. Window kept tight to bound the pair count. */
+  private val q36 = QuerySpec(
+    "q36_interval_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      clicks.join(views,
+          clicks("user_id") === views("user_id") &&
+            col("v_ts") >= col("c_ts") - expr("INTERVAL 2 hours") &&
+            col("v_ts") <= col("c_ts"))
+        .select(col("click_id"), col("view_id"))
+        .orderBy(col("click_id"), col("view_id"))
+    },
+    Some("""SELECT c.event_id AS click_id, v.event_id AS view_id
+      FROM events c JOIN events v
+        ON c.user_id = v.user_id
+        AND c.event_type = 'click' AND v.event_type = 'view'
+        AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL '2 hours'
+        AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+      ORDER BY click_id, view_id"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35)
+    q31, q32, q33, q34, q35, q36)
 }
