@@ -140,24 +140,49 @@ object StressGen {
 }
 
 /** `runMain graft.jobs.StressMain [factor]` — times each pipeline stage on
-  * the volume fixtures and the full job run. */
+  * the volume fixtures and the full job run.
+  * `runMain graft.jobs.StressMain curation [replicas]` — times the composed
+  * CurationJob on a duplication-heavy replica corpus of the sf0.1 documents. */
 object StressMain {
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toDouble).getOrElse(1.0)
     val s = graft.core.Sessions.local(32)
-    StressGen.registerAll(s, factor)
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
       println(f"STRESS $label ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
     }
-    time("tam_ce")(NvsPipeline.tamCe(s).count())
-    time("dtc_display")(NvsPipeline.dtcDisplay(s).count())
-    time("hcp_all_channels")(NvsPipeline.hcpAllChannels(s).count())
-    time("combined")(NvsPipeline.combined(s).count())
-    val dir = java.nio.file.Files.createTempDirectory("graft_stress").toString
-    time("ChannelJobs.run")(
-      ChannelJobs.run(s, ChannelJobs.JobConfig(outDir = dir)).map(_.rows).sum)
+
+    if (args.headOption.contains("curation")) {
+      val replicas = args.lift(1).map(_.toInt).getOrElse(100)
+      val docs = s.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val big = docs.crossJoin(s.range(replicas).select(col("id").as("rep")))
+        .select(
+          (col("rep") * 5000 + col("doc_id")).as("doc_id"),
+          when(col("rep") % 5 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" variant"),
+              (col("rep") % 5).cast("string"))).as("text"),
+          col("lang"))
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"materialize ${replicas}x docs")(big.count())
+      var stats: CurationJob.Stats = null
+      time("CurationJob end-to-end")({
+        val (_, st) = CurationJob.run(big, CurationJob.Config(
+          minQuality = 0.3, samplePermille = 500))
+        stats = st; st.sampled
+      })
+      println(s"STRESS funnel: $stats")
+    } else {
+      val factor = args.headOption.map(_.toDouble).getOrElse(1.0)
+      StressGen.registerAll(s, factor)
+      time("tam_ce")(NvsPipeline.tamCe(s).count())
+      time("dtc_display")(NvsPipeline.dtcDisplay(s).count())
+      time("hcp_all_channels")(NvsPipeline.hcpAllChannels(s).count())
+      time("combined")(NvsPipeline.combined(s).count())
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress").toString
+      time("ChannelJobs.run")(
+        ChannelJobs.run(s, ChannelJobs.JobConfig(outDir = dir)).map(_.rows).sum)
+    }
     s.stop()
   }
 }
