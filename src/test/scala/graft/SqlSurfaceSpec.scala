@@ -1,0 +1,41 @@
+package graft
+
+import graft.core.TableRegistry
+
+/** The SQL face of the engine: a reference-style user (CTE chains,
+  * GROUP BY ordinals, lenient casts — everything S1 relies on) must be able
+  * to point spark.sql at registry-registered tables and get the Glue-Spark
+  * semantics the port assumes. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("reference-style SQL: CTEs, ordinals, lenient casts over registry views") {
+    TableRegistry.forDir(spark, sfDir)
+    val df = spark.sql("""
+      WITH li AS (
+        SELECT l_returnflag, l_linestatus, CAST(l_quantity AS double) qty
+        FROM lineitem WHERE l_quantity BETWEEN 10 AND 20
+      )
+      SELECT l_returnflag, l_linestatus, SUM(qty) AS sum_qty
+      FROM li GROUP BY 1, 2 ORDER BY 1, 2""")
+    assert(df.columns.toSeq == Seq("l_returnflag", "l_linestatus", "sum_qty"))
+    assert(df.count() > 0)
+  }
+
+  test("ansi=false semantics the port depends on (S1 lenient casts)") {
+    // bad cast → NULL, not error (F-2)
+    assert(spark.sql("SELECT CAST('not a number' AS double)").head().isNullAt(0))
+    // int implicitly coerced through substring (F-1, S1:255)
+    assert(spark.sql("SELECT substring(202203, 1, 4)").head().getString(0) == "2022")
+    // int / int → double (F-12)
+    assert(spark.sql("SELECT 7 / 2").head().getDouble(0) == 3.5)
+    // string money with separators via replace (F-3)
+    assert(spark.sql("SELECT CAST(replace('12,345.60', ',', '') AS double)")
+      .head().getDouble(0) == 12345.6)
+  }
+
+  test("custom expressions reachable from pure SQL") {
+    assert(spark.sql("SELECT size(word_shingles('a b c d', 2))").head().getInt(0) == 3)
+    assert(spark.sql("SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head().getDouble(0) == 11.0)
+  }
+}
