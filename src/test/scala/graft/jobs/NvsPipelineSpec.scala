@@ -34,6 +34,28 @@ class NvsPipelineSpec extends SparkSpec {
     assert(math.abs(n3_2022 - 1.0 / 3) < 1e-12)
   }
 
+  test("tam_ce: exact golden rows (reciprocal-rank reach, yearly allocation)") {
+    init
+    val got = NvsPipeline.tamCe(spark).collect().map { r =>
+      (String.valueOf(r.get(2)), r.getString(3), r.getDouble(6),
+        math.rint(r.getDouble(8) * 100) / 100)
+    }.toSet
+    // 2022 reach: N1 p1 202203 → 1.0 @10001, N2 p2 202203 → 0.5 @10002,
+    // N3 p3 202204 → 1/3 @02101, N1 lunch 202209 → 1.0 @10001;
+    // total 17/6 → cost_i = 32M × r_i/(17/6). 2023: N2 alone takes 32M.
+    // 2024: N3 alone takes 36,583,323. (202209+202203 @10001 stay separate
+    // rows — year_month is a group key.)
+    val y22 = 32000000.0 / (17.0 / 6)
+    val want = Set(
+      ("202203", "10001", 1.0, math.rint(y22 * 100) / 100),
+      ("202203", "10002", 0.5, math.rint(y22 * 0.5 * 100) / 100),
+      ("202204", "02101", 1.0 / 3, math.rint(y22 / 3 * 100) / 100),
+      ("202209", "10001", 1.0, math.rint(y22 * 100) / 100),
+      ("202305", "10002", 0.5, 32000000.0),
+      ("202402", "02101", 1.0, 36583323.0))
+    assert(got == want)
+  }
+
   test("dtc_display: monthly budget conservation and inner-join cost cutoff") {
     init
     val d = NvsPipeline.dtcDisplay(spark).cache()
