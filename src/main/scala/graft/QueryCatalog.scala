@@ -868,11 +868,39 @@ object QueryCatalog {
         AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
       ORDER BY click_id, view_id"""))
 
+  /** Hierarchical rollup + HAVING + exact count(distinct) — absent from the
+    * reference (SURVEY §2.4 "Absent") but table stakes for an analytics
+    * engine; one query closes all three. Rollup subtotals shuffle once with
+    * partial aggregation per grouping set. */
+  private val q37 = QuerySpec(
+    "q37_rollup_having",
+    (s, dir) => t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .where(col("n_orders") >= 10)
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("n_custs"), col("sum_price"))
+      .orderBy(col("status"), col("priority")),
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        coalesce(o_orderpriority, 'ALL') AS priority,
+        count(*) AS n_orders,
+        count(DISTINCT o_custkey) AS n_custs,
+        round(sum(o_totalprice), 2) AS sum_price
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      HAVING count(*) >= 10
+      ORDER BY status, priority"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36)
+    q31, q32, q33, q34, q35, q36, q37)
 }
