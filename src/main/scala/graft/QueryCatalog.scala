@@ -896,11 +896,55 @@ object QueryCatalog {
       HAVING count(*) >= 10
       ORDER BY status, priority"""))
 
+  /** Native long→wide pivot (the idiomatic alternative to q13's
+    * conditional-aggregation pivot; values pinned so the output schema is
+    * static and plannable). */
+  private val q38 = QuerySpec(
+    "q38_native_pivot",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id") % 100 as "user_bucket")
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(round(sum(col("value")), 2))
+      .na.fill(0.0, Seq("click", "view", "purchase"))
+      .orderBy(col("user_bucket")),
+    Some("""SELECT user_id % 100 AS user_bucket,
+        coalesce(round(sum(CASE WHEN event_type = 'click' THEN value END), 2), 0.0) AS click,
+        coalesce(round(sum(CASE WHEN event_type = 'view' THEN value END), 2), 0.0) AS view,
+        coalesce(round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2), 0.0) AS purchase
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** Ordered analytic windows: row_number / rank / lag — the ORDER BY window
+    * family the reference never used (its two windows are unordered
+    * partition totals, W-1/W-2). Top-3 orders per status with the price gap
+    * to the previous order. */
+  private val q39 = QuerySpec(
+    "q39_ranking_windows",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2).as("gap"))
+        .where(col("rn") <= 3)
+        .select(col("o_orderstatus"), col("rn"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"), col("gap"))
+        .orderBy(col("o_orderstatus"), col("rn"))
+    },
+    Some("""WITH ranked AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        row_number() OVER w AS rn,
+        round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS gap
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey))
+      SELECT o_orderstatus, rn, o_orderkey, round(o_totalprice, 2) AS price, gap
+      FROM ranked WHERE rn <= 3 ORDER BY o_orderstatus, rn"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }
