@@ -940,11 +940,28 @@ object QueryCatalog {
       SELECT o_orderstatus, rn, o_orderkey, round(o_totalprice, 2) AS price, gap
       FROM ranked WHERE rn <= 3 ORDER BY o_orderstatus, rn"""))
 
+  /** JSON extraction from the events payload column (semi-structured props →
+    * typed value), aggregated per event type. Schema-on-read JSON is table
+    * stakes for event pipelines; `get_json_object` stays codegen'd. */
+  private val q40 = QuerySpec(
+    "q40_json_extract",
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n,
+        sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
 }
