@@ -114,6 +114,24 @@ class NvsPipelineSpec extends SparkSpec {
     assert(math.abs(jan24 - 2500.0) < 1e-9)
   }
 
+  test("hcp_paid_search: exact golden rows (ratio allocation, date normalize)") {
+    init
+    val got = NvsPipeline.hcpPaidSearch(spark).collect().map { r =>
+      (r.getString(3), r.getInt(4), r.getString(6), r.getDouble(9),
+        math.rint(r.getDouble(11) * 1e6) / 1e6)
+    }.toSet
+    // 2022-05: v1 rows 2022-05-10 (dma 500, 80) + 2022-05-20 (dma 501, 120)
+    // normalized via date_format → 202205; cost = 0.16 × npp(70,000) split
+    // 80:120. 2023-03: v2 row (90) takes 0.16 × 44,000. 2024-01: v3 row
+    // (110) takes the 2,500 unpivot HCP Paid Search cost.
+    val want = Set(
+      ("2022", 5, "NEW YORK", 80.0, math.rint(0.16 * 70000 * 0.4 * 1e6) / 1e6),
+      ("2022", 5, "BOSTON", 120.0, math.rint(0.16 * 70000 * 0.6 * 1e6) / 1e6),
+      ("2023", 3, "NEW YORK", 90.0, math.rint(0.16 * 44000 * 1e6) / 1e6),
+      ("2024", 1, "BOSTON", 110.0, 2500.0))
+    assert(got == want)
+  }
+
   test("hcp_all_channels: pivot, week→month, month-pad drop quirk, back-spread") {
     init
     val h = NvsPipeline.hcpAllChannels(spark).cache()

@@ -57,6 +57,19 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("windowedAgg sliding: overlapping windows each count the event") {
+    import spark.implicits._
+    val batch = Seq(Event(1, ts(7), 1, "click", 2.0)).toDF()
+    val rows = EventStreams.windowedAgg(batch, windowLen = "10 minutes",
+        slide = Some("5 minutes"))
+      .orderBy("window_start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(3), r.getDouble(4)))
+    // a 10:07 event lands in [10:00,10:10) and [10:05,10:15)
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", 1L, 2.0),
+      ("2024-01-01 10:05:00.0", 1L, 2.0)))
+  }
+
   test("sessionWindows: gap-merged sessions per user") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
