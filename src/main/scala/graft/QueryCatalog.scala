@@ -957,11 +957,45 @@ object QueryCatalog {
         round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** Semi + anti joins (existence tests without row multiplication — the
+    * shape CurationJob's near-dup removal uses). Per nation: customers WITH
+    * orders (semi) and WITHOUT (anti); neither side duplicates customers no
+    * matter how many orders match. */
+  private val q41 = QuerySpec(
+    "q41_semi_anti_join",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders").select(col("o_custkey"))
+      val withO = cust.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with_orders"))
+      val withoutO = cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without_orders"))
+      withO.join(withoutO, Seq("c_nationkey"), "full")
+        .select(col("c_nationkey"),
+          coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+          coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""WITH w AS (SELECT c_nationkey, count(*) AS n_with_orders
+        FROM customer c WHERE EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1),
+      wo AS (SELECT c_nationkey, count(*) AS n_without_orders
+        FROM customer c WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1)
+      SELECT c_nationkey,
+        coalesce(n_with_orders, 0) AS n_with_orders,
+        coalesce(n_without_orders, 0) AS n_without_orders
+      FROM w FULL JOIN wo USING (c_nationkey)
+      ORDER BY c_nationkey"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
+    q41)
 }
