@@ -953,7 +953,7 @@ object QueryCatalog {
         round(avg(col("k")), 4).as("avg_k"))
       .orderBy(col("event_type")),
     Some("""SELECT event_type, count(*) AS n,
-        sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
       FROM events GROUP BY 1 ORDER BY 1"""))
 

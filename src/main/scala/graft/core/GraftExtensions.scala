@@ -17,10 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => args match {
-        case Seq(text, Literal(n: Int, _)) => WordShingles(text, n)
+        case Seq(text, Literal(n: Int, _)) if n >= 1 => WordShingles(text, n)
         case Seq(text) => WordShingles(text, 3)
         case _ => throw new IllegalArgumentException(
-          "word_shingles(text[, n]) — n must be an integer literal")
+          "word_shingles(text[, n]) — n must be an integer literal >= 1")
       }))
     ext.injectFunction((
       new FunctionIdentifier("array_dot"),

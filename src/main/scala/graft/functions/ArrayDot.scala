@@ -15,7 +15,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `aggregate(zip_with(transform(a, double), transform(b, double), *), 0d, +)`
   * (and to DuckDB's `list_reduce(list_transform(...), (x,y) -> x+y)`): same
   * widen-first, same index-order left fold — bit-for-bit equal doubles, which
-  * keeps every cosine/top-k oracle exact.
+  * keeps every cosine/top-k oracle exact. A NULL element in either array (at
+  * a zipped index) makes the whole result NULL, exactly like the declarative
+  * twin, where the null multiplies into the sum and nulls the fold.
   *
   * Why native: higher-order functions evaluate interpreted (no codegen inside
   * the lambda), and vector similarity evaluates the fold once per candidate
@@ -43,14 +45,24 @@ final case class ArrayDot(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def mayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  // Nullable also when an ELEMENT can be null (result goes NULL), not just
+  // when a whole input array can.
+  override def nullable: Boolean = super.nullable || mayHaveNullElems
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     val xf = isFloat(left); val yf = isFloat(right)
+    val checkNulls = mayHaveNullElems
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xi * yi
@@ -66,10 +78,16 @@ final case class ArrayDot(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      // The null-element check (one bitset probe per side) is emitted only
+      // when the static schema says elements can be null.
+      val nullCheck = if (mayHaveNullElems)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      else ""
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          $nullCheck
           $acc += $getX * $getY;
         }
         ${ev.value} = $acc;

@@ -31,9 +31,11 @@ final case class WordShingles(child: Expression, n: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
       s"word_shingles requires a string input, got ${child.dataType}")
+    else if (n < 1) TypeCheckResult.TypeCheckFailure(
+      s"word_shingles(text, n) — n must be >= 1, got $n")
+    else TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 

@@ -43,7 +43,7 @@ class GoldenSpec extends SparkSpec {
       info(s"regenerated ${hashes.size} golden hashes")
     } else {
       assert(Files.exists(manifestPath),
-        "golden manifest missing — regenerate with -Dgraft.golden.regen=true")
+        "golden manifest missing — regenerate with GRAFT_GOLDEN_REGEN=true sbt \"testOnly graft.GoldenSpec\"")
       val want = Files.readAllLines(manifestPath).toArray(Array.empty[String])
         .filter(_.nonEmpty).map(_.split("\t")).map(a => a(0) -> a(1)).toMap
       val drifted = hashes.filter { case (n, h) => want.get(n).exists(_ != h) }

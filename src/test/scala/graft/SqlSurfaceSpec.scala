@@ -38,4 +38,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
       .head().getDouble(0) == 11.0)
   }
+
+  test("word_shingles rejects n < 1 at analysis time, not at runtime") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b c', 0)").collect()
+    }
+    assert(e.getMessage.contains("n must be"), s"unexpected: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.range(1).selectExpr("id")
+        .select(graft.functions.WordShingles(
+          org.apache.spark.sql.functions.lit("a b c"), -2)).collect()
+    }
+    assert(e2.getMessage.contains("n must be"), s"unexpected: ${e2.getMessage}")
+  }
 }

@@ -32,6 +32,23 @@ class ArrayDotSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("NULL element nulls the result, matching the declarative twin") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(Some(1.0), None, Some(3.0)), Seq(Some(4.0), Some(5.0), Some(6.0))),
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(3.0), Some(4.0))))
+      .toDF("a", "b")
+    val got = df.select(
+      ArrayDot(col("a"), col("b")).as("native"),
+      Vectors.dotDeclarative(col("a"), col("b")).as("twin")).collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1)) // both NULL
+    assert(got(1).getDouble(0) == 11.0 && got(1).getDouble(1) == 11.0)
+    // interpreted path agrees with codegen on the null-element case
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(df.select(ArrayDot(col("a"), col("b"))).head().isNullAt(0))
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("registered as a SQL function via SparkSessionExtensions") {
     import spark.implicits._
     Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
