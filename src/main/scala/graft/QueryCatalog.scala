@@ -990,6 +990,193 @@ object QueryCatalog {
       FROM w FULL JOIN wo USING (c_nationkey)
       ORDER BY c_nationkey"""))
 
+  /** As-of (backward) join — each purchase matched to the user's most recent
+    * click at-or-before it. Spark side is [[AsofJoin.backward]] (union +
+    * one sort + carry-forward window, no range explosion); DuckDB has the
+    * operator natively (`ASOF LEFT JOIN`), which makes it a true
+    * cross-engine semantic check. Right side pre-aggregated per (user, ts)
+    * — both engines need the same-instant winner pinned. */
+  private val q42 = QuerySpec(
+    "q42_asof_join",
+    (s, dir) => {
+      import graft.operators.AsofJoin
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(round(max(col("value")), 2).as("click_value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      AsofJoin.backward(purchases, clicks, Seq("user_id"), "ts", Seq("click_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          round(col("value"), 2).as("purchase_value"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("asof_click_value").as("click_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH clicks AS (SELECT user_id, ts, round(max(value), 2) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      p AS (SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        round(p.value, 2) AS purchase_value,
+        strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        c.click_value
+      FROM p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id"""))
+
+  /** Connected components over near-dup candidate edges — the transitive
+    * closure that turns pairwise similarity into duplicate CLUSTERS
+    * (A~B, B~C ⇒ one cluster even though A,C never paired). Spark side is
+    * iterative min-label propagation ([[graft.operators.Components]]);
+    * oracle is a recursive-CTE reachability closure over the same edge set
+    * (n=5 shingles, df-cut 10, Jaccard ≥ 0.2). */
+  private val q43 = QuerySpec(
+    "q43_components",
+    (s, dir) => {
+      import graft.operators.Components
+      val edges = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, minJaccard = 0.2, maxDocFreq = 10)
+      Components.connectedComponents(edges, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct(
+          list_transform(range(1, greatest(len(str_split(text, ' ')) - 4, 1) + 1),
+            i -> array_to_string(list_slice(str_split(text, ' '), i, i + 4), ' ')))) AS sh
+        FROM documents),
+      filt AS (SELECT doc_id, sh FROM (
+          SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+        WHERE df <= 10),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM filt GROUP BY 1),
+      cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM filt a JOIN filt b ON a.sh = b.sh
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      pairs AS (SELECT id_a, id_b FROM cand
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.2),
+      und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      walk(id, comp) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.a, w.comp FROM und u JOIN walk w ON w.id = u.b)
+      SELECT id AS doc_id, min(comp) AS component
+      FROM walk GROUP BY 1 ORDER BY 1"""))
+
+  /** PII redaction (emails / phones / IPv4 → tags) before corpus admission.
+    * The documents corpus is synthetic word soup, so the PII is planted
+    * deterministically from row fields by BOTH engines, then scrubbed —
+    * verifying the patterns byte-for-byte, not just "something changed". */
+  private val q44 = QuerySpec(
+    "q44_pii_redact",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), concat(
+          lit("contact u"), col("doc_id").cast("string"),
+          lit("@mail.example.org or "),
+          lpad((col("n_chars") % 800).cast("string"), 3, "0"),
+          lit("-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" at 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("n_chars") % 256).cast("string"),
+          lit(" re: "), substring(col("text"), 1, 48)).as("raw"))
+      .select(col("doc_id"), TextAnalysis.redactPii(col("raw")).as("clean"))
+      .orderBy(col("doc_id")),
+    Some("""WITH raw AS (SELECT doc_id,
+        'contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.org or ' ||
+        lpad(CAST(n_chars % 800 AS VARCHAR), 3, '0') || '-555-' ||
+        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        '.' || CAST(n_chars % 256 AS VARCHAR) ||
+        ' re: ' || substr(text, 1, 48) AS raw
+      FROM documents)
+      SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(raw,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+        '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS clean
+      FROM raw ORDER BY doc_id"""))
+
+  /** CUBE subtotals + grouping_id — the full subtotal lattice in one pass
+    * (Spark expands grouping sets before the shuffle; partial aggregation
+    * still applies). First grouping column is the grouping_id MSB in both
+    * engines. */
+  private val q45 = QuerySpec(
+    "q45_cube_grouping",
+    (s, dir) => t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first),
+    Some("""SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        o_orderstatus, o_orderpriority,
+        count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  /** Fuzzy near-dup pairs by edit distance with blocking — Spark's three-arg
+    * levenshtein abandons the DP early past the cap; the oracle filters the
+    * plain distance. Blocked on (lang, source): bounded pair counts, no
+    * global self-join. */
+  private val q46 = QuerySpec(
+    "q46_fuzzy_edit_pairs",
+    (s, dir) => Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+        blockCols = Seq("lang", "source"), prefixLen = 60, maxDist = 40)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH n AS (SELECT doc_id, lang, source, substr(text, 1, 60) AS pfx
+        FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
+      FROM n a JOIN n b ON a.lang = b.lang AND a.source = b.source
+      WHERE a.doc_id < b.doc_id AND levenshtein(a.pfx, b.pfx) <= 40
+      ORDER BY id_a, id_b"""))
+
+  /** Stratified deterministic sampling — per-language mixing ratios over one
+    * shared hash (the data-mixing primitive). Both engines select the
+    * identical row set, like q35 but with a per-stratum CASE rate. */
+  private val q47 = QuerySpec(
+    "q47_stratified_sample",
+    (s, dir) => {
+      import graft.operators.ScaleOps
+      ScaleOps.stratifiedHashSample(t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 100, "de" -> 500, "fr" -> 500), defaultPermille = 1000)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 2147483647 % 1000 <
+        (CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 500 WHEN 'fr' THEN 500
+          ELSE 1000 END)
+      ORDER BY doc_id"""))
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`: pos = p·(n−1), linear interpolation — the shared
+    * definition makes them value-comparable). The exact form is a
+    * sort-per-group; at 100 TB swap in approx_percentile (t-digest sketch,
+    * one pass, mergeable) once rank error tolerance is specified. */
+  private val q48 = QuerySpec(
+    "q48_percentiles",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.75)"), 4).as("p75"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+        round(quantile_cont(value, 0.25), 4) AS p25,
+        round(quantile_cont(value, 0.5), 4) AS p50,
+        round(quantile_cont(value, 0.75), 4) AS p75,
+        round(quantile_cont(value, 0.95), 4) AS p95
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -997,5 +1184,5 @@ object QueryCatalog {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41)
+    q41, q42, q43, q44, q45, q46, q47, q48)
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of join (the time-series "most recent fact at or before
+  * this event" join — Spark has no built-in; the reference has none either,
+  * but every event/feature pipeline needs it).
+  *
+  * Algorithm — union-and-carry, not a range join: tag each side, union into
+  * one frame, then ONE shuffle+sort on (keys, ts, side) and a
+  * `last(payload, ignoreNulls)` running window carries the most recent right
+  * payload forward into each left row. Cost is a single sort per key
+  * partition, independent of how many left rows share a right match.
+  * The naive alternative — equi-join on key + `l.ts >= r.ts` range filter +
+  * max-per-left dedup — multiplies each left row by ALL its earlier right
+  * rows before collapsing (quadratic per key in history length); at 100 TB
+  * event volume that join output is the job. The union plan never
+  * materializes a pair.
+  *
+  * Skew note: partitioning is by `keys`; a single pathological key (one user
+  * with 10^8 events) serializes into one task — pre-split such keys by time
+  * range and stitch, or bound history with a watermark upstream.
+  */
+object AsofJoin {
+
+  /** Backward (inclusive) as-of join: for each left row, the right row with
+    * the greatest `tsCol` <= left's `tsCol` in the same `keys` group.
+    * Output = all left columns + `<prefix><tsCol>` (the matched right
+    * timestamp) + `<prefix><c>` for each payload column; all NULL when no
+    * right row precedes the left row (left-outer semantics, like DuckDB's
+    * `ASOF LEFT JOIN`).
+    *
+    * Right side must be unique per (keys, tsCol) — pre-aggregate duplicates
+    * first ("which of two same-instant facts wins" is ambiguous in any
+    * engine; DuckDB ASOF has the same contract).
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payloadCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val leftExtra = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val outPayload = (tsCol +: payloadCols).map(c => s"$prefix$c")
+
+    // Identical select lists on both sides so the union lines up by position.
+    val lTagged = left.select(
+      (keys :+ tsCol).map(col) ++
+        Seq(lit(1).as("_side")) ++
+        leftExtra.map(col) ++
+        // payload slots empty on left rows: the window's ignoreNulls skips them
+        (tsCol +: payloadCols).map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")): _*)
+    val rTagged = right.select(
+      (keys :+ tsCol).map(col) ++
+        Seq(lit(0).as("_side")) ++
+        leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        (tsCol +: payloadCols).map(c => col(c).as(s"$prefix$c")): _*)
+
+    // side=0 (right) sorts before side=1 (left) at equal ts → inclusive match.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lTagged.union(rTagged)
+      .select((keys :+ tsCol).map(col) ++ Seq(col("_side")) ++ leftExtra.map(col) ++
+        outPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .where(col("_side") === 1)
+      .drop("_side")
+  }
+}

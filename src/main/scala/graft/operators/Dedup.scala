@@ -214,4 +214,26 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "shared", "jaccard")
   }
+
+  /** Fuzzy near-dup pairs by edit distance, with blocking: docs self-join
+    * only within `blockCols` groups (never a global cross join), compare on a
+    * `prefixLen`-char prefix, keep pairs within `maxDist`. Levenshtein is
+    * O(len²) per pair, so at scale BOTH caps matter: blocking bounds the pair
+    * count, the prefix bounds the DP table. Spark's three-arg
+    * `levenshtein(l, r, threshold)` abandons a pair's DP early once the
+    * distance provably exceeds the cap (returns -1, filtered here) — the
+    * right primitive when most pairs are far apart. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], prefixLen: Int, maxDist: Int): DataFrame = {
+    val narrow = df.select(
+      (blockCols.map(col) :+ col(idCol).as("id")) :+
+        substring(col(textCol), 1, prefixLen).as("pfx"): _*)
+    val renamed = narrow.select(
+      (blockCols.map(col) :+ col("id").as("id_b")) :+ col("pfx").as("pfx_b"): _*)
+    narrow.join(renamed, blockCols)
+      .where(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"),
+        levenshtein(col("pfx"), col("pfx_b"), maxDist).as("dist"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+  }
 }

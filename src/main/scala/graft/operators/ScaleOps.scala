@@ -84,6 +84,23 @@ object ScaleOps {
       % 1000 < permille)
   }
 
+  /** Stratified deterministic sampling: a different [[hashSample]]-style
+    * keep-rate per stratum (per-language / per-source mixing ratios — THE
+    * data-mixing primitive: "10% of web crawl, 100% of books"). The rate
+    * lookup compiles to a CASE chain (codegen'd, no join, no shuffle); rows
+    * in strata absent from `permilleByStratum` fall back to `defaultPermille`.
+    * Reproducible across runs/engines/partitionings like hashSample. */
+  def stratifiedHashSample(df: DataFrame, stratumCol: String, keyCol: String,
+      permilleByStratum: Map[String, Int], defaultPermille: Int = 0): DataFrame = {
+    (permilleByStratum.values.toSeq :+ defaultPermille).foreach(p =>
+      require(p >= 0 && p <= 1000, "permille in [0, 1000]"))
+    val rate = permilleByStratum.foldLeft(lit(defaultPermille)) {
+      case (acc, (stratum, p)) => when(col(stratumCol) === stratum, p).otherwise(acc)
+    }
+    df.where(graft.functions.Hashing.stableHash31(col(keyCol).cast("string"))
+      % 1000 < rate)
+  }
+
   /** Approximate distinct count per group (HyperLogLog++, mergeable sketch —
     * the 100 TB replacement for count(distinct), one pass, fixed memory).
     * `rsd` = relative standard deviation (default 5%). */

@@ -93,4 +93,24 @@ object TextAnalysis {
     transform(sequence(lit(0), nChunks - 1),
       i => concat_ws(" ", slice(t, i * step + 1, lit(chunkTokens))))
   }
+
+  /** PII patterns scrubbed by [[redactPii]], applied in order. Kept to regex
+    * constructs with identical semantics in Java regex (Spark, codegen'd
+    * regexp_replace) and RE2 (DuckDB oracle, `'g'` flag): character classes,
+    * bounded repetition, non-capturing groups, word boundaries. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "[EMAIL]",
+    """\b\d{3}[-.]\d{3}[-.]\d{4}\b""" -> "[PHONE]",
+    """\b(?:\d{1,3}\.){3}\d{1,3}\b""" -> "[IP]")
+
+  /** PII redaction (emails, phone numbers, IPv4 addresses → fixed tags) —
+    * standard scrub pass before text enters a training corpus. Pure chained
+    * `regexp_replace`: stays inside whole-stage codegen, no UDF. Order
+    * matters: emails first (an address can embed digits a later pattern
+    * would half-eat), IPs after phones (both are digit runs; phone needs its
+    * 3-3-4 shape intact). */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
 }

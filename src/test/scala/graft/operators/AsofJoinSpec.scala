@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** AsofJoin.backward against hand-computed matches: inclusive same-instant
+  * ties, no-prior-row NULLs, key isolation, and equivalence with the naive
+  * (pair-materializing) formulation it replaces at scale. */
+class AsofJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val quotes = Seq( // (sym, ts, px) — the "right" fact stream
+    ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+    ("B", 15L, 9.0)).toDF("sym", "ts", "px")
+
+  private lazy val trades = Seq( // (trade_id, sym, ts, qty)
+    (1L, "A", 9L, 5.0),   // before any quote → NULL
+    (2L, "A", 20L, 6.0),  // exactly at a quote → inclusive match (px=2)
+    (3L, "A", 25L, 7.0),  // between quotes → px=2
+    (4L, "A", 99L, 8.0),  // after last → px=3
+    (5L, "B", 16L, 1.0),  // B's only quote; A's quotes must not leak
+    (6L, "C", 50L, 2.0)   // key with no right rows at all → NULL
+  ).toDF("trade_id", "sym", "ts", "qty")
+
+  test("backward as-of: tie-inclusive, NULL before first, key-isolated") {
+    val got = AsofJoin.backward(trades, quotes, Seq("sym"), "ts", Seq("px"))
+      .orderBy("trade_id")
+      .select("trade_id", "asof_ts", "asof_px")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq == Seq(
+      (1L, None, None),
+      (2L, Some(20L), Some(2.0)),
+      (3L, Some(20L), Some(2.0)),
+      (4L, Some(30L), Some(3.0)),
+      (5L, Some(15L), Some(9.0)),
+      (6L, None, None)))
+  }
+
+  test("left columns and row count survive unchanged (no multiplication)") {
+    val out = AsofJoin.backward(trades, quotes, Seq("sym"), "ts", Seq("px"))
+    assert(out.count() == trades.count())
+    assert(out.columns.toSeq ==
+      Seq("sym", "ts", "trade_id", "qty", "asof_ts", "asof_px"))
+    assert(out.agg(round(sum("qty"), 2)).head().getDouble(0) == 29.0)
+  }
+
+  test("matches the naive range-join + max-dedup formulation") {
+    val naive = trades.as("l")
+      .join(quotes.as("r"),
+        col("l.sym") === col("r.sym") && col("r.ts") <= col("l.ts"), "left")
+      .groupBy(col("trade_id"))
+      .agg(max(struct(col("r.ts"), col("r.px"))).as("m"))
+      .select(col("trade_id"), col("m.ts").as("asof_ts"), col("m.px").as("asof_px"))
+    val fast = AsofJoin.backward(trades, quotes, Seq("sym"), "ts", Seq("px"))
+      .select("trade_id", "asof_ts", "asof_px")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+}

@@ -93,6 +93,21 @@ class DedupSpec extends SparkSpec {
     // 'same same same' appears in 30 docs > df-cut 10 → no candidate pairs at all
     assert(pairs.count() == 0)
   }
+
+  test("editDistancePairs: blocking isolates groups; threshold and distance exact") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "g1", "kitten ate the food"),
+      (2L, "g1", "sitten ate the food"),  // dist 1 from doc 1
+      (3L, "g1", "zzzzzz qqq www eeee"),  // far from both
+      (4L, "g2", "kitten ate the food")   // identical to 1 but other block
+    ).toDF("doc_id", "blk", "text")
+    val got = Dedup.editDistancePairs(d, "doc_id", "text",
+        blockCols = Seq("blk"), prefixLen = 30, maxDist = 5)
+      .select("id_a", "id_b", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -208,6 +223,19 @@ class TextAnalysisSpec extends SparkSpec {
     val short = Seq("just three words").toDF("text")
       .select(TextAnalysis.chunk(col("text"), 50, 10)).head().getSeq[String](0)
     assert(short == Seq("just three words"))
+  }
+
+  test("redactPii scrubs emails, phones, IPs; clean text passes through") {
+    val r = one("mail a.b+c@x.co.uk or 555-123-4567, host 192.168.0.1 ok")
+      .select(TextAnalysis.redactPii(col("text"))).head().getString(0)
+    assert(r == "mail [EMAIL] or [PHONE], host [IP] ok")
+    val clean = "no pii here, just words and 42 numbers"
+    assert(one(clean).select(TextAnalysis.redactPii(col("text")))
+      .head().getString(0) == clean)
+    // phone shape must not eat IPs and vice versa
+    val both = one("call 123.456.7890 from 10.0.0.7")
+      .select(TextAnalysis.redactPii(col("text"))).head().getString(0)
+    assert(both == "call [PHONE] from [IP]")
   }
 
   test("fingerprint is order-sensitive (anagram docs differ)") {

@@ -90,6 +90,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ScaleOps.hashSample(docs, "doc_id", 1000).count() == n)
   }
 
+  test("stratifiedHashSample: per-stratum rates, same hash as hashSample") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val rates = Map("en" -> 100, "de" -> 1000)
+    val got = ScaleOps.stratifiedHashSample(docs, "lang", "doc_id", rates,
+      defaultPermille = 0)
+    // each stratum must equal hashSample at its own rate, restricted to it
+    for ((lang, p) <- rates) {
+      val want = ScaleOps.hashSample(docs.where(col("lang") === lang), "doc_id", p)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val part = got.where(col("lang") === lang)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(part == want, s"stratum $lang")
+    }
+    // strata not in the map follow the default rate (0 → dropped entirely)
+    assert(got.where(!col("lang").isin(rates.keys.toSeq: _*)).count() == 0)
+  }
+
   test("approxDistinct within rsd of exact count(distinct)") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val exact = li.select(countDistinct("l_partkey")).head().getLong(0).toDouble
