@@ -1027,39 +1027,45 @@ object QueryCatalog {
         ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.event_id"""))
 
+  /** The simhash band-pair CTEs shared by q43/q49 oracles: signatures (as in
+    * q20), band slices as join keys, distinct candidates with exact hamming. */
+  private def simhashPairsSql(maxHamming: Int, bands: Int): String = {
+    val width = Dedup.SimhashBits / bands
+    val mask = (1L << width) - 1
+    s"""th AS (SELECT doc_id, list_transform(str_split(text, ' '),
+          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hh FROM documents),
+      sig AS (SELECT doc_id, ${simhashOracleExpr("hh")} AS s FROM th),
+      banded AS (SELECT doc_id, s, b AS band_idx,
+          (s >> (b * $width)) & $mask AS band_val
+        FROM sig, range(0, $bands) AS t(b)),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+            AND a.doc_id < b.doc_id),
+      close_pairs AS (SELECT id_a, id_b, hamming FROM pairs
+        WHERE hamming <= $maxHamming)"""
+  }
+
   /** Connected components over near-dup candidate edges — the transitive
     * closure that turns pairwise similarity into duplicate CLUSTERS
     * (A~B, B~C ⇒ one cluster even though A,C never paired). Spark side is
-    * iterative min-label propagation ([[graft.operators.Components]]);
-    * oracle is a recursive-CTE reachability closure over the same edge set
-    * (n=5 shingles, df-cut 10, Jaccard ≥ 0.2). */
+    * iterative min-label propagation ([[graft.operators.Components]]) over
+    * simhash band pairs (the cheapest edge generator — see q49); oracle is
+    * a recursive-CTE reachability closure over the same edge set. */
   private val q43 = QuerySpec(
     "q43_components",
     (s, dir) => {
       import graft.operators.Components
-      val edges = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 5, minJaccard = 0.2, maxDocFreq = 10)
+      val edges = Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 1, bands = 2)
       Components.connectedComponents(edges, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct(
-          list_transform(range(1, greatest(len(str_split(text, ' ')) - 4, 1) + 1),
-            i -> array_to_string(list_slice(str_split(text, ' '), i, i + 4), ' ')))) AS sh
-        FROM documents),
-      filt AS (SELECT doc_id, sh FROM (
-          SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
-        WHERE df <= 10),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM filt GROUP BY 1),
-      cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        FROM filt a JOIN filt b ON a.sh = b.sh
-        WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-      pairs AS (SELECT id_a, id_b FROM cand
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.2),
-      und AS (SELECT id_a AS a, id_b AS b FROM pairs
-        UNION SELECT id_b, id_a FROM pairs),
+    Some(s"""WITH RECURSIVE ${simhashPairsSql(maxHamming = 1, bands = 2)},
+      und AS (SELECT id_a AS a, id_b AS b FROM close_pairs
+        UNION SELECT id_b, id_a FROM close_pairs),
       walk(id, comp) AS (
         SELECT a, a FROM und
         UNION
@@ -1177,6 +1183,19 @@ object QueryCatalog {
         round(quantile_cont(value, 0.95), 4) AS p95
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** SimHash banded near-dup pairs (q20 emits signatures; this emits the
+    * PAIRS) — band slices as join keys give exact recall for
+    * hamming < bands by pigeonhole; the only shuffled payload is
+    * (id, one long). The cheapest candidate generator in the dedup family
+    * and the edge source for q43's clustering. */
+  private val q49 = QuerySpec(
+    "q49_simhash_pairs",
+    (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 1, bands = 2)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH ${simhashPairsSql(maxHamming = 1, bands = 2)}
+      SELECT id_a, id_b, hamming FROM close_pairs ORDER BY id_a, id_b"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -1184,5 +1203,5 @@ object QueryCatalog {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }

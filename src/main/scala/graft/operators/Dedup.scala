@@ -225,15 +225,58 @@ object Dedup {
     * right primitive when most pairs are far apart. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], prefixLen: Int, maxDist: Int): DataFrame = {
+    // repartition on the block key WITH an explicit partition count: the DP
+    // work is compute-heavy on byte-tiny rows, and AQE's size-based
+    // coalescing would happily merge a column-only repartition down to one
+    // partition — serializing the whole compare loop onto a single core.
+    // An explicit count is exempt from coalescing.
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val narrow = df.select(
       (blockCols.map(col) :+ col(idCol).as("id")) :+
         substring(col(textCol), 1, prefixLen).as("pfx"): _*)
+      .repartition(parts, blockCols.map(col): _*)
     val renamed = narrow.select(
       (blockCols.map(col) :+ col("id").as("id_b")) :+ col("pfx").as("pfx_b"): _*)
+    // `dist >= 0` is the COMPLETE threshold filter: the three-arg
+    // levenshtein returns -1 past the cap, so one conjunct means the DP
+    // runs once per candidate in the join condition instead of once per
+    // comparison operator (Catalyst pushes this predicate into the join).
     narrow.join(renamed, blockCols)
       .where(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"),
         levenshtein(col("pfx"), col("pfx_b"), maxDist).as("dist"))
-      .where(col("dist") >= 0 && col("dist") <= maxDist)
+      .where(col("dist") >= 0)
+  }
+
+  /** SimHash near-dup pairs via band-bucketed self-join: the signature's
+    * `bands` fixed-width slices are the join keys — two docs within
+    * `maxHamming` < bands differing bits MUST agree on at least one slice
+    * (pigeonhole), so candidate recall is exact, and the only false
+    * candidates are random slice collisions (≈ n²·bands / 2^sliceWidth —
+    * negligible until n approaches 2^sliceWidth, when more/wider bands are
+    * due). The exact hamming re-check runs once per distinct candidate.
+    * Cheapest of the near-dup pair generators: the signature is one long,
+    * so the whole pipeline shuffles (id, long) tuples only. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 1, bands: Int = 2): DataFrame = {
+    require(SimhashBits % bands == 0, "bands must divide SimhashBits")
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming < bands (got $maxHamming, $bands)")
+    val width = SimhashBits / bands
+    val mask = (1L << width) - 1
+    // persist: feeds both sides of the band self-join (recompute trap)
+    val sigs = simhashSigs(df, idCol, textCol, "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col(idCol).as("id"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sig"), b * width).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    banded.as("l").join(banded.as("r"), Seq("band_idx", "band_val"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        hammingDistance(col("l.sig"), col("r.sig")).as("hamming"))
+      .distinct() // a pair colliding in k bands appears k times
+      .where(col("hamming") <= maxHamming)
   }
 }

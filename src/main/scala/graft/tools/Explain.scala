@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the formatted physical plan and wall time of one catalog
+  * query. `sbt "runMain graft.tools.Explain q46_fuzzy_edit_pairs [sfDir] [n]"`
+  * (n = timed repetitions after a discarded warmup, default 1). */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.Sessions.configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val q = graft.QueryCatalog.all.find(_.name == name)
+      .getOrElse(sys.error(s"no such query: $name"))
+    q.run(spark, sfDir).explain("formatted")
+    q.run(spark, sfDir).count() // warmup: codegen + scan metadata
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = q.run(spark, sfDir).count()
+      println(f"[explain] run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}
