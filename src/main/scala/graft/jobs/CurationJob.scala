@@ -2,7 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, ScaleOps, TextAnalysis}
+import graft.operators.{Components, Dedup, ScaleOps, TextAnalysis}
 
 /** End-to-end training-data curation: the composition the operator library
   * exists for. documents → language/quality gate → exact dedup → near-dup
@@ -25,7 +25,12 @@ object CurationJob {
       chunkOverlap: Int = 10,
       samplePermille: Int = 1000, // 1000 = keep everything
       minhashBands: Int = 16,
-      maxBucketSize: Option[Int] = Some(1024))
+      maxBucketSize: Option[Int] = Some(1024),
+      // false: drop the larger id of each candidate pair (keeps every LOCAL
+      // minimum — a chain A~B~C with A,C unpaired keeps both endpoints).
+      // true: close pairs into connected components first and keep exactly
+      // one doc (the min id) per duplicate CLUSTER — stricter, standard.
+      transitive: Boolean = false)
 
   final case class Stats(input: Long, afterQuality: Long, afterExact: Long,
       afterNearDup: Long, chunks: Long, sampled: Long)
@@ -50,13 +55,20 @@ object CurationJob {
     val afterExact = exact.count()
     gated.unpersist()
 
-    // 3. near-dup removal: any candidate pair above the threshold drops the
-    // LARGER id (transitively safe: the smallest doc of a dup cluster can
-    // never appear as the larger side of a pair)
-    val losers = Dedup.minhashCandidates(exact, "doc_id", "text",
+    // 3. near-dup removal over MinHash+LSH candidate pairs
+    val dupPairs = Dedup.minhashCandidates(exact, "doc_id", "text",
         bands = cfg.minhashBands, maxBucketSize = cfg.maxBucketSize)
       .where(col("est_jaccard") >= cfg.nearDupJaccard)
-      .select(col("id_b").as("doc_id")).distinct()
+    val losers =
+      if (cfg.transitive)
+        // component closure: exactly one survivor (the min id) per CLUSTER
+        Components.connectedComponents(dupPairs, "id_a", "id_b")
+          .where(col("id") =!= col("comp"))
+          .select(col("id").as("doc_id"))
+      else
+        // pairwise: drop the larger id of each pair (keeps local minima; the
+        // global min of a cluster never appears as the larger side)
+        dupPairs.select(col("id_b").as("doc_id")).distinct()
     val unique = exact.join(losers, Seq("doc_id"), "left_anti")
     val afterNearDup = unique.count()
 

@@ -34,6 +34,31 @@ class CurationJobSpec extends SparkSpec {
     assert(c1 == en)
   }
 
+  test("transitive mode keeps one doc per near-dup CLUSTER, pairwise keeps local minima") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and it is a fine day for running"
+    // ids chosen so the chain's middle doc is the LARGEST: pairwise drop
+    // (larger of each pair) keeps both endpoints 1 and 3; transitive closure
+    // keeps only the cluster min 1. Chain: 1 ~ 5 ~ 3. The est_jaccard values
+    // are deterministic (fixed stableHash coefficients): 1~5 = 0.875,
+    // 3~5 = 0.53125, 1~3 = 0.46875 — threshold 0.5 admits exactly the chain.
+    val docs = Seq(
+      (1L, base + " alpha beta gamma delta", "en"),
+      (5L, base + " alpha beta epsilon zeta", "en"),
+      (3L, base + " theta iota epsilon zeta", "en"))
+      .toDF("doc_id", "text", "lang")
+    def ids(transitive: Boolean): Set[Long] =
+      CurationJob.run(docs, CurationJob.Config(minQuality = 0.0,
+          nearDupJaccard = 0.5, transitive = transitive))
+        ._1.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val pairwise = ids(transitive = false)
+    val transitive = ids(transitive = true)
+    // the chain's middle (5) is dropped either way; the far endpoint (3)
+    // survives only in pairwise mode
+    assert(pairwise == Set(1L, 3L))
+    assert(transitive == Set(1L))
+  }
+
   test("real documents table flows end-to-end with sane funnels") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val (out, stats) = CurationJob.run(docs,
@@ -50,4 +75,5 @@ class CurationJobSpec extends SparkSpec {
     assert(stats == stats2)
     assert(out.exceptAll(out2).isEmpty)
   }
+
 }

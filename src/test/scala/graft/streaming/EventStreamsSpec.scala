@@ -173,4 +173,39 @@ class EventStreamsSpec extends SparkSpec {
     // open window; allow that tail difference
     assert(streamed >= batch - 100 && streamed <= batch)
   }
+
+  test("enrichWithDim: stream-static broadcast join decorates events") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = EventStreams.enrichWithDim(in.toDF(), dim, "user_id", Seq("tier"))
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    in.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "view", 2.0),
+      Event(3, ts(2), 9, "click", 3.0)) // user 9 not in dim → NULL tier
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enriched")
+      .select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got == Map(1L -> "gold", 2L -> "basic", 3L -> null))
+  }
+
+  test("runningAggSink: foreachBatch merge accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val in = MemoryStream[Event]
+    def run(): Unit = {
+      val q = EventStreams.runningAggSink(in.toDF(), "event_type", "value",
+        s"$dir/table", s"$dir/chk")
+      q.awaitTermination() // AvailableNow terminates when the source drains
+    }
+    in.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "click", 2.0))
+    run()
+    in.addData(Event(3, ts(2), 2, "click", 4.0), Event(4, ts(3), 2, "view", 8.0))
+    run() // second batch merges into the existing table
+    val got = spark.read.parquet(s"$dir/table").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("click", 3L, 7.0), ("view", 1L, 8.0)))
+  }
 }
