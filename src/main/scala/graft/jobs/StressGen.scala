@@ -142,7 +142,11 @@ object StressGen {
 /** `runMain graft.jobs.StressMain [factor]` — times each pipeline stage on
   * the volume fixtures and the full job run.
   * `runMain graft.jobs.StressMain curation [replicas]` — times the composed
-  * CurationJob on a duplication-heavy replica corpus of the sf0.1 documents. */
+  * CurationJob on a duplication-heavy replica corpus of the sf0.1 documents.
+  * `runMain graft.jobs.StressMain graph [nodes]` — connected components on a
+  * generated chain-heavy graph (the worst case for per-hop propagation).
+  * `runMain graft.jobs.StressMain asof [factor]` — as-of join on replicated
+  * event volume. */
 object StressMain {
   def main(args: Array[String]): Unit = {
     val s = graft.core.Sessions.local(32)
@@ -172,6 +176,47 @@ object StressMain {
         stats = st; st.sampled
       })
       println(s"STRESS funnel: $stats")
+    } else if (args.headOption.contains("graph")) {
+      // Chain-heavy graph: diameter ~chainLen inside every cluster — per-hop
+      // label propagation would need ~chainLen Spark rounds; the union-find
+      // rounds depend only on how many partitions a cluster spans.
+      val nodes = args.lift(1).map(_.toLong).getOrElse(5000000L)
+      val chainLen = 1000L
+      import graft.operators.Components
+      val chains = s.range(nodes)
+        .where(col("id") % chainLen =!= chainLen - 1) // no edge across chains
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val cross = s.range(nodes / 10).select( // deterministic long-range edges
+        ((col("id") * 7919L) % nodes).as("a"),
+        ((col("id") * 104729L + 13L) % nodes).as("b"))
+      val edges = chains.union(cross).repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"materialize edges ($nodes nodes, chains of $chainLen)")(edges.count())
+      var comps: org.apache.spark.sql.DataFrame = null
+      time("connectedComponents")({
+        comps = Components.connectedComponents(edges, "a", "b", verbose = true)
+        comps.count()
+      })
+      time("distinct components")(comps.select("comp").distinct().count())
+    } else if (args.headOption.contains("asof")) {
+      val factor = args.lift(1).map(_.toInt).getOrElse(100)
+      import graft.operators.AsofJoin
+      val ev = s.read.parquet("/root/testdata/sf0.1/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // replicate WIDE (new users per replica), the realistic scale axis
+      val big = ev.crossJoin(s.range(factor).select(col("id").as("rep")))
+        .select(col("event_id"), (col("user_id") + col("rep") * 1000000L).as("user_id"),
+          col("ts"), col("event_type"), col("value"))
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"materialize ${factor}x events")(big.count())
+      val clicks = big.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("click_value"))
+      val purchases = big.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      time("asof backward join")(
+        AsofJoin.backward(purchases, clicks, Seq("user_id"), "ts",
+          Seq("click_value")).count())
     } else {
       val factor = args.headOption.map(_.toDouble).getOrElse(1.0)
       StressGen.registerAll(s, factor)
