@@ -1196,6 +1196,34 @@ object QueryCatalog {
     Some(s"""WITH ${simhashPairsSql(maxHamming = 1, bands = 2)}
       SELECT id_a, id_b, hamming FROM close_pairs ORDER BY id_a, id_b"""))
 
+  /** INTERSECT / EXCEPT set operations (SURVEY O-5 — absent from the
+    * reference, table stakes for the engine). Both plan as aggregates +
+    * joins on the key, so partial aggregation and AQE apply as usual;
+    * distinct set semantics in both engines. */
+  private val q50 = QuerySpec(
+    "q50_set_ops",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val f = orders.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val o = orders.where(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val both = f.intersect(o).withColumn("segment", lit("both"))
+      val fOnly = f.except(o).withColumn("segment", lit("f_only"))
+      val oOnly = o.except(f).withColumn("segment", lit("o_only"))
+      both.union(fOnly).union(oOnly)
+        .groupBy(col("segment")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("segment"))
+    },
+    Some("""WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        seg AS (
+          SELECT o_custkey, 'both' AS segment FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+          UNION ALL
+          SELECT o_custkey, 'f_only' FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+          UNION ALL
+          SELECT o_custkey, 'o_only' FROM (SELECT * FROM o EXCEPT SELECT * FROM f))
+      SELECT segment, count(*) AS n_customers
+      FROM seg GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -1203,5 +1231,5 @@ object QueryCatalog {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48, q49)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
 }

@@ -79,4 +79,30 @@ class PlanAuditSpec extends SparkSpec {
     // one exchange for the window partition, one for the final groupBy at most
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2)
   }
+
+  test("q42 as-of join plans with NO join operator at all — union + one window sort") {
+    val p = planOf("q42_asof_join")
+    // the whole point of the union-and-carry design: no join node, no pair
+    // materialization; the as-of semantics ride on a running window
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+    assert(p.contains("Window"))
+    assert(p.contains("Union"))
+  }
+
+  test("q46 fuzzy pairs: block join is hash-keyed, DP predicate evaluated once") {
+    val p = planOf("q46_fuzzy_edit_pairs")
+    assert(!p.contains("CartesianProduct"), "blocking must never cross-join")
+    // one levenshtein in the join condition (the >= 0 complete filter) and
+    // one in the survivor projection — NOT three (the <= bound is folded
+    // into the three-arg threshold form)
+    assert("levenshtein".r.findAllIn(p).size <= 2, s"levenshtein over-evaluated:\n$p")
+  }
+
+  test("q49 simhash banding joins on band equality, payload is (id, long) only") {
+    val p = planOf("q49_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the text column must not travel through the band self-join
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"), s"payload text leaked into a shuffle:\n$exchanges")
+  }
 }
