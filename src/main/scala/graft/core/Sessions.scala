@@ -27,7 +27,17 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // skewed shuffle partitions split at runtime (AQE default, pinned
+      // explicitly: the dedup band joins and event sessionization are the
+      // skew-prone paths; salting in ScaleOps handles the agg side)
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // input split sizing (explicit default): 128 MiB splits keep one task's
+      // scan + partial agg comfortably in executor memory at any corpus size;
+      // raise only for column-pruned scans of huge row groups, lower for
+      // compute-heavy per-row work (cf. the explicit-count repartition in
+      // Dedup.editDistancePairs for when compute, not bytes, is the axis)
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type — read
       // as long and convert with integer division (see QueryCatalog q28).

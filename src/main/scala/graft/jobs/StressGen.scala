@@ -158,6 +158,7 @@ object StressMain {
 
     if (args.headOption.contains("curation")) {
       val replicas = args.lift(1).map(_.toInt).getOrElse(100)
+      val transitive = args.lift(2).contains("transitive")
       val docs = s.read.parquet("/root/testdata/sf0.1/documents.parquet")
       val big = docs.crossJoin(s.range(replicas).select(col("id").as("rep")))
         .select(
@@ -170,9 +171,9 @@ object StressMain {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       time(s"materialize ${replicas}x docs")(big.count())
       var stats: CurationJob.Stats = null
-      time("CurationJob end-to-end")({
+      time(s"CurationJob end-to-end (transitive=$transitive)")({
         val (_, st) = CurationJob.run(big, CurationJob.Config(
-          minQuality = 0.3, samplePermille = 500))
+          minQuality = 0.3, samplePermille = 500, transitive = transitive))
         stats = st; st.sampled
       })
       println(s"STRESS funnel: $stats")

@@ -219,4 +219,44 @@ object EventStreams {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
+
+  final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Spark 4 `transformWithState` processor: per-user running totals in a
+    * single ValueState cell. The new arbitrary-state API over
+    * `flatMapGroupsWithState` (see [[statefulSessions]] for the classic one):
+    * typed state handles, composable state variables, native TTL, and it
+    * REQUIRES the RocksDB state-store provider — which is also the right
+    * provider at scale (state spills off-heap instead of living on the
+    * executor heap like the default HDFS-backed provider). */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotal] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[UserTotal] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotal]("totals",
+        Encoders.product[UserTotal],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotal] = {
+      var cur = Option(totals.get()).getOrElse(UserTotal(key, 0L, 0.0))
+      rows.foreach(e => cur = UserTotal(key, cur.n_events + 1, cur.total_value + e.value))
+      totals.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** Per-user running (count, total) via `transformWithState` — one updated
+    * row per user per micro-batch. Needs
+    * `spark.sql.streaming.stateStore.providerClass = RocksDBStateStoreProvider`
+    * on the session (the API rejects the default provider). */
+  def runningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

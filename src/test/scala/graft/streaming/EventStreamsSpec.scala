@@ -190,6 +190,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Map(1L -> "gold", 2L -> "basic", 3L -> null))
   }
 
+  test("runningTotals: transformWithState accumulates per-user state (RocksDB store)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val q = EventStreams.runningTotals(in.toDS())
+        .writeStream.format("memory").queryName("totals").outputMode("update").start()
+      in.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "click", 2.0),
+        Event(3, ts(2), 2, "view", 5.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts(3), 1, "view", 4.0)) // state carries across batches
+      q.processAllAvailable(); q.stop()
+      // update mode: latest row per user wins
+      val got = spark.table("totals").groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("total_value"))).as("m"))
+        .select(col("user_id"), col("m.n_events"), col("m.total_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, 3L, 7.0), (2L, 1L, 5.0)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("runningAggSink: foreachBatch merge accumulates across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
