@@ -1224,6 +1224,34 @@ object QueryCatalog {
       SELECT segment, count(*) AS n_customers
       FROM seg GROUP BY 1 ORDER BY 1"""))
 
+  /** Benchmark decontamination — corpus docs leaking n-grams from a held-out
+    * reference set (here: every 97th doc plays the benchmark) are flagged
+    * with their overlap count. Inverted-index semi-join keyed on the
+    * shingle; reference side contributes only its distinct shingle set. */
+  private val q51 = QuerySpec(
+    "q51_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.where(col("doc_id") % 97 === 0)
+      val corpus = docs.where(col("doc_id") % 97 =!= 0)
+      Dedup.contaminatedIds(corpus, "doc_id", "text", ref, "text",
+          n = 3, minShared = 3, maxDocFreq = 1000)
+        .select(col("id").as("doc_id"), col("shared_ngrams"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH sh AS (SELECT doc_id, unnest(list_distinct(
+          list_transform(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
+            i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')))) AS sh
+        FROM documents),
+      corpus AS (SELECT doc_id, sh FROM (
+          SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df
+          FROM sh WHERE doc_id % 97 <> 0)
+        WHERE df <= 1000),
+      ref AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+      SELECT doc_id, count(*) AS shared_ngrams
+      FROM corpus JOIN ref USING (sh)
+      GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -1231,5 +1259,6 @@ object QueryCatalog {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
+    q51)
 }

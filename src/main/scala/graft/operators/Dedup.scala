@@ -248,6 +248,35 @@ object Dedup {
       .where(col("dist") >= 0)
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least `minShared`
+    * distinct word n-grams with ANY document of a reference (benchmark/eval)
+    * set are flagged for removal — the standard guard against test-set
+    * leakage into training data. Returns (id, shared_ngrams) per
+    * contaminated corpus doc.
+    *
+    * Scale shape: inverted-index semi-join — both sides explode to
+    * (shingle, id) with the shuffle keyed on the shingle; the reference side
+    * keeps only DISTINCT shingles (its doc identity is irrelevant), so the
+    * join output is bounded by corpus-shingle × ref-shingle-set overlap, not
+    * by reference size. Ubiquitous shingles (df > maxDocFreq in the corpus)
+    * are cut first — they signal boilerplate, not leakage, and they are the
+    * join's skew risk. */
+  def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+      n: Int = 5, minShared: Long = 5, maxDocFreq: Long = 1000): DataFrame = {
+    val corpusSh = corpus.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    val culled = corpusSh.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .where(col("df") <= maxDocFreq).drop("df")
+    val refSh = reference
+      .select(explode(array_distinct(shingles(col(refTextCol), n))).as("sh"))
+      .distinct()
+    culled.join(refSh, "sh")
+      .groupBy("id").agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
+
   /** SimHash near-dup pairs via band-bucketed self-join: the signature's
     * `bands` fixed-width slices are the join keys — two docs within
     * `maxHamming` < bands differing bits MUST agree on at least one slice

@@ -94,6 +94,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() == 0)
   }
 
+  test("contaminatedIds flags exactly the docs sharing enough n-grams with the ref set") {
+    import spark.implicits._
+    val ref = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words the quick brown fox jumps over the lazy dog tonight indeed"), // heavy overlap
+      (2L, "the quick brown cat naps under the warm sun today always"),               // < minShared
+      (3L, "completely unrelated text about databases and distributed query engines")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminatedIds(corpus, "doc_id", "text", ref, "text",
+        n = 3, minShared = 3, maxDocFreq = 100)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L))
+    assert(got(1L) >= 3L)
+  }
+
   test("editDistancePairs: blocking isolates groups; threshold and distance exact") {
     import spark.implicits._
     val d = Seq(
