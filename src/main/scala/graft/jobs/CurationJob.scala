@@ -33,17 +33,36 @@ object CurationJob {
       transitive: Boolean = false)
 
   final case class Stats(input: Long, afterQuality: Long, afterExact: Long,
-      afterNearDup: Long, chunks: Long, sampled: Long)
+      afterNearDup: Long, chunks: Long, sampled: Long,
+      decontaminated: Long = 0)
 
   /** The full pipeline. Returns (curated chunk table, per-stage row counts).
-    * Input schema: (doc_id: long, text: string, lang: string). */
-  def run(docs: DataFrame, cfg: Config = Config()): (DataFrame, Stats) = {
+    * Input schema: (doc_id: long, text: string, lang: string).
+    * `benchmark`: optional held-out set — documents leaking ≥5 trigrams into
+    * it are removed right after the quality gate (cheapest point: the gate
+    * already shrank the corpus, and dedup need not pay for docs that are
+    * leaving anyway). */
+  def run(docs: DataFrame, cfg: Config = Config(),
+      benchmark: Option[DataFrame] = None): (DataFrame, Stats) = {
     val input = docs.count()
 
     // 1. language + quality gate — per-row, codegen'd, no shuffle
-    val gated = docs.where(
+    val qualityGated = docs.where(
         TextAnalysis.langIdGuess(col("text")) === cfg.lang &&
           TextAnalysis.qualityScore(col("text")) >= cfg.minQuality)
+
+    // 1b. benchmark decontamination (optional)
+    val (gated0, nDecon) = benchmark match {
+      case None => (qualityGated, 0L)
+      case Some(ref) =>
+        val leaky = Dedup.contaminatedIds(qualityGated, "doc_id", "text",
+            ref, "text", n = 3, minShared = 5)
+          .select(col("id").as("doc_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = leaky.count()
+        (qualityGated.join(leaky, Seq("doc_id"), "left_anti"), n)
+    }
+    val gated = gated0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterQuality = gated.count()
 
@@ -83,6 +102,7 @@ object CurationJob {
     val nSampled = if (cfg.samplePermille == 1000) chunks else sampled.count()
     exact.unpersist()
 
-    (sampled, Stats(input, afterQuality, afterExact, afterNearDup, chunks, nSampled))
+    (sampled, Stats(input, afterQuality, afterExact, afterNearDup, chunks,
+      nSampled, decontaminated = nDecon))
   }
 }

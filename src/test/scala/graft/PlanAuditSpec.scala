@@ -98,6 +98,11 @@ class PlanAuditSpec extends SparkSpec {
     assert("levenshtein".r.findAllIn(p).size <= 2, s"levenshtein over-evaluated:\n$p")
   }
 
+  test("q51 decontamination joins on the shingle key, never cartesian") {
+    val p = planOf("q51_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q49 simhash banding joins on band equality, payload is (id, long) only") {
     val p = planOf("q49_simhash_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))

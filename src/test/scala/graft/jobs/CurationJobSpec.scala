@@ -59,6 +59,25 @@ class CurationJobSpec extends SparkSpec {
     assert(transitive == Set(1L))
   }
 
+  test("benchmark decontamination removes leaky docs before dedup") {
+    import spark.implicits._
+    val en = "the quick brown fox jumps over the lazy dog and it is a fine day for running"
+    val docs = Seq(
+      (1L, en + " with its own special ending here", "en"),
+      (2L, "a completely different english document about the sea and the sky " +
+        "that it is in every way distinct for this test", "en"))
+      .toDF("doc_id", "text", "lang")
+    val benchmark = Seq((900L, en)).toDF("doc_id", "text")
+    val (out, stats) = CurationJob.run(docs,
+      CurationJob.Config(minQuality = 0.0), benchmark = Some(benchmark))
+    assert(stats.decontaminated == 1) // doc 1 leaks the benchmark text
+    val ids = out.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L))
+    // without a benchmark, nothing is removed and the field stays 0
+    val (_, stats2) = CurationJob.run(docs, CurationJob.Config(minQuality = 0.0))
+    assert(stats2.decontaminated == 0)
+  }
+
   test("real documents table flows end-to-end with sane funnels") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val (out, stats) = CurationJob.run(docs,
