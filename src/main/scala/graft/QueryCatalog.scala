@@ -1252,6 +1252,90 @@ object QueryCatalog {
       FROM corpus JOIN ref USING (sh)
       GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1"""))
 
+  /** Native wide→long unpivot (melt) — the inverse of q38's pivot, and the
+    * built-in replacement for the reference's union-as-unpivot idiom (O-2,
+    * q12): one Expand node, no N-way union of scans. */
+  private val q52 = QuerySpec(
+    "q52_unpivot",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"),
+        round(sum(col("l_extendedprice")), 2).as("price"),
+        round(sum(col("l_discount")), 2).as("disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")), "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric")),
+    Some("""WITH w AS (SELECT l_returnflag,
+        round(sum(l_quantity), 2) AS qty,
+        round(sum(l_extendedprice), 2) AS price,
+        round(sum(l_discount), 2) AS disc
+      FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, metric, value
+      FROM w UNPIVOT (value FOR metric IN (qty, price, disc))
+      ORDER BY l_returnflag, metric"""))
+
+  /** Time-series gap-fill with last-observation-carried-forward: per-user
+    * hourly buckets densified via sequence+explode (no driver loop, no
+    * cross join with a calendar table — each user generates only its own
+    * range), observed bucket averages filled forward with an ignoreNulls
+    * last() window. The standard resample primitive for feature pipelines. */
+  private val q53 = QuerySpec(
+    "q53_gapfill_locf",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .where(col("user_id") < 20)
+      val hourly = ev.groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(round(avg(col("value")), 4).as("avg_value"))
+      val spans = hourly.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val dense = spans.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 hour"))).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("h")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      dense.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+          last(col("avg_value"), ignoreNulls = true).over(w).as("value_locf"),
+          col("avg_value").isNotNull.as("observed"))
+        .orderBy(col("user_id"), col("hour"))
+    },
+    Some("""WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS h,
+          round(avg(value), 4) AS avg_value
+        FROM events WHERE user_id < 20 GROUP BY 1, 2),
+      spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1),
+      dense AS (SELECT user_id, unnest(generate_series(h0, h1,
+          INTERVAL 1 HOUR)) AS h FROM spans),
+      joined AS (SELECT d.user_id, d.h, e.avg_value
+        FROM dense d LEFT JOIN ev e ON d.user_id = e.user_id AND d.h = e.h)
+      SELECT user_id, strftime(h, '%Y-%m-%d %H:%M') AS hour,
+        last_value(avg_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+          ROWS UNBOUNDED PRECEDING) AS value_locf,
+        avg_value IS NOT NULL AS observed
+      FROM joined ORDER BY user_id, hour"""))
+
+  /** Schema-on-read JSON into a typed struct via from_json (q40 plucks one
+    * path with get_json_object; this materializes the declared schema once
+    * and reads fields as columns — the right shape when several fields are
+    * consumed). */
+  private val q54 = QuerySpec(
+    "q54_from_json_struct",
+    (s, dir) => t(s, dir, "events")
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))))
+      .groupBy(col("event_type"), (col("p.k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("k_bucket")),
+    Some("""SELECT event_type,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        count(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -1260,5 +1344,5 @@ object QueryCatalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51)
+    q51, q52, q53, q54)
 }
