@@ -1336,6 +1336,37 @@ object QueryCatalog {
         count(*) AS n
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Forward as-of join (q42's mirror): each click matched to the user's
+    * NEXT purchase at-or-after it — conversion attribution. Same no-join
+    * union-and-carry plan, window running from the future side. */
+  private val q55 = QuerySpec(
+    "q55_asof_forward",
+    (s, dir) => {
+      import graft.operators.AsofJoin
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(round(max(col("value")), 2).as("purchase_value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsofJoin.forward(clicks, purchases, Seq("user_id"), "ts", Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("asof_purchase_value").as("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH p AS (SELECT user_id, ts, round(max(value), 2) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      SELECT c.event_id, c.user_id,
+        strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        p.purchase_value
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+      ORDER BY c.event_id"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -1344,5 +1375,5 @@ object QueryCatalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54)
+    q51, q52, q53, q54, q55)
 }

@@ -67,4 +67,40 @@ object AsofJoin {
       .where(col("_side") === 1)
       .drop("_side")
   }
+
+  /** Forward (inclusive) as-of join: the right row with the SMALLEST
+    * `tsCol` >= left's — "the next fact at or after this event" (e.g. the
+    * next price tick, the following maintenance window). Same union-and-
+    * carry plan as [[backward]], with the window running from the future:
+    * descending sort, right rows ahead of left rows at equal ts. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payloadCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val leftExtra = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val outPayload = (tsCol +: payloadCols).map(c => s"$prefix$c")
+
+    val lTagged = left.select(
+      (keys :+ tsCol).map(col) ++
+        Seq(lit(1).as("_side")) ++
+        leftExtra.map(col) ++
+        (tsCol +: payloadCols).map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")): _*)
+    val rTagged = right.select(
+      (keys :+ tsCol).map(col) ++
+        Seq(lit(0).as("_side")) ++
+        leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        (tsCol +: payloadCols).map(c => col(c).as(s"$prefix$c")): _*)
+
+    // descending ts: "later rows first"; side=0 (right) still sorts before
+    // side=1 (left) at equal ts → inclusive match from the future side.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).desc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lTagged.union(rTagged)
+      .select((keys :+ tsCol).map(col) ++ Seq(col("_side")) ++ leftExtra.map(col) ++
+        outPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .where(col("_side") === 1)
+      .drop("_side")
+  }
 }

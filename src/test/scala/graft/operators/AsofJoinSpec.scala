@@ -48,6 +48,23 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.agg(round(sum("qty"), 2)).head().getDouble(0) == 29.0)
   }
 
+  test("forward as-of: next quote at-or-after, NULL past the last") {
+    val got = AsofJoin.forward(trades, quotes, Seq("sym"), "ts", Seq("px"))
+      .orderBy("trade_id")
+      .select("trade_id", "asof_ts", "asof_px")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq == Seq(
+      (1L, Some(10L), Some(1.0)), // before any quote → the first one
+      (2L, Some(20L), Some(2.0)), // exact tie inclusive
+      (3L, Some(30L), Some(3.0)),
+      (4L, None, None),           // after last quote → nothing ahead
+      (5L, None, None),           // B's quote at 15 < 16 → nothing ahead
+      (6L, None, None)))
+  }
+
   test("matches the naive range-join + max-dedup formulation") {
     val naive = trades.as("l")
       .join(quotes.as("r"),
