@@ -87,6 +87,29 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_bytes", "feature")
   }
 
+  /** STUB batch encoder — stands in for a model-server / GPU call that
+    * consumes a whole batch at once. Deterministic and batch-size-invariant
+    * by construction (pure per-row math); a real encoder must also be
+    * row-wise deterministic or downstream hashes stop being reproducible. */
+  def batchEncodeStub(batch: Seq[MediaRow], dims: Int): Seq[(Long, Array[Float])] =
+    batch.map(r => r.media_id -> featureStub(r.payload, dims))
+
+  /** Batched embedding: the model-inference shape — the partition iterator is
+    * regrouped into fixed-size batches (what a GPU / inference server wants:
+    * enough rows to fill the device, few enough to bound memory), the batch
+    * call runs once per group, results flatten back to rows. `grouped` keeps
+    * the iterator lazy: only `batchSize` payloads are resident per task at a
+    * time, so batch size bounds task memory independently of partition size.
+    * Same contract as `mapInPandas` with a batched model call in the lambda. */
+  def embedBatched(media: Dataset[MediaRow], batchSize: Int = 64,
+      dims: Int = 8): DataFrame = {
+    require(batchSize >= 1, "batchSize >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(batch => batchEncodeStub(batch, dims))
+    }.toDF("media_id", "embedding")
+  }
+
   /** Build a media table from the `documents` fixture (text bytes as payload) —
     * exercises the binary-column path end-to-end on shipped testdata. */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

@@ -301,6 +301,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).payload.toSeq == again(0).payload.toSeq)
   }
 
+  test("embedBatched: batch size never changes results, only task memory shape") {
+    import spark.implicits._
+    val media = (1L to 100L).map(i =>
+      Multimodal.MediaRow(i, "image", s"payload-bytes-$i".getBytes)).toDS()
+    def run(bs: Int) = Multimodal.embedBatched(media, batchSize = bs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val (b1, b7, big) = (run(1), run(7), run(1000))
+    assert(b1 == b7 && b7 == big)
+    assert(b1.size == 100)
+    // the stub sees correctly-shaped batches: grouped() caps at batchSize
+    val sizes = media.repartition(2).mapPartitions(
+      _.grouped(7).map(_.size)).collect()
+    assert(sizes.forall(_ <= 7) && sizes.max == 7)
+    intercept[IllegalArgumentException](Multimodal.embedBatched(media, 0))
+  }
+
   test("fromDocuments: binary payload round-trips through the decode path") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(10)
     val decoded = Multimodal.decode(Multimodal.fromDocuments(spark, docs)).collect()
