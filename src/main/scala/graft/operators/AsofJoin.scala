@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Distributed as-of join (the time-series "most recent fact at or before
   * this event" join — Spark has no built-in; the reference has none either,
@@ -18,6 +19,12 @@ import org.apache.spark.sql.functions._
   * rows before collapsing (quadratic per key in history length); at 100 TB
   * event volume that join output is the job. The union plan never
   * materializes a pair.
+  *
+  * The matched right row travels as ONE struct (ts + payloads), so the
+  * window carries it atomically: a right row whose payload field is
+  * legitimately NULL matches as (its ts, NULL) — exactly DuckDB's ASOF —
+  * instead of per-column ignoreNulls windows silently stitching fields from
+  * DIFFERENT right rows.
   *
   * Skew note: partitioning is by `keys`; a single pathological key (one user
   * with 10^8 events) serializes into one task — pre-split such keys by time
@@ -38,69 +45,51 @@ object AsofJoin {
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payloadCols: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
-    val leftExtra = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
-    val outPayload = (tsCol +: payloadCols).map(c => s"$prefix$c")
-
-    // Identical select lists on both sides so the union lines up by position.
-    val lTagged = left.select(
-      (keys :+ tsCol).map(col) ++
-        Seq(lit(1).as("_side")) ++
-        leftExtra.map(col) ++
-        // payload slots empty on left rows: the window's ignoreNulls skips them
-        (tsCol +: payloadCols).map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")): _*)
-    val rTagged = right.select(
-      (keys :+ tsCol).map(col) ++
-        Seq(lit(0).as("_side")) ++
-        leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        (tsCol +: payloadCols).map(c => col(c).as(s"$prefix$c")): _*)
-
-    // side=0 (right) sorts before side=1 (left) at equal ts → inclusive match.
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    lTagged.union(rTagged)
-      .select((keys :+ tsCol).map(col) ++ Seq(col("_side")) ++ leftExtra.map(col) ++
-        outPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
-      .where(col("_side") === 1)
-      .drop("_side")
-  }
+      prefix: String = "asof_"): DataFrame =
+    carry(left, right, keys, tsCol, payloadCols, prefix, fromFuture = false)
 
   /** Forward (inclusive) as-of join: the right row with the SMALLEST
     * `tsCol` >= left's — "the next fact at or after this event" (e.g. the
-    * next price tick, the following maintenance window). Same union-and-
-    * carry plan as [[backward]], with the window running from the future:
-    * descending sort, right rows ahead of left rows at equal ts. */
+    * next price tick, the following maintenance window). Same plan as
+    * [[backward]] with the window running from the future: descending sort,
+    * right rows still ahead of left rows at equal ts. */
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payloadCols: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
-    val leftExtra = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
-    val outPayload = (tsCol +: payloadCols).map(c => s"$prefix$c")
+      prefix: String = "asof_"): DataFrame =
+    carry(left, right, keys, tsCol, payloadCols, prefix, fromFuture = true)
 
+  private def carry(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payloadCols: Seq[String], prefix: String,
+      fromFuture: Boolean): DataFrame = {
+    val leftExtra = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val matchFields = tsCol +: payloadCols
+    val matchType = StructType(matchFields.map(right.schema(_)))
+
+    // Identical select lists on both sides so the union lines up by position.
+    // The struct slot is NULL on left rows (skipped by ignoreNulls) and the
+    // whole matched right row on right rows.
     val lTagged = left.select(
       (keys :+ tsCol).map(col) ++
         Seq(lit(1).as("_side")) ++
-        leftExtra.map(col) ++
-        (tsCol +: payloadCols).map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")): _*)
+        leftExtra.map(col) :+
+        lit(null).cast(matchType).as("_asof_match"): _*)
     val rTagged = right.select(
       (keys :+ tsCol).map(col) ++
         Seq(lit(0).as("_side")) ++
-        leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        (tsCol +: payloadCols).map(c => col(c).as(s"$prefix$c")): _*)
+        leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(matchFields.map(col): _*).as("_asof_match"): _*)
 
-    // descending ts: "later rows first"; side=0 (right) still sorts before
-    // side=1 (left) at equal ts → inclusive match from the future side.
+    // side=0 (right) sorts before side=1 (left) at equal ts → inclusive match.
+    val ts = if (fromFuture) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).desc, col("_side").asc)
+      .orderBy(ts, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lTagged.union(rTagged)
-      .select((keys :+ tsCol).map(col) ++ Seq(col("_side")) ++ leftExtra.map(col) ++
-        outPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .select((keys :+ tsCol).map(col) ++ Seq(col("_side")) ++ leftExtra.map(col) :+
+        last(col("_asof_match"), ignoreNulls = true).over(w).as("_asof_match"): _*)
       .where(col("_side") === 1)
-      .drop("_side")
+      .select((keys :+ tsCol).map(col) ++ leftExtra.map(col) ++
+        matchFields.map(c => col("_asof_match").getField(c).as(s"$prefix$c")): _*)
   }
 }

@@ -144,14 +144,22 @@ object EventStreams {
   /** Streaming exact dedup bounded by the watermark: duplicates arriving
     * within the watermark horizon are dropped, state for older keys is
     * evicted (unbounded dedup state is the classic streaming OOM). The key
-    * is a content hash, not the payload — state stays small per row. */
+    * is a content hash, not the payload — state stays small per row.
+    * Columns are null-safely encoded before hashing: concat_ws SKIPS null
+    * arguments, so without the per-column encoding ("v" + value for
+    * present, NUL for NULL) two rows whose NULLs sit in different columns
+    * would collide onto one hash and wrongly deduplicate. */
   def dedupedByContent(events: DataFrame, hashCols: Seq[String],
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes"): DataFrame = {
+    val encoded = hashCols.map(c =>
+      when(col(c).isNull, lit("\u0000"))
+        .otherwise(concat(lit("v"), col(c).cast("string"))))
     events
-      .withColumn("_content_hash", md5(concat_ws("\u0000", hashCols.map(col): _*)))
+      .withColumn("_content_hash", md5(concat_ws("\u0001", encoded: _*)))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("_content_hash")
       .drop("_content_hash")
+  }
 
   /** Parquet sink with checkpointing (exactly-once file sink). */
   def writeParquet(df: DataFrame, outDir: String, checkpointDir: String,
@@ -180,11 +188,21 @@ object EventStreams {
     * table (count + sum per key) across micro-batches — the "upsert into a
     * serving table" pattern for sinks with no native streaming support.
     * Each batch: aggregate the delta, full-outer-merge with the current
-    * table, atomically replace. Exactly-once: the checkpoint replays a
-    * failed batch, and the merge is idempotent per (batchId) because the
-    * table swap happens after the batch's merge completes.
-    * At warehouse scale the same shape targets a transactional table
-    * format; plain parquet-swap keeps it dependency-free here. */
+    * table, swap in the replacement.
+    *
+    * Failure semantics: foreachBatch alone is AT-LEAST-once — a batch whose
+    * swap landed but whose checkpoint commit didn't is REPLAYED on restart,
+    * and re-merging it would double-count. The table therefore records the
+    * last merged batchId in a `_last_batch` marker (underscore-prefixed, so
+    * parquet readers skip it; it travels with the swap, so table and marker
+    * commit together) and replayed batchIds are skipped — that marker is
+    * what upgrades the sink to effectively-once. The table and its
+    * checkpoint form a unit: restarting with a fresh checkpoint against an
+    * existing table restarts batch numbering and is undefined. Single
+    * writer; both renames are checked, and a failed swap throws so the
+    * batch retries rather than silently dropping the merge. At warehouse
+    * scale the same shape targets a transactional table format; the
+    * parquet-swap keeps it dependency-free here. */
   def runningAggSink(events: DataFrame, keyCol: String, valueCol: String,
       tableDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     events.writeStream
@@ -193,23 +211,38 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val delta = batch.groupBy(col(keyCol))
-          .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
         val dir = new java.io.File(tableDir)
-        val merged = if (dir.exists()) {
-          val current = spark.read.parquet(tableDir)
-          current.select(col(keyCol), col("n"), col("total"))
-            .unionByName(delta)
-            .groupBy(col(keyCol))
-            .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
-        } else delta
-        // write-new-then-swap: readers never see a half-written table
-        val tmp = s"${tableDir}_b$batchId"
-        merged.write.mode("overwrite").parquet(tmp)
-        val old = new java.io.File(s"${tableDir}_old$batchId")
-        if (dir.exists()) dir.renameTo(old)
-        new java.io.File(tmp).renameTo(dir)
-        deleteRecursively(old)
+        val marker = new java.io.File(dir, "_last_batch")
+        val lastMerged =
+          if (marker.exists()) java.nio.file.Files.readString(marker.toPath).trim.toLong
+          else -1L
+        if (batchId > lastMerged) {
+          val delta = batch.groupBy(col(keyCol))
+            .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+          val merged = if (dir.exists()) {
+            val current = spark.read.parquet(tableDir)
+            current.select(col(keyCol), col("n"), col("total"))
+              .unionByName(delta)
+              .groupBy(col(keyCol))
+              .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+          } else delta
+          // write-new-then-swap; the marker is written into the NEW table
+          // before the swap so it becomes visible atomically with the data
+          val tmp = new java.io.File(s"${tableDir}_b$batchId")
+          deleteRecursively(tmp)
+          merged.write.mode("overwrite").parquet(tmp.getPath)
+          java.nio.file.Files.writeString(
+            new java.io.File(tmp, "_last_batch").toPath, batchId.toString)
+          val old = new java.io.File(s"${tableDir}_old")
+          deleteRecursively(old) // stale backup from a crashed attempt
+          if (dir.exists() && !dir.renameTo(old))
+            throw new IllegalStateException(s"cannot move $tableDir aside")
+          if (!tmp.renameTo(dir)) {
+            old.renameTo(dir) // restore, then fail the batch for retry
+            throw new IllegalStateException(s"cannot publish $tmp to $tableDir")
+          }
+          deleteRecursively(old)
+        }
         ()
       }
       .start()

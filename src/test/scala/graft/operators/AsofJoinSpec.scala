@@ -65,6 +65,21 @@ class AsofJoinSpec extends SparkSpec {
       (6L, None, None)))
   }
 
+  test("NULL payload on the matched right row stays NULL — no field stitching") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // R(ts=10, px=1.0), R(ts=20, px=NULL); left at ts=25 must match (20, NULL)
+    // — per-column ignoreNulls windows would wrongly return (20, 1.0)
+    val schema = StructType(Seq(StructField("sym", StringType),
+      StructField("ts", LongType), StructField("px", DoubleType)))
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(Row("A", 10L, 1.0), Row("A", 20L, null)), schema)
+    val l = Seq((1L, "A", 25L)).toDF("trade_id", "sym", "ts")
+    val r = AsofJoin.backward(l, q, Seq("sym"), "ts", Seq("px"))
+      .select("asof_ts", "asof_px").head()
+    assert(r.getLong(0) == 20L && r.isNullAt(1))
+  }
+
   test("matches the naive range-join + max-dedup formulation") {
     val naive = trades.as("l")
       .join(quotes.as("r"),
