@@ -14,11 +14,16 @@ object Bench {
     // (~5s) that would otherwise be billed to whichever query runs first
     ordered.headOption.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      graft.core.CacheScope.drain()
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // per-query cache release is part of session hygiene, not query
+      // compute — drained outside the timed region
+      graft.core.CacheScope.drain()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -52,19 +52,22 @@ object CurationJob {
           TextAnalysis.qualityScore(col("text")) >= cfg.minQuality)
 
     // 1b. benchmark decontamination (optional)
-    val (gated0, nDecon) = benchmark match {
-      case None => (qualityGated, 0L)
+    val (gated0, nDecon, leakyHandle) = benchmark match {
+      case None => (qualityGated, 0L, None)
       case Some(ref) =>
         val leaky = Dedup.contaminatedIds(qualityGated, "doc_id", "text",
             ref, "text", n = 3, minShared = 5)
           .select(col("id").as("doc_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = leaky.count()
-        (qualityGated.join(leaky, Seq("doc_id"), "left_anti"), n)
+        (qualityGated.join(leaky, Seq("doc_id"), "left_anti"), n, Some(leaky))
     }
     val gated = gated0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterQuality = gated.count()
+    // gated's cache now holds the anti-joined rows; the leak list has no
+    // further consumer (same release discipline as gated/exact below)
+    leakyHandle.foreach(_.unpersist())
 
     // 2. exact dedup — keep each content group's smallest doc_id
     val keepers = Dedup.exactGroups(gated, "doc_id", "text")

@@ -370,9 +370,10 @@ object NvsPipeline {
     // persist: three downstream consumers (monthly_reach, the missing-cost
     // probe, and the final allocation join) each re-derive this union — the
     // reference's single-plan Catalyst run recomputes it per consumer too;
-    // caching changes execution cost only, never values
-    val allHcp = hcpChannelsOld.union(hcpChannelsNew)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // caching changes execution cost only, never values. CacheScope-
+    // registered: the session owner releases it after the query's action.
+    val allHcp = graft.core.CacheScope.persist(
+      hcpChannelsOld.union(hcpChannelsNew))
 
     // S1:948-969: pre-2024 spend spread over fixed shares
     val spend = T(s, "costs_wide")

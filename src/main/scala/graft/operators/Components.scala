@@ -21,21 +21,40 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per round: one mapPartitions pass over edges + a min
   * aggregate + two relabel joins, all shuffling (long, long) pairs keyed on
-  * node id. Frames are localCheckpoint'ed each round — iterative loops
-  * otherwise accumulate lineage and replan the whole history every round
-  * (on a cluster, use reliable checkpointing to survive executor loss). */
+  * node id. Frames are materialized to persisted RDDs each round (see
+  * [[checkpointed]]) — iterative loops otherwise accumulate lineage and
+  * replan the whole history every round (on a cluster, use reliable
+  * checkpointing to survive executor loss). */
 object Components {
 
-  /** Tracks which persistent RDD ids a localCheckpoint created, so a loop
-    * can RELEASE superseded rounds: checkpoint blocks are never freed
-    * automatically, and an iterative algorithm that keeps every round's
-    * frame pinned runs the executors out of storage memory (this smothered
-    * the 5M-node stress before cleanup existed). */
+  /** Materialize a round into a persisted RDD and rebuild the frame over
+    * it, so (a) the loop's plan lineage truncates every round — iterative
+    * loops otherwise replan their whole history each iteration — and (b)
+    * superseded rounds can be RELEASED: materialized blocks are never freed
+    * automatically, and keeping every round pinned runs the executors out
+    * of storage memory (this smothered the 5M-node stress before cleanup
+    * existed).
+    *
+    * Deliberately NOT `localCheckpoint`: its blocks forbid recompute after
+    * unpersist (so releasing them logs lineage-truncation warnings and any
+    * late reader crashes), and tracking its ids via a before/after diff of
+    * `sc.getPersistentRDDs` — the eager checkpoint job is often the first
+    * action on the input plan — swallowed upstream CacheManager-owned RDDs
+    * (the persisted simhash signatures feeding the edge list), whose blocks
+    * [[release]] then dropped while the CacheManager still plan-matched new
+    * queries against the dead entry: the "Asked to cache already cached
+    * data" / "cannot be recomputed after unpersisting" failure in the
+    * round-2 sequential bench. A plain persisted RDD recomputes from
+    * shuffle files if someone reads it after release, and the id tracked is
+    * exactly the one this function created. */
   private def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint(true)
-    (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    // toRdd rows are mutable per-partition buffers — copy before caching
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // eager, like localCheckpoint(true): one job, then reuse
+    val out = org.apache.spark.sql.graftshim.Bridge
+      .internalCreateDataFrame(df.sparkSession, rdd, df.schema)
+    (out, Set(rdd.id))
   }
 
   private def release(df: DataFrame, ids: Set[Int]): Unit = {
@@ -119,8 +138,24 @@ object Components {
       iter += 1
       if (verbose) println(s"[components] round $iter: $remaining edges remain")
     }
-    release(g.toDF(), gIds) // the empty terminal edge frame
-    labels.toDF()
+    release(g.toDF(), gIds) // the terminal edge frame
+    // Exhausting maxIter with edges left means the labels are only
+    // PARTIALLY merged — silently returning them would hand a dedup
+    // pipeline wrong clusters (keeping/dropping the wrong docs) with no
+    // signal. Converged runs take O(log #partitions) rounds, so hitting
+    // the cap is a genuine anomaly, not a tuning nuisance.
+    if (remaining > 0) {
+      release(labels, labelIds)
+      throw new IllegalStateException(
+        s"connectedComponents: $remaining edges remain after $maxIter rounds — " +
+          "labels would be partially merged; raise maxIter")
+    }
+    // The result itself is backed by pinned materialized blocks. Hand its
+    // release to the session owner: drain runs after the query's action,
+    // and a late read merely recomputes from shuffle files.
+    val (finalLabels, finalIds) = (labels, labelIds)
+    graft.core.CacheScope.onDrain(() => release(finalLabels, finalIds))
+    finalLabels.toDF()
   }
 
   /** Cluster representatives: one keeper per component (the min id), plus the

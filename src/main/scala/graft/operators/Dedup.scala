@@ -106,10 +106,13 @@ object Dedup {
       bands: Int = 8, maxBucketSize: Option[Int] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
     // persist: signatures feed the banding AND the two signature joins at the
-    // end. At warehouse scale, write sigs to parquet once instead (same
-    // effect, spillable to object storage).
-    val sigs = minhashSigs(df, idCol, textCol, shingleSize, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // end. Registered with CacheScope so the session owner releases the
+    // blocks after the query's action — an operator-internal bare persist
+    // would pin them for the session lifetime. At warehouse scale, write
+    // sigs to parquet once instead (same effect, spillable to object
+    // storage).
+    val sigs = graft.core.CacheScope.persist(
+      minhashSigs(df, idCol, textCol, shingleSize, numHashes))
     // candidate pairs carry ONLY (id_a, id_b) through the band self-join:
     // a pair colliding in k bands appears k times pre-distinct, and dup-heavy
     // corpora make that join output enormous — 16-byte rows keep it cheap.
@@ -130,8 +133,11 @@ object Dedup {
         banded.withColumn("_bs", count(lit(1)).over(w))
           .where(col("_bs") <= cap).drop("_bs")
     }
-    val pairs = b.as("l")
-      .join(b.as("r"), Seq("band_idx", "band_hash"))
+    // shuffle_hash: pins the bucket-join shape (hash-partition on the band
+    // key) — AQE would broadcast the whole banded table at test scale,
+    // which is slower even there and unbuildable at corpus scale
+    val pairs = b.as("l").hint("shuffle_hash")
+      .join(b.as("r").hint("shuffle_hash"), Seq("band_idx", "band_hash"))
       .where(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
@@ -193,16 +199,34 @@ object Dedup {
     * more than `maxDocFreq` docs (standard df-cut, also improves precision). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5, maxDocFreq: Long = 100): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(array_distinct(shingles(col(textCol), n))).as("sh"))
-    // persist: the filtered inverted index feeds both join sides AND the
-    // per-doc size aggregate — three consumers of one explode+window pass.
-    val filtered = sh.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .where(col("df") <= maxDocFreq).drop("df")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist the exploded inverted index ONCE: the hot-shingle aggregate,
+    // the per-doc size aggregate, and both self-join sides all read it, and
+    // each would otherwise re-run the full scan+shingle explode.
+    // CacheScope-registered: the session owner drains after the action.
+    // (At 100 TB the cached explode is large — MEMORY_AND_DISK spills; the
+    // warehouse-scale twin is writing the index to parquet once.)
+    val sh = graft.core.CacheScope.persist(
+      df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("sh")))
+    // df-cut via an aggregated hot-shingle set, NOT `count(*) OVER
+    // (PARTITION BY sh)`: the window sorts the FULL exploded table with no
+    // partial aggregation, while groupBy collapses map-side to one row per
+    // distinct shingle before anything shuffles. The hot set is small by
+    // construction (≤ total shingle occurrences / maxDocFreq), so the
+    // anti-join broadcasts — a cheap map-side lookup each consumer repeats
+    // against the cached index; on a boilerplate-heavy corpus where the hot
+    // set isn't small, drop the hint and let AQE pick at runtime.
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq).select("sh")
+    val filtered = sh.join(broadcast(hot), Seq("sh"), "left_anti")
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val pairs = filtered.as("a").join(filtered.as("b"), "sh")
+    // shuffle_hash, NOT broadcast: AQE sees a sub-threshold build side at
+    // test scale and picks BHJ, but building+shipping the ENTIRE inverted
+    // index as a broadcast relation is 3× slower even here and impossible
+    // at corpus scale — the hint pins the plan that's right at every size
+    // (hash-partition both sides on the shingle, join within buckets).
+    val pairs = filtered.as("a").hint("shuffle_hash")
+      .join(filtered.as("b").hint("shuffle_hash"), "sh")
       .where(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
@@ -266,9 +290,11 @@ object Dedup {
       n: Int = 5, minShared: Long = 5, maxDocFreq: Long = 1000): DataFrame = {
     val corpusSh = corpus.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), n))).as("sh"))
-    val culled = corpusSh.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .where(col("df") <= maxDocFreq).drop("df")
+    // same aggregated df-cut as [[ngramJaccardPairs]] — the windowed
+    // count-over-shingle formulation has no map-side combine
+    val hot = corpusSh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq).select("sh")
+    val culled = corpusSh.join(broadcast(hot), Seq("sh"), "left_anti")
     val refSh = reference
       .select(explode(array_distinct(shingles(col(refTextCol), n))).as("sh"))
       .distinct()
@@ -293,15 +319,19 @@ object Dedup {
       s"recall guarantee needs maxHamming < bands (got $maxHamming, $bands)")
     val width = SimhashBits / bands
     val mask = (1L << width) - 1
-    // persist: feeds both sides of the band self-join (recompute trap)
-    val sigs = simhashSigs(df, idCol, textCol, "sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist: feeds both sides of the band self-join (recompute trap).
+    // CacheScope-registered so a session running many queries over the same
+    // corpus doesn't pin one signature cache per call forever.
+    val sigs = graft.core.CacheScope.persist(simhashSigs(df, idCol, textCol, "sig"))
     val banded = sigs.select(col(idCol).as("id"), col("sig"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("sig"), b * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
-    banded.as("l").join(banded.as("r"), Seq("band_idx", "band_val"))
+    // shuffle_hash: locally neutral (the cost here is the signature agg),
+    // but pins the bucket-join shape that holds when banded can't broadcast
+    banded.as("l").hint("shuffle_hash")
+      .join(banded.as("r").hint("shuffle_hash"), Seq("band_idx", "band_val"))
       .where(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         hammingDistance(col("l.sig"), col("r.sig")).as("hamming"))

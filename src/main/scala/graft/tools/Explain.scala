@@ -20,10 +20,12 @@ object Explain {
       .getOrElse(sys.error(s"no such query: $name"))
     q.run(spark, sfDir).explain("formatted")
     q.run(spark, sfDir).count() // warmup: codegen + scan metadata
+    graft.core.CacheScope.drain()
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = q.run(spark, sfDir).count()
       println(f"[explain] run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      graft.core.CacheScope.drain()
     }
     spark.stop()
   }

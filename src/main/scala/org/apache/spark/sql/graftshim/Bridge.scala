@@ -15,4 +15,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over an already-computed RDD[InternalRow] (`internalCreateDataFrame`
+    * is `private[sql]`). Used by iterative operators to truncate plan lineage
+    * each round: materialize the round into a persisted RDD, then rebuild a
+    * frame whose logical plan is just the RDD scan — the effect of
+    * `localCheckpoint` without its unpersist-forbids-recompute semantics
+    * (a plain persisted RDD can still recompute from shuffle files, and
+    * releasing it doesn't log lineage-truncation warnings). */
+  def internalCreateDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

@@ -1,0 +1,46 @@
+package graft
+
+/** Session-lifetime cache hygiene: the round-2 driver bench showed operator
+  * persists accumulating across a sequential 55-query run (pinned blocks,
+  * CacheManager plan-matching stale entries, 2-11× inflation on q43/q49/q50).
+  * This guards the fix: running the cache-sharing queries back-to-back in ONE
+  * session, with the owner-side drain between them, must return the
+  * persistent-RDD set to its baseline every time.
+  *
+  * q43 and q49 deliberately run in this order — both build the same simhash
+  * signature sub-plan, which is exactly the CacheManager plan-match collision
+  * the round-2 bench log surfaced ("Asked to cache already cached data" /
+  * "...cannot be recomputed after unpersisting").
+  */
+class CacheHygieneSpec extends SparkSpec {
+
+  test("sequential cache-sharing queries release all storage") {
+    val sc = spark.sparkContext
+    graft.core.CacheScope.drain() // start clean regardless of suite order
+    val baseline = sc.getPersistentRDDs.keySet
+    val names = Seq("q43_components", "q49_simhash_pairs", "q50_set_ops",
+      "q19_dedup_minhash", "q21_dedup_ngram_jaccard")
+    for (name <- names) {
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      assert(n >= 0)
+      graft.core.CacheScope.drain()
+      assert(graft.core.CacheScope.pending == 0)
+      val leaked = sc.getPersistentRDDs.keySet -- baseline
+      assert(leaked.isEmpty,
+        s"$name left persistent RDDs pinned after drain: ids $leaked")
+    }
+  }
+
+  test("draining between calls keeps repeated operator runs leak-free") {
+    import graft.operators.Dedup
+    val sc = spark.sparkContext
+    graft.core.CacheScope.drain()
+    val baseline = sc.getPersistentRDDs.keySet
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    for (_ <- 1 to 3) {
+      Dedup.simhashPairs(docs, "doc_id", "text").count()
+      graft.core.CacheScope.drain()
+    }
+    assert((sc.getPersistentRDDs.keySet -- baseline).isEmpty)
+  }
+}
