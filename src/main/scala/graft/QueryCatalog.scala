@@ -745,17 +745,24 @@ object QueryCatalog {
       FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** HyperLogLog++ approximate distinct — the one-pass fixed-memory
-    * count(distinct) replacement at 100 TB. Sketch values are engine-specific,
-    * so no value-level oracle (driver records the weaker rows-only check);
-    * ScaleOpsSpec asserts the estimate lands within the rsd bound. */
+    * count(distinct) replacement at 100 TB. The estimate itself is
+    * sketch-specific, so the VALUE oracle checks its error contract
+    * instead: each group emits the exact count(distinct) twin (portable)
+    * plus a flag asserting |est − exact| / exact ≤ 3·rsd, which DuckDB
+    * reproduces as a literal — a Spark sketch drifting out of bound flips
+    * the flag and fails the hash match. */
   private val q32 = QuerySpec(
     "q32_approx_distinct",
     (s, dir) => {
       import graft.operators.ScaleOps
-      ScaleOps.approxDistinct(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey")
+      ScaleOps.approxDistinctChecked(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey", rsd = 0.05)
         .orderBy(col("l_returnflag"))
     },
-    None)
+    Some("""SELECT l_returnflag,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct_l_partkey,
+        TRUE AS within_bound
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
   /** IVF ANN (the trained-partition scale path, q29's LSH sibling): cells by
     * deterministic seed centroids, query probes nprobe cells, exact re-rank

@@ -108,4 +108,24 @@ object ScaleOps {
       rsd: Double = 0.05): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(approx_count_distinct(col(valueCol), rsd).as(s"approx_distinct_$valueCol"))
+
+  /** [[approxDistinct]] with its error contract made checkable: each group
+    * carries the exact count(distinct) twin and a flag asserting the HLL
+    * estimate landed within `3 * rsd` of it (≥ 99.7% per group under the
+    * sketch's normal error model). The exact twin and the flag are
+    * engine-portable even though the estimate itself is sketch-specific —
+    * which is what lets a cross-engine value oracle gate this operator
+    * rather than settling for a rows-only check. Production use at 100 TB
+    * drops the exact twin (that's the point of the sketch); this shape is
+    * for acceptance gates and canary queries. */
+  def approxDistinctChecked(df: DataFrame, keys: Seq[String], valueCol: String,
+      rsd: Double = 0.05): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        approx_count_distinct(col(valueCol), rsd).as("est"),
+        countDistinct(col(valueCol)).as(s"exact_distinct_$valueCol"))
+      .withColumn("within_bound",
+        abs(col("est") - col(s"exact_distinct_$valueCol")).cast("double") /
+          col(s"exact_distinct_$valueCol") <= 3 * rsd)
+      .drop("est")
 }

@@ -212,6 +212,18 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val dir = new java.io.File(tableDir)
+        val backup = new java.io.File(s"${tableDir}_old")
+        // Crash recovery FIRST: a death between the swap's two renames
+        // leaves the table dir absent and `_old` holding the ENTIRE
+        // accumulated history. Restore it before reading the marker —
+        // otherwise lastMerged resets to -1 and the replayed batch
+        // rebuilds the table from its own delta alone (and the old
+        // unconditional stale-backup delete would have destroyed the only
+        // surviving copy). The marker travels inside the dir, so the
+        // restore brings the correct lastMerged with it.
+        if (!dir.exists() && backup.exists() && !backup.renameTo(dir))
+          throw new IllegalStateException(
+            s"cannot restore crash backup $backup to $tableDir")
         val marker = new java.io.File(dir, "_last_batch")
         val lastMerged =
           if (marker.exists()) java.nio.file.Files.readString(marker.toPath).trim.toLong
@@ -233,15 +245,17 @@ object EventStreams {
           merged.write.mode("overwrite").parquet(tmp.getPath)
           java.nio.file.Files.writeString(
             new java.io.File(tmp, "_last_batch").toPath, batchId.toString)
-          val old = new java.io.File(s"${tableDir}_old")
-          deleteRecursively(old) // stale backup from a crashed attempt
-          if (dir.exists() && !dir.renameTo(old))
+          // any backup still present here is a post-swap leftover (the
+          // table dir exists — the dangerous absent-table case was
+          // restored at batch start), so deleting it is safe
+          deleteRecursively(backup)
+          if (dir.exists() && !dir.renameTo(backup))
             throw new IllegalStateException(s"cannot move $tableDir aside")
           if (!tmp.renameTo(dir)) {
-            old.renameTo(dir) // restore, then fail the batch for retry
+            backup.renameTo(dir) // restore, then fail the batch for retry
             throw new IllegalStateException(s"cannot publish $tmp to $tableDir")
           }
-          deleteRecursively(old)
+          deleteRecursively(backup) // only after a fully successful swap
         }
         ()
       }

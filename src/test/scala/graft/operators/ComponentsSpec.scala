@@ -58,4 +58,13 @@ class ComponentsSpec extends SparkSpec {
     // union-find roots are min ids here because we always point max → min
     assert(got == want)
   }
+
+  test("throws instead of returning partially-merged labels at maxIter") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(edges, "a", "b", maxIter = 0)
+    }
+    assert(e.getMessage.contains("edges remain"))
+  }
 }

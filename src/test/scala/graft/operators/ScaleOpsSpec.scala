@@ -114,4 +114,18 @@ class ScaleOpsSpec extends SparkSpec {
       .head().getLong(1).toDouble
     assert(math.abs(approx - exact) / exact < 0.15) // 3× the 5% rsd
   }
+
+  test("approxDistinctChecked: exact twin matches and the bound flag holds") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val rows = ScaleOps.approxDistinctChecked(li, Seq("l_returnflag"), "l_partkey")
+      .collect()
+    assert(rows.nonEmpty)
+    val exact = li.groupBy("l_returnflag").agg(countDistinct("l_partkey"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("exact_distinct_l_partkey")) ==
+        exact(r.getString(0)))
+      assert(r.getBoolean(r.fieldIndex("within_bound")))
+    }
+  }
 }

@@ -237,4 +237,29 @@ class EventStreamsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set(("click", 3L, 7.0), ("view", 1L, 8.0)))
   }
+
+  test("runningAggSink: recovers history from a crash between the swap renames") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_crash").toString
+    val in = MemoryStream[Event]
+    def run(): Unit = {
+      val q = EventStreams.runningAggSink(in.toDF(), "event_type", "value",
+        s"$dir/table", s"$dir/chk")
+      q.awaitTermination()
+    }
+    in.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 2.0))
+    run()
+    // simulate dying between `dir.renameTo(old)` and `tmp.renameTo(dir)`:
+    // the table dir is gone and _old holds the only copy of the history
+    val table = new java.io.File(s"$dir/table")
+    val old = new java.io.File(s"$dir/table_old")
+    assert(table.renameTo(old))
+    in.addData(Event(3, ts(2), 2, "click", 4.0))
+    run() // must restore _old -> table (and its marker) before merging
+    val got = spark.read.parquet(s"$dir/table").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("click", 2L, 5.0), ("view", 1L, 2.0)))
+    assert(!old.exists()) // backup deleted only after the successful swap
+  }
 }
