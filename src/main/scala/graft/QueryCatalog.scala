@@ -1374,6 +1374,44 @@ object QueryCatalog {
         ON c.user_id = p.user_id AND c.ts <= p.ts
       ORDER BY c.event_id"""))
 
+  /** q42's as-of join through the skew pre-split plan (daily time buckets,
+    * within-bucket carry + boundary stitch — see
+    * [[graft.operators.AsofJoin.backwardSplit]]). Same oracle as q42: the
+    * split is a pure execution-shape change, so the DuckDB ASOF must
+    * reproduce it row-for-row — which value-checks the stitch logic, not
+    * just the property tests. */
+  private val q56 = QuerySpec(
+    "q56_asof_split",
+    (s, dir) => {
+      import graft.operators.AsofJoin
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(round(max(col("value")), 2).as("click_value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      AsofJoin.backwardSplit(purchases, clicks, Seq("user_id"), "ts",
+          Seq("click_value"), bucketExpr = date_trunc("day", col("ts")))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          round(col("value"), 2).as("purchase_value"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          col("asof_click_value").as("click_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH clicks AS (SELECT user_id, ts, round(max(value), 2) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      p AS (SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        round(p.value, 2) AS purchase_value,
+        strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        c.click_value
+      FROM p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -1382,5 +1420,5 @@ object QueryCatalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55)
+    q51, q52, q53, q54, q55, q56)
 }

@@ -26,9 +26,13 @@ import org.apache.spark.sql.types.StructType
   * instead of per-column ignoreNulls windows silently stitching fields from
   * DIFFERENT right rows.
   *
-  * Skew note: partitioning is by `keys`; a single pathological key (one user
-  * with 10^8 events) serializes into one task — pre-split such keys by time
-  * range and stitch, or bound history with a watermark upstream.
+  * Skew: partitioning is by `keys`, so a single pathological key (one user
+  * with 10^8 events) serializes into one task under [[backward]]/[[forward]].
+  * [[backwardSplit]]/[[forwardSplit]] pre-split by a time-range bucket and
+  * stitch: within-bucket carry partitioned on (keys, bucket), then a
+  * bucket-boundary fix-up from a per-(key, bucket) tail summary — the
+  * summary is one row per key-bucket, so the stitch join never re-serializes
+  * the hot key. Results are identical to the unsplit plan (property-tested).
   */
 object AsofJoin {
 
@@ -57,6 +61,84 @@ object AsofJoin {
       tsCol: String, payloadCols: Seq[String],
       prefix: String = "asof_"): DataFrame =
     carry(left, right, keys, tsCol, payloadCols, prefix, fromFuture = true)
+
+  /** Skew-resistant [[backward]]: both sides gain `bucketExpr` (any
+    * expression over the side's columns that is MONOTONE in `tsCol` —
+    * e.g. `floor(col("ts") / 86400)` for daily buckets over epoch seconds),
+    * the carry window partitions on (keys, bucket) so a hot key spreads
+    * over as many tasks as it has buckets, and left rows with no preceding
+    * right row in their OWN bucket take the latest right row from any
+    * earlier bucket via the tail summary. Choose the bucket width so
+    * hot-key-rows / bucket fits a task; at 100 TB that's the difference
+    * between one straggler pinning the stage and an even spread. */
+  def backwardSplit(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payloadCols: Seq[String],
+      bucketExpr: org.apache.spark.sql.Column,
+      prefix: String = "asof_"): DataFrame =
+    carrySplit(left, right, keys, tsCol, payloadCols, bucketExpr, prefix,
+      fromFuture = false)
+
+  /** Skew-resistant [[forward]] — mirror of [[backwardSplit]]: the fix-up
+    * takes the EARLIEST right row from any later bucket. */
+  def forwardSplit(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payloadCols: Seq[String],
+      bucketExpr: org.apache.spark.sql.Column,
+      prefix: String = "asof_"): DataFrame =
+    carrySplit(left, right, keys, tsCol, payloadCols, bucketExpr, prefix,
+      fromFuture = true)
+
+  private def carrySplit(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payloadCols: Seq[String],
+      bucketExpr: org.apache.spark.sql.Column, prefix: String,
+      fromFuture: Boolean): DataFrame = {
+    val Bkt = "_asof_bkt"
+    val lb = left.withColumn(Bkt, bucketExpr)
+    val rb = right.withColumn(Bkt, bucketExpr)
+    val matchFields = tsCol +: payloadCols
+
+    // pass 1: the ordinary carry, partitioned on (keys, bucket) — the skew
+    // split. The fix-up below replaces the WHOLE matched row or none, never
+    // stitching fields from different right rows (same atomicity contract
+    // as the base plan).
+    val within = carry(lb, rb, keys :+ Bkt, tsCol, payloadCols, prefix,
+      fromFuture)
+
+    // per-(key, bucket) tail: the right row a later (earlier, if forward)
+    // bucket would inherit. max/min of the match struct orders by its first
+    // field — the timestamp — so this is "latest/earliest right row in the
+    // bucket" without a second window. One row per key-bucket: tiny.
+    val tailAgg =
+      if (fromFuture) min(struct(matchFields.map(col): _*))
+      else max(struct(matchFields.map(col): _*))
+    val tails = rb.groupBy((keys :+ Bkt).map(col): _*).agg(tailAgg.as("_tail"))
+
+    // every bucket either side touches, with the carry-in each inherits:
+    // the last tail among STRICTLY earlier buckets (later, if forward)
+    val allBuckets = lb.select((keys :+ Bkt).map(col): _*)
+      .union(rb.select((keys :+ Bkt).map(col): _*)).distinct()
+    val bktOrder = if (fromFuture) col(Bkt).desc else col(Bkt).asc
+    val wPrev = Window.partitionBy(keys.map(col): _*).orderBy(bktOrder)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIns = allBuckets
+      .join(tails, keys :+ Bkt, "left")
+      .select((keys :+ Bkt).map(col) :+
+        last(col("_tail"), ignoreNulls = true).over(wPrev).as("_in"): _*)
+
+    // fix-up: a left row unmatched within its bucket takes the whole
+    // inherited struct. The join key includes the bucket, so even this
+    // stitch never re-serializes a hot key; carryIns is one row per
+    // key-bucket, so AQE broadcasts it whenever it is small.
+    val withinMatch = struct(
+      matchFields.map(c => col(s"$prefix$c").as(c)): _*)
+    val hasWithin = col(s"$prefix$tsCol").isNotNull
+    val resolved = within
+      .join(carryIns, keys :+ Bkt, "left")
+      .withColumn("_m", when(hasWithin, withinMatch).otherwise(col("_in")))
+    val leftExtra = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    resolved.select(
+      (keys :+ tsCol).map(col) ++ leftExtra.map(col) ++
+        matchFields.map(c => col("_m").getField(c).as(s"$prefix$c")): _*)
+  }
 
   private def carry(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payloadCols: Seq[String], prefix: String,

@@ -91,4 +91,47 @@ class AsofJoinSpec extends SparkSpec {
       .select("trade_id", "asof_ts", "asof_px")
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
+
+  // ---- skew pre-split variants ----
+
+  private def normalize(df: org.apache.spark.sql.DataFrame) =
+    df.select("trade_id", "asof_ts", "asof_px").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1).toSeq
+
+  test("backwardSplit/forwardSplit equal the unsplit plans (incl. boundaries)") {
+    // bucket width 16 puts quotes and trades in different buckets — the
+    // carry-in stitch is exercised, not just the within-bucket path
+    val bkt = floor(col("ts") / 16)
+    assert(normalize(AsofJoin.backwardSplit(
+        trades, quotes, Seq("sym"), "ts", Seq("px"), bkt)) ==
+      normalize(AsofJoin.backward(trades, quotes, Seq("sym"), "ts", Seq("px"))))
+    assert(normalize(AsofJoin.forwardSplit(
+        trades, quotes, Seq("sym"), "ts", Seq("px"), bkt)) ==
+      normalize(AsofJoin.forward(trades, quotes, Seq("sym"), "ts", Seq("px"))))
+  }
+
+  test("split: one pathological key spreads over buckets and stays correct") {
+    // ONE key holds every row — the unsplit plan serializes this into a
+    // single window task; the split plan's exchange must partition on
+    // (key, bucket) so the hot key fans out
+    val n = 20000
+    val hotL = spark.range(n).select(col("id").as("trade_id"),
+      lit("HOT").as("sym"), (col("id") * 3 + 1).as("ts"), lit(1.0).as("qty"))
+    val hotR = spark.range(n / 10).select(lit("HOT").as("sym"),
+      (col("id") * 30).as("ts"), col("id").cast("double").as("px"))
+    val bkt = floor(col("ts") / 1000)
+    val split = AsofJoin.backwardSplit(hotL, hotR, Seq("sym"), "ts",
+      Seq("px"), bkt)
+    val base = AsofJoin.backward(hotL, hotR, Seq("sym"), "ts", Seq("px"))
+    // correctness under skew: identical to the unsplit plan
+    assert(split.exceptAll(base).isEmpty && base.exceptAll(split).isEmpty)
+    // the within-carry exchange partitions on the bucket column — the hot
+    // key is no longer a single hash partition
+    val plan = split.queryExecution.executedPlan.toString
+    assert(plan.contains("_asof_bkt"))
+    assert(plan.contains("hashpartitioning(sym"))
+  }
 }
