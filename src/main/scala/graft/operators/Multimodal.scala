@@ -35,6 +35,60 @@ object Multimodal {
     MediaMeta(kind = "fake", width = 64 + (n % 577), height = 64 + (n % 433), nBytes = n.toLong)
   }
 
+  /** Pluggable codec: the one seam between the Spark plumbing (schema,
+    * batching, partition shape — all real) and the media library. Must be
+    * Serializable (it ships inside task closures) and row-wise
+    * deterministic, or downstream hashes stop being reproducible. */
+  trait Codec extends Serializable {
+    def meta(payload: Array[Byte]): MediaMeta
+    def feature(payload: Array[Byte], dims: Int = 8): Array[Float]
+  }
+
+  /** The deterministic fake (default; what the q27 oracle replays). */
+  object StubCodec extends Codec {
+    def meta(payload: Array[Byte]): MediaMeta = decodeStub(payload)
+    def feature(payload: Array[Byte], dims: Int): Array[Float] =
+      featureStub(payload, dims)
+  }
+
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP — no extra
+    * dependency): actual pixel dimensions, and the feature is an
+    * L1-normalized `dims`-bucket luminance histogram over the decoded
+    * pixels — the stub's shape computed from real image content. Proves the
+    * plumbing end-to-end on genuine bytes; a malformed payload throws
+    * (fail the row loudly rather than emit fake metadata for real media). */
+  object ImageIoCodec extends Codec {
+    private def read(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"payload (${payload.length} bytes) is not a decodable image")
+      img
+    }
+    def meta(payload: Array[Byte]): MediaMeta = {
+      val img = read(payload)
+      MediaMeta("image", img.getWidth, img.getHeight, payload.length.toLong)
+    }
+    def feature(payload: Array[Byte], dims: Int): Array[Float] = {
+      val img = read(payload)
+      val counts = new Array[Float](dims)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000 // integer Rec.601 luma, 0..255
+          counts(lum * dims / 256) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val total = math.max(counts.sum, 1f)
+      counts.map(_ / total)
+    }
+  }
+
   /** Deterministic fake feature extraction: a tiny byte histogram (8 buckets),
     * L1-normalized — the shape a real embedding/feature UDF would produce. */
   def featureStub(payload: Array[Byte], dims: Int = 8): Array[Float] = {
@@ -45,14 +99,16 @@ object Multimodal {
   }
 
   /** Batch decode: the Scala analogue of `mapInPandas` — per-partition iterator
-    * transform, zero driver involvement, preserves partitioning. */
-  def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    * transform, zero driver involvement, preserves partitioning. Pass
+    * [[ImageIoCodec]] for real PNG/JPEG payloads; the default stub keeps
+    * the oracle fixtures (text-as-bytes) decodable. */
+  def decode(media: Dataset[MediaRow], codec: Codec = StubCodec): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val m = decodeStub(r.payload)
+        val m = codec.meta(r.payload)
         DecodedRow(r.media_id, r.kind, m.width, m.height, m.nBytes,
-          featureStub(r.payload))
+          codec.feature(r.payload))
       }
     }
   }

@@ -72,25 +72,85 @@ object Similarity {
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
 
   /** Build the inverted file: every corpus vector assigned to its nearest
-    * centroid (ties → smallest cid). Deterministic seed centroids (first
-    * `nlist` ids) keep it oracle-replayable; swap in trained centroids
-    * without changing shape. */
+    * centroid (ties → smallest cid). Default centroids are the
+    * deterministic seed scheme (first `nlist` ids) — oracle-replayable;
+    * pass `centroids` (e.g. from [[trainCentroids]]) for a quality index
+    * with the identical plan shape. */
   def ivfIndex(corpus: DataFrame, nlist: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): IvfIndex = {
-    val cent = corpus.where(col(idCol) < nlist)
-      .select(col(idCol).as("cid"), col(vecCol).as("cent_vec"))
+      vecCol: String = "embedding",
+      centroids: Option[DataFrame] = None): IvfIndex = {
+    val cent = centroids.getOrElse(corpus.where(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cent_vec")))
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        Vectors.l2Norm(col(vecCol)).as("c_norm")), cent)
+    IvfIndex(assigned, cent)
+  }
+
+  /** Nearest-centroid assignment (ties → smallest cid): broadcast the tiny
+    * centroid table, score per (vector, centroid), keep the argmax row.
+    * Shared by the index build and the k-means training loop. */
+  private def assignCells(vectors: DataFrame, cent: DataFrame): DataFrame = {
     val byCell = Window.partitionBy("neighbor_id")
       .orderBy(col("cs").desc, col("cid").asc)
-    val assigned = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-        Vectors.l2Norm(col(vecCol)).as("c_norm"))
+    vectors
       .join(broadcast(cent), lit(true))
       .withColumn("cs", Vectors.dot(col("c_vec"), col("cent_vec")) /
         (col("c_norm") * Vectors.l2Norm(col("cent_vec"))))
       .withColumn("rn", row_number().over(byCell))
       .where(col("rn") === 1)
       .select("neighbor_id", "c_vec", "c_norm", "cid")
-    IvfIndex(assigned, cent)
+  }
+
+  /** k-means centroid training for the IVF index: deterministic hash-based
+    * sample (≤ `sampleCap` vectors), hash-ranked init, then `iters` Lloyd
+    * rounds of assign → element-wise mean, everything as DataFrame ops.
+    *
+    * Scale shape: training runs on the SAMPLE (one pass over the corpus to
+    * cut it, then each round touches ≤ sampleCap rows); the mean is a
+    * posexplode → groupBy(cid, dim) → avg — (nlist × dims) rows, never a
+    * per-cell collect. Cells that lose every member keep their previous
+    * centroid. The result broadcasts into [[ivfIndex]] exactly like the
+    * seed table, so the index/search plans are untouched. Cosine-metric
+    * assignment pairs with mean centroids (spherical k-means would
+    * renormalize; the un-normalized mean ranks identically under the
+    * cosine used at probe time for these magnitudes and keeps the math in
+    * one place). */
+  def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
+      sampleCap: Int = 10000, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.Hashing
+    val n = corpus.count()
+    val every = math.max(1L, n / sampleCap)
+    val sampled = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        Vectors.l2Norm(col(vecCol)).as("c_norm"),
+        Hashing.stableHash(col(idCol).cast("string")).as("_h"))
+      .where(pmod(col("_h"), lit(every)) === 0)
+    // init: the nlist hash-smallest sampled vectors (deterministic, and the
+    // hash scatters them across the corpus rather than taking one id range)
+    var cent = graft.core.CacheScope.persist(
+      sampled.orderBy(col("_h"), col("neighbor_id")).limit(nlist)
+        .select((row_number().over(Window.orderBy(col("_h"), col("neighbor_id"))) - 1)
+          .as("cid"), col("c_vec").as("cent_vec")))
+    val train = graft.core.CacheScope.persist(sampled.drop("_h"))
+    for (_ <- 1 to iters) {
+      val means = assignCells(train, cent)
+        .select(col("cid"), posexplode(col("c_vec")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m"))
+          // match the corpus element type so the probe-time dot product
+          // sees the same array type as the seed-centroid path
+          .cast(corpus.schema(vecCol).dataType).as("new_vec"))
+      cent = graft.core.CacheScope.persist(
+        cent.join(means, Seq("cid"), "left")
+          .select(col("cid"),
+            coalesce(col("new_vec"), col("cent_vec")).as("cent_vec")))
+      cent.count() // materialize: each round feeds the next's broadcast
+    }
+    cent
   }
 
   /** Probe an IVF index: query → `nprobe` nearest cells → exact cosine

@@ -27,6 +27,10 @@ class GoldenSpec extends SparkSpec {
     val md = MessageDigest.getInstance("MD5")
     rendered.foreach(r => md.update(r.getBytes("UTF-8")))
     md.update(df.columns.mkString(",").getBytes("UTF-8"))
+    // owner-side drain per query: queries sharing persisted sub-plans
+    // (q43/q49) would otherwise trip CacheManager plan-match collisions
+    // inside this single test
+    graft.core.CacheScope.drain()
     md.digest().map("%02x".format(_)).mkString
   }
 

@@ -174,6 +174,38 @@ class SimilaritySpec extends SparkSpec {
       .subsetOf(Set(1, 2, 3))))
   }
 
+  test("trained IVF centroids: recall at restricted nprobe >= seed centroids") {
+    // clustered corpus (what IVF training exists to exploit; the parquet
+    // embeddings are directionless noise, where any space partition is as
+    // good as any other): 8 deterministic pseudo-random centers, 250
+    // points each, ±10% jitter. All generated in-engine from stableHash31
+    // so the test is exactly reproducible.
+    def pseudo(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      Hashing.stableHash31(s).cast("double") / lit(Hashing.P.toDouble) - 0.5
+    val emb = spark.range(2000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), d =>
+        // contiguous 250-row blocks per cluster: the seed scheme's "first
+        // nlist ids" all land in cluster 0 — the arbitrary-range failure
+        // mode training exists to fix
+        (pseudo(concat_ws("_", floor(col("id") / 250), lit("c"), d)) +
+          pseudo(concat_ws("_", col("id"), lit("j"), d)) * lit(0.2)).cast("float"))
+        .as("embedding"))
+    val queries = emb.where(col("vec_id") < 16)
+    val (k, nlist, nprobe) = (5, 8, 2)
+    val truth = Similarity.bruteForceTopK(emb, queries, k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(index: Similarity.IvfIndex): Double = {
+      val got = Similarity.ivfSearch(index, queries, k, nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val seed = recall(Similarity.ivfIndex(emb, nlist))
+    val trained = recall(Similarity.ivfIndex(emb, nlist,
+      centroids = Some(Similarity.trainCentroids(emb, nlist, iters = 3))))
+    assert(trained >= seed, s"trained recall $trained < seed recall $seed")
+    assert(trained > 0.8, s"trained recall $trained not useful") // must recover the clusters
+  }
+
   test("planeWeight matches the in-engine md5 derivation") {
     import spark.implicits._
     val fromSql = Seq("0_0", "0_1", "5_63").toDF("s")
@@ -322,6 +354,35 @@ class MultimodalSpec extends SparkSpec {
     val decoded = Multimodal.decode(Multimodal.fromDocuments(spark, docs)).collect()
     assert(decoded.length == 10)
     assert(decoded.forall(_.n_bytes > 0))
+  }
+
+  test("ImageIoCodec: real generated PNGs decode through the distributed path") {
+    import spark.implicits._
+    // render real PNGs in memory: id 1 → 20x10 all-black, id 2 → 5x8 all-white
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png(20, 10, 0x000000)),
+      Multimodal.MediaRow(2L, "image", png(5, 8, 0xffffff))).toDS()
+    val out = Multimodal.decode(media, Multimodal.ImageIoCodec)
+      .collect().sortBy(_.media_id)
+    assert(out.map(r => (r.width, r.height)).toSeq == Seq((20, 10), (5, 8)))
+    // luminance histogram: black → all mass in bucket 0, white → bucket 7
+    assert(math.abs(out(0).feature(0) - 1f) < 1e-6)
+    assert(math.abs(out(1).feature(7) - 1f) < 1e-6)
+    assert(out.forall(r => math.abs(r.feature.sum - 1f) < 1e-5))
+    // non-image bytes fail loudly instead of producing fake metadata
+    val bad = Seq(Multimodal.MediaRow(3L, "image", Array[Byte](1, 2, 3))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decode(bad, Multimodal.ImageIoCodec).collect()
+    }
+    assert(e.getMessage != null)
   }
 }
 
