@@ -409,12 +409,14 @@ object QueryCatalog {
       count(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY 1"""))
 
-  private def minhashOracle(numHashes: Int, bands: Int): String = {
+  /** The minhash-LSH candidate CTE chain (ends in `cand`), shared by the q19
+    * oracle and the q57 cluster-closure oracle. */
+  private def minhashCtes(numHashes: Int, bands: Int): String = {
     val rowsPer = numHashes / bands
     val sigTerms = Hashing.minhashCoeffs(numHashes).map { case (a, b) =>
       s"list_min(list_transform(hh, h -> ($a * h + $b) % 2147483647))"
     }.mkString("[", ", ", "]")
-    s"""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
       sh AS (SELECT doc_id,
         list_transform(range(1, greatest(len(t) - 2, 1) + 1),
           i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS shs FROM toks),
@@ -431,9 +433,12 @@ object QueryCatalog {
             i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $numHashes AS est_jaccard
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-        WHERE a.doc_id < b.doc_id)
-      SELECT id_a, id_b, est_jaccard FROM cand ORDER BY id_a, id_b"""
+        WHERE a.doc_id < b.doc_id)"""
   }
+
+  private def minhashOracle(numHashes: Int, bands: Int): String =
+    s"""WITH ${minhashCtes(numHashes, bands)}
+      SELECT id_a, id_b, est_jaccard FROM cand ORDER BY id_a, id_b"""
 
   /** MinHash + LSH near-dup candidates: per-row signatures (narrow, no
     * explode), band-bucket self-join (shuffle only on band hash). */
@@ -856,12 +861,17 @@ object QueryCatalog {
     (s, dir) => {
       val ev = t(s, dir, "events")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // both sides derive from the same scan — alias-qualify the key or the
+      // analyzer logs a "trivially true predicate" self-join warning while
+      // disambiguating
       val clicks = ev.where(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+        .alias("c")
       val views = ev.where(col("event_type") === "view")
         .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+        .alias("v")
       clicks.join(views,
-          clicks("user_id") === views("user_id") &&
+          col("c.user_id") === col("v.user_id") &&
             col("v_ts") >= col("c_ts") - expr("INTERVAL 2 hours") &&
             col("v_ts") <= col("c_ts"))
         .select(col("click_id"), col("view_id"))
@@ -1412,6 +1422,132 @@ object QueryCatalog {
         ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.event_id"""))
 
+  /** The full production dedup pipeline composed end-to-end: MinHash-LSH
+    * candidate pairs above a similarity threshold become edges, connected
+    * components turn pairwise similarity into transitive duplicate CLUSTERS,
+    * and each doc gets its verdict — cluster id, keeper flag (min id wins),
+    * cluster size. This is the droplist generator a 100 TB curation run
+    * actually executes; q19/q43 verify the stages, this verifies the splice.
+    * Oracle: the q19 candidate CTEs + a recursive reachability closure. */
+  private val q57 = QuerySpec(
+    "q57_dedup_clusters",
+    (s, dir) => {
+      import graft.operators.Components
+      val edges = Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16)
+        .where(col("est_jaccard") >= 0.5)
+      val comp = Components.connectedComponents(edges, "id_a", "id_b")
+      val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "comp")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+          (col("id") === col("comp")).as("is_keeper"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE ${minhashCtes(numHashes = 32, bands = 16)},
+      close_pairs AS (SELECT id_a, id_b FROM cand WHERE est_jaccard >= 0.5),
+      und AS (SELECT id_a AS a, id_b AS b FROM close_pairs
+        UNION SELECT id_b, id_a FROM close_pairs),
+      walk(id, comp) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.a, w.comp FROM und u JOIN walk w ON w.id = u.b),
+      membership AS (SELECT id, min(comp) AS component FROM walk GROUP BY 1),
+      sizes AS (SELECT component, count(*) AS cluster_size FROM membership
+        GROUP BY 1)
+      SELECT m.id AS doc_id, m.component AS cluster_id,
+        m.id = m.component AS is_keeper, s.cluster_size
+      FROM membership m JOIN sizes s ON s.component = m.component
+      ORDER BY doc_id"""))
+
+  /** Top-3 TF-IDF keywords per document ([[TextAnalysis.tfIdfTopK]]) —
+    * ranking happens on the ROUNDED score (ln differs by ulps across libm
+    * implementations), ties on the token. Plan-audited for the map-side
+    * WindowGroupLimit rank pushdown. */
+  private val q58 = QuerySpec(
+    "q58_tfidf_keywords",
+    (s, dir) => TextAnalysis
+      .tfIdfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("rn")),
+    Some("""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      tot AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (SELECT doc_id, tok, tf, df,
+          round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN tot),
+      ranked AS (SELECT *, row_number() OVER
+          (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn FROM scored)
+      SELECT doc_id, tok, tf, df, tfidf, rn FROM ranked WHERE rn <= 3
+      ORDER BY doc_id, rn"""))
+
+  /** Intra-document repetition stats ([[TextAnalysis.repetitionStats]]) —
+    * the Gopher-style degenerate-text cut (distinct-token ratio, top-token
+    * share). */
+  private val q59 = QuerySpec(
+    "q59_repetition_stats",
+    (s, dir) => TextAnalysis
+      .repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""WITH tf AS (SELECT doc_id, tok, count(*) AS cnt FROM
+        (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+      GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        count(*) AS n_distinct,
+        round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS distinct_ratio,
+        round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_token_share
+      FROM tf GROUP BY 1 ORDER BY 1"""))
+
+  /** The chained per-iteration PageRank CTEs for the q60 oracle — the
+    * fixed-iteration recurrence unrolled (aggregates aren't allowed in a
+    * recursive term, and a fixed unroll is the determinism contract anyway).
+    * Every arithmetic step mirrors [[graft.operators.Components.pageRank]]
+    * in double precision, including computing 1 - damping rather than
+    * inlining the decimal constant. */
+  private def pageRankOracle(iters: Int): String = {
+    val chain = (1 to iters).map { i =>
+      s"""c$i AS (SELECT und.b AS id, sum(r${i - 1}.rank / deg.outdeg) AS in_sum
+          FROM und JOIN r${i - 1} ON r${i - 1}.id = und.a
+            JOIN deg ON deg.src = und.a
+          GROUP BY 1),
+        r$i AS (SELECT n.id,
+            (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / t.n
+              + CAST(0.85 AS DOUBLE) * coalesce(c$i.in_sum, CAST(0 AS DOUBLE))
+              AS rank
+          FROM nodes n CROSS JOIN tot t LEFT JOIN c$i ON c$i.id = n.id)"""
+    }.mkString(",\n      ")
+    s"""WITH ${simhashPairsSql(maxHamming = 1, bands = 2)},
+      und AS (SELECT id_a AS a, id_b AS b FROM close_pairs
+        UNION SELECT id_b, id_a FROM close_pairs),
+      deg AS (SELECT a AS src, count(*) AS outdeg FROM und GROUP BY 1),
+      nodes AS (SELECT DISTINCT a AS id FROM und),
+      tot AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT id, CAST(1 AS DOUBLE) / t.n AS rank FROM nodes, tot t),
+      $chain
+      SELECT id AS doc_id, round(rank, 8) AS pagerank
+      FROM r$iters ORDER BY doc_id"""
+  }
+
+  /** Fixed-iteration PageRank over the simhash near-dup graph
+    * ([[graft.operators.Components.pageRank]]) — graph-centrality weighting
+    * as a curation signal; the most-linked exemplar of each dup cluster
+    * ranks highest. Both edge directions fed (undirected similarity). */
+  private val q60 = QuerySpec(
+    "q60_pagerank",
+    (s, dir) => {
+      import graft.operators.Components
+      val pairs = Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 1, bands = 2)
+      val und = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b"), col("id_a")))
+      Components.pageRank(und, "src", "dst", iters = 5, damping = 0.85)
+        .select(col("id").as("doc_id"), round(col("rank"), 8).as("pagerank"))
+        .orderBy(col("doc_id"))
+    },
+    Some(pageRankOracle(iters = 5)))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -1420,5 +1556,5 @@ object QueryCatalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
 }

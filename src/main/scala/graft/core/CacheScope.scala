@@ -18,45 +18,80 @@ import org.apache.spark.storage.StorageLevel
   * operator may have meanwhile dropped.
   *
   * The contract: operators persist through [[persist]]; whoever owns the
-  * session (Verify, Bench, a test suite, a user's driver program) calls
+  * query (Verify, Bench, a test suite, a user's driver program) calls
   * [[drain]] once the query's terminal action has consumed the result.
   * Draining between queries keeps the CacheManager empty across query
   * boundaries — exactly the isolation a long-lived cluster session needs.
   * (At warehouse scale the same role is played by writing the intermediate
   * to parquet once; this registry is the in-session twin.)
+  *
+  * Registrations are scoped PER THREAD: a query is built and drained on one
+  * thread (the normal Spark driver pattern — one thread per concurrent
+  * query), and [[drain]] releases only the calling thread's registrations.
+  * Concurrent query threads therefore cannot release each other's in-flight
+  * persists — which matters most for [[onDrain]] cleanups (checkpoint
+  * releases), whose results are NOT recompute-safe. A thread that exits
+  * without draining leaks its scope until [[drainAll]]; call that once at
+  * session shutdown.
   */
 object CacheScope {
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-  private val cleanups = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+  private final class Scope {
+    val live = new java.util.ArrayDeque[DataFrame]()
+    val cleanups = new java.util.ArrayDeque[() => Unit]()
+  }
+  private val scopes = new java.util.concurrent.ConcurrentHashMap[Long, Scope]()
 
-  /** Persist `df` and register it for the next [[drain]]. */
+  private def current(): Scope =
+    scopes.computeIfAbsent(Thread.currentThread().getId, _ => new Scope)
+
+  /** Persist `df` and register it for the calling thread's next [[drain]]. */
   def persist(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val p = df.persist(level)
-    live.add(p)
+    current().live.add(p)
     p
   }
 
-  /** Register an arbitrary release thunk for the next [[drain]] — for
-    * storage a plain `DataFrame.unpersist` can't free (localCheckpoint
-    * blocks, which bypass the CacheManager). A checkpoint-backed result is
-    * INVALID after its cleanup runs (lineage is truncated, it cannot
-    * recompute), so owners must be completely done with query results
-    * before draining. */
-  def onDrain(f: () => Unit): Unit = cleanups.add(f)
+  /** Register an arbitrary release thunk for the calling thread's next
+    * [[drain]] — for storage a plain `DataFrame.unpersist` can't free
+    * (localCheckpoint blocks, which bypass the CacheManager). A
+    * checkpoint-backed result is INVALID after its cleanup runs (lineage is
+    * truncated, it cannot recompute), so the owning thread must be
+    * completely done with query results before draining. */
+  def onDrain(f: () => Unit): Unit = current().cleanups.add(f)
 
-  /** Unpersist every registered frame (non-blocking), run every registered
-    * cleanup, and empty the registry. Call after the terminal action of the
-    * query that caused the persists. A plain-persisted result consumed
-    * later recomputes (correct, just uncached); a checkpoint-backed one is
-    * gone — see [[onDrain]]. */
-  def drain(): Unit = {
-    var df = live.poll()
-    while (df != null) { df.unpersist(blocking = false); df = live.poll() }
-    var f = cleanups.poll()
-    while (f != null) { f(); f = cleanups.poll() }
+  private def release(s: Scope): Unit = {
+    var df = s.live.poll()
+    while (df != null) { df.unpersist(blocking = false); df = s.live.poll() }
+    var f = s.cleanups.poll()
+    while (f != null) { f(); f = s.cleanups.poll() }
   }
 
-  /** Registered-but-not-yet-drained count (test / monitoring hook). */
-  def pending: Int = live.size() + cleanups.size()
+  /** Unpersist every frame registered by the CALLING thread (non-blocking),
+    * run its registered cleanups, and empty its scope. Call after the
+    * terminal action of the query that caused the persists. A plain-persisted
+    * result consumed later recomputes (correct, just uncached); a
+    * checkpoint-backed one is gone — see [[onDrain]]. Other threads'
+    * registrations are untouched. */
+  def drain(): Unit = {
+    val s = scopes.remove(Thread.currentThread().getId)
+    if (s != null) release(s)
+  }
+
+  /** Release EVERY thread's registrations — session-shutdown sweep for
+    * scopes leaked by threads that exited without draining. Only safe when
+    * no query is in flight on any thread. */
+  def drainAll(): Unit = {
+    val it = scopes.keySet().iterator()
+    while (it.hasNext) {
+      val s = scopes.remove(it.next())
+      if (s != null) release(s)
+    }
+  }
+
+  /** Calling thread's registered-but-not-yet-drained count (test hook). */
+  def pending: Int = {
+    val s = scopes.get(Thread.currentThread().getId)
+    if (s == null) 0 else s.live.size() + s.cleanups.size()
+  }
 }

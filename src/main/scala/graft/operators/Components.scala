@@ -163,4 +163,51 @@ object Components {
   def keepers(components: DataFrame): DataFrame =
     components.groupBy("comp")
       .agg(min("id").as("keeper_id"), count(lit(1)).as("cluster_size"))
+
+  /** Fixed-iteration PageRank over a directed edge list — graph-centrality
+    * weighting for corpus curation (link-graph importance is a standard
+    * quality signal for web-crawl training data; over a near-dup similarity
+    * graph it surfaces the most-connected exemplars of each cluster).
+    *
+    * rank_i(v) = (1-d)/N + d * Σ_{u→v} rank_{i-1}(u) / outdeg(u), run for
+    * exactly `iters` rounds from the uniform 1/N start — a deterministic
+    * linear computation (same fixed point path every run/engine, so a SQL
+    * oracle can value-check it), unlike converge-to-epsilon formulations.
+    *
+    * Scale shape per round: one equi-join of edges to the current ranks
+    * (shuffle keyed on src) + one groupBy(dst) sum with map-side partial
+    * aggregation — (long, double) pairs only. Edges, degrees, and the node
+    * set are CacheScope-persisted once; the rank chain itself is linear
+    * (each round consumed exactly once), so it needs no materialization.
+    * For undirected graphs pass both edge directions; callers feeding
+    * digraphs with sinks should note dangling mass is dropped (ranks then
+    * sum below 1 — the usual simplification). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val e = graft.core.CacheScope.persist(edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")))
+    val deg = graft.core.CacheScope.persist(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val nodes = graft.core.CacheScope.persist(
+      e.select(col("src").as("id")).union(e.select(col("dst"))).distinct())
+    val total = nodes.agg(count(lit(1)).as("n"))
+    // teleport written as (1.0 - damping), NOT the pre-computed constant:
+    // the SQL oracle computes 1 - 0.85 in double too, so both engines get
+    // the identical (1-ulp-off-from-decimal) bit pattern
+    val teleport = (lit(1.0) - lit(damping)) / col("n")
+    var ranks = nodes.crossJoin(broadcast(total))
+      .select(col("id"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
+      ranks = nodes.crossJoin(broadcast(total))
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (teleport + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
 }

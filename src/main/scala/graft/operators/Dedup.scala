@@ -20,6 +20,19 @@ import graft.functions.{Hashing, WordShingles}
 object Dedup {
   import Hashing.P
 
+  /** Apply an optional join-strategy hint ("shuffle_hash", "merge", …) to one
+    * side of a self-join; None leaves strategy choice to Catalyst/AQE. */
+  private def hinted(df: DataFrame, hint: Option[String]): DataFrame =
+    hint.fold(df)(df.hint(_))
+
+  /** Anti-join `index` against a (small-by-construction) hot-key set.
+    * `broadcastHot = true` pins the map-side-lookup plan; on a
+    * boilerplate-heavy corpus where the hot set might exceed driver/broadcast
+    * limits, pass false and AQE picks the strategy from the measured size. */
+  private def cullHot(index: DataFrame, hot: DataFrame,
+      broadcastHot: Boolean): DataFrame =
+    index.join(if (broadcastHot) broadcast(hot) else hot, Seq("sh"), "left_anti")
+
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word n-gram shingles (a doc shorter than n yields its full token string
@@ -103,7 +116,8 @@ object Dedup {
     * of matching signature positions. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 32,
-      bands: Int = 8, maxBucketSize: Option[Int] = None): DataFrame = {
+      bands: Int = 8, maxBucketSize: Option[Int] = None,
+      joinHint: Option[String] = Some("shuffle_hash")): DataFrame = {
     val rowsPerBand = numHashes / bands
     // persist: signatures feed the banding AND the two signature joins at the
     // end. Registered with CacheScope so the session owner releases the
@@ -133,11 +147,14 @@ object Dedup {
         banded.withColumn("_bs", count(lit(1)).over(w))
           .where(col("_bs") <= cap).drop("_bs")
     }
-    // shuffle_hash: pins the bucket-join shape (hash-partition on the band
-    // key) — AQE would broadcast the whole banded table at test scale,
-    // which is slower even there and unbuildable at corpus scale
-    val pairs = b.as("l").hint("shuffle_hash")
-      .join(b.as("r").hint("shuffle_hash"), Seq("band_idx", "band_hash"))
+    // shuffle_hash (default): pins the bucket-join shape (hash-partition on
+    // the band key) — AQE would broadcast the whole banded table at test
+    // scale, which is slower even there and unbuildable at corpus scale.
+    // maxBucketSize is what bounds a bucket partition's hash build; if a
+    // corpus must run uncapped with mega-buckets, pass joinHint = None
+    // (AQE + skew-join) or Some("merge") (sort-merge spills instead of OOM).
+    val pairs = hinted(b.as("l"), joinHint)
+      .join(hinted(b.as("r"), joinHint), Seq("band_idx", "band_hash"))
       .where(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
@@ -198,7 +215,9 @@ object Dedup {
     * n-grams) are the skew risk — mitigated by dropping shingles that appear in
     * more than `maxDocFreq` docs (standard df-cut, also improves precision). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minJaccard: Double = 0.5, maxDocFreq: Long = 100): DataFrame = {
+      n: Int = 3, minJaccard: Double = 0.5, maxDocFreq: Long = 100,
+      broadcastHot: Boolean = true,
+      joinHint: Option[String] = Some("shuffle_hash")): DataFrame = {
     // persist the exploded inverted index ONCE: the hot-shingle aggregate,
     // the per-doc size aggregate, and both self-join sides all read it, and
     // each would otherwise re-run the full scan+shingle explode.
@@ -215,18 +234,21 @@ object Dedup {
     // construction (≤ total shingle occurrences / maxDocFreq), so the
     // anti-join broadcasts — a cheap map-side lookup each consumer repeats
     // against the cached index; on a boilerplate-heavy corpus where the hot
-    // set isn't small, drop the hint and let AQE pick at runtime.
+    // set isn't small, pass broadcastHot = false and AQE picks at runtime.
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq).select("sh")
-    val filtered = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val filtered = cullHot(sh, hot, broadcastHot)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    // shuffle_hash, NOT broadcast: AQE sees a sub-threshold build side at
-    // test scale and picks BHJ, but building+shipping the ENTIRE inverted
-    // index as a broadcast relation is 3× slower even here and impossible
-    // at corpus scale — the hint pins the plan that's right at every size
-    // (hash-partition both sides on the shingle, join within buckets).
-    val pairs = filtered.as("a").hint("shuffle_hash")
-      .join(filtered.as("b").hint("shuffle_hash"), "sh")
+    // shuffle_hash (default), NOT broadcast: AQE sees a sub-threshold build
+    // side at test scale and picks BHJ, but building+shipping the ENTIRE
+    // inverted index as a broadcast relation is 3× slower even here and
+    // impossible at corpus scale — the hint pins the hash-partition-on-
+    // shingle bucket join. The df-cut is what bounds a bucket's in-memory
+    // hash build; running with a huge maxDocFreq (or pathological residual
+    // skew) is what joinHint = None (AQE skew-split) or Some("merge")
+    // (spillable sort-merge) is for.
+    val pairs = hinted(filtered.as("a"), joinHint)
+      .join(hinted(filtered.as("b"), joinHint), "sh")
       .where(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
@@ -287,14 +309,16 @@ object Dedup {
     * join's skew risk. */
   def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String,
-      n: Int = 5, minShared: Long = 5, maxDocFreq: Long = 1000): DataFrame = {
+      n: Int = 5, minShared: Long = 5, maxDocFreq: Long = 1000,
+      broadcastHot: Boolean = true): DataFrame = {
     val corpusSh = corpus.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), n))).as("sh"))
     // same aggregated df-cut as [[ngramJaccardPairs]] — the windowed
-    // count-over-shingle formulation has no map-side combine
+    // count-over-shingle formulation has no map-side combine; broadcastHot
+    // = false hands the anti-join strategy to AQE for unbounded hot sets
     val hot = corpusSh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq).select("sh")
-    val culled = corpusSh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val culled = cullHot(corpusSh, hot, broadcastHot)
     val refSh = reference
       .select(explode(array_distinct(shingles(col(refTextCol), n))).as("sh"))
       .distinct()
@@ -313,7 +337,8 @@ object Dedup {
     * Cheapest of the near-dup pair generators: the signature is one long,
     * so the whole pipeline shuffles (id, long) tuples only. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 1, bands: Int = 2): DataFrame = {
+      maxHamming: Int = 1, bands: Int = 2,
+      joinHint: Option[String] = Some("shuffle_hash")): DataFrame = {
     require(SimhashBits % bands == 0, "bands must divide SimhashBits")
     require(maxHamming < bands,
       s"recall guarantee needs maxHamming < bands (got $maxHamming, $bands)")
@@ -328,10 +353,12 @@ object Dedup {
           shiftright(col("sig"), b * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
-    // shuffle_hash: locally neutral (the cost here is the signature agg),
-    // but pins the bucket-join shape that holds when banded can't broadcast
-    banded.as("l").hint("shuffle_hash")
-      .join(banded.as("r").hint("shuffle_hash"), Seq("band_idx", "band_val"))
+    // shuffle_hash (default): locally neutral (the cost here is the
+    // signature agg), but pins the bucket-join shape that holds when banded
+    // can't broadcast; joinHint = None / Some("merge") for corpora where a
+    // single band value floods one bucket past what a hash build tolerates
+    hinted(banded.as("l"), joinHint)
+      .join(hinted(banded.as("r"), joinHint), Seq("band_idx", "band_val"))
       .where(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         hammingDistance(col("l.sig"), col("r.sig")).as("hamming"))

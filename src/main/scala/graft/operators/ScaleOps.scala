@@ -125,7 +125,12 @@ object ScaleOps {
         approx_count_distinct(col(valueCol), rsd).as("est"),
         countDistinct(col(valueCol)).as(s"exact_distinct_$valueCol"))
       .withColumn("within_bound",
-        abs(col("est") - col(s"exact_distinct_$valueCol")).cast("double") /
-          col(s"exact_distinct_$valueCol") <= 3 * rsd)
+        // an all-NULL group has exact = 0; the ratio test would divide by
+        // zero and yield NULL instead of the TRUE the contract promises —
+        // for that group the sketch is in bound iff it also says 0
+        when(col(s"exact_distinct_$valueCol") === 0, col("est") === 0)
+          .otherwise(
+            abs(col("est") - col(s"exact_distinct_$valueCol")).cast("double") /
+              col(s"exact_distinct_$valueCol") <= 3 * rsd))
       .drop("est")
 }

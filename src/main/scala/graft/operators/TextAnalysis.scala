@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
 
@@ -113,4 +114,53 @@ object TextAnalysis {
     PiiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
       regexp_replace(c, pat, tag)
     }
+
+  /** Top-`k` keywords per document by TF-IDF — the classic corpus-level
+    * relevance signal (topic tagging, boilerplate spotting: a "keyword"
+    * with df ≈ N is template text).
+    *
+    * tfidf = tf * ln(N / df), rounded to 6 decimals BEFORE ranking so the
+    * ordering is identical across engines (ln differs by ulps between
+    * libm implementations); residual ties break on the token itself.
+    *
+    * Scale shape: tf = groupBy(doc, token) with map-side combine; df =
+    * second-level aggregate over tf (token-keyed, combine collapses to one
+    * row per distinct token per partition — stopword-heavy corpora skew the
+    * JOIN key, but the build side is post-aggregation df rows, not
+    * occurrences); N broadcasts as a 1-row frame; final per-doc ranking is
+    * a doc-partitioned window whose rank-limit Spark pushes map-side
+    * (WindowGroupLimit — plan-audited). */
+  def tfIdfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("id").orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("id"), col("tok"), col("tf"), col("df"), col("tfidf"), col("rn"))
+  }
+
+  /** Intra-document repetition stats — the Gopher-style quality cut for
+    * degenerate/templated text: `distinct_ratio` (unique tokens / tokens;
+    * low = loops, keyword stuffing) and `top_token_share` (most frequent
+    * token's share; high = one-token spam). Two-level aggregation, both
+    * levels with map-side partial combine; nothing wider than
+    * (id, token, count) ever shuffles. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("id").agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_cnt"))
+      .select(col("id"), col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("distinct_ratio"),
+        round(col("top_cnt").cast("double") / col("n_tokens"), 6)
+          .as("top_token_share"))
 }
