@@ -91,13 +91,23 @@ object Dedup {
     banded
   }
 
-  /** MinHash signatures via explode → codegen'd hash → 32-way min aggregate.
-    * Same values as [[withMinhash]] (min is duplicate- and order-insensitive)
-    * but every hot expression stays inside whole-stage codegen instead of the
-    * interpreted higher-order-function path — ~5× faster per shingle. The
-    * groupBy(id) shuffle is cheap: map-side partial aggregation collapses to
-    * one 32-long row per doc per partition before anything moves. */
+  /** MinHash signatures: one fused codegen'd loop per row
+    * ([[graft.functions.MinhashSig]]) — shingle, md5, and all numHashes
+    * permutation-mins inside a single JIT-compiled call. A NARROW map with
+    * zero shuffle: the signature step costs exactly one corpus scan at any
+    * size. Values identical to [[withMinhash]] and [[minhashSigsAgg]]
+    * (property-tested). */
   def minhashSigs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.MinhashSig(col(textCol), shingleSize, numHashes).as("sig"))
+
+  /** The same signatures via explode → codegen'd hash → numHashes-way min
+    * aggregate — the built-in-operator twin [[minhashSigs]] must always agree
+    * with (property-tested). Costs an exchange + two HashAggregate levels;
+    * kept as the semantic oracle and as the fallback shape for engines
+    * without expression extension points. */
+  def minhashSigsAgg(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int): DataFrame = {
     val aggs = Hashing.minhashCoeffs(numHashes).zipWithIndex.map {
       case ((a, b), i) => min((lit(a) * col("h") + lit(b)) % lit(P)).as(s"_s$i")
@@ -186,11 +196,22 @@ object Dedup {
     hashed.withColumn(out, sig).drop("_th")
   }
 
-  /** SimHash via explode → codegen'd md5 → 32 bit-sum aggregates. Same values
-    * as [[withSimhash]]; the shuffle carries ONLY (id, 32 longs) per doc —
-    * the payload column never moves — and map-side partial aggregation
-    * collapses token rows before the exchange. Returns (idCol, out). */
+  /** SimHash signatures: one fused codegen'd loop per row
+    * ([[graft.functions.SimhashSig]]) — tokenize, md5, per-bit ±1 counts,
+    * sign-pack, all in a single JIT-compiled call. Zero shuffle. Values
+    * identical to [[withSimhash]] and [[simhashSigsAgg]] (property-tested).
+    * Returns (idCol, out). */
   def simhashSigs(df: DataFrame, idCol: String, textCol: String,
+      out: String = "simhash"): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SimhashSig(col(textCol), SimhashBits).as(out))
+
+  /** The same signatures via explode → codegen'd md5 → 32 bit-sum
+    * aggregates — the built-in-operator twin [[simhashSigs]] must always
+    * agree with (property-tested). The shuffle carries ONLY (id, 32 longs)
+    * per doc with map-side partial aggregation; kept as the semantic oracle
+    * / no-extension-point fallback. Returns (idCol, out). */
+  def simhashSigsAgg(df: DataFrame, idCol: String, textCol: String,
       out: String = "simhash"): DataFrame = {
     val bitAggs = (0 until SimhashBits).map { b =>
       sum(shiftright(col("_h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"_b$b")

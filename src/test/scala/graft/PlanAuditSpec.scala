@@ -110,4 +110,24 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!exchanges.contains("text"), s"payload text leaked into a shuffle:\n$exchanges")
   }
+
+  test("q58 tf-idf top-k pushes the rank limit below the window sort (WindowGroupLimit)") {
+    val p = planOf("q58_tfidf_keywords")
+    // Spark's rank-limit pushdown: a WindowGroupLimit (with a Partial mode
+    // copy before the exchange) caps each group at k rows map-side, so the
+    // per-doc shuffle moves k+ε rows per doc, not every (doc, token) pair —
+    // the difference between shuffling top-3 and shuffling the whole tf table
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q60 pagerank iterations are equi-joins + aggregates, never nested loops") {
+    val p = planOf("q60_pagerank")
+    assert(!p.contains("CartesianProduct"))
+    // the only BroadcastNestedLoopJoin allowed is the 1-row count() cross
+    // join gluing N into the teleport term
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    val iters = 5
+    assert(bnlj <= iters + 1, s"unexpected loop joins ($bnlj):\n$p")
+  }
 }

@@ -67,4 +67,53 @@ class ComponentsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("edges remain"))
   }
+
+  /** Both edge directions of an undirected edge list. */
+  private def und(edges: Seq[(Long, Long)]) =
+    (edges ++ edges.map(_.swap)).toDF("src", "dst")
+
+  test("pageRank: regular graphs stay uniform, mass is conserved") {
+    // undirected triangle: every node symmetric → rank stays 1/3 forever
+    val ranks = Components.pageRank(und(Seq((1L, 2L), (2L, 3L), (1L, 3L))),
+      "src", "dst", iters = 5).as[(Long, Double)].collect().toMap
+    assert(ranks.size == 3)
+    ranks.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-12))
+    // no dangling nodes (undirected) → total mass 1 at every iteration
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-12)
+  }
+
+  test("pageRank: star center outranks leaves; path center outranks ends") {
+    val star = Components.pageRank(und(Seq((0L, 1L), (0L, 2L), (0L, 3L))),
+      "src", "dst", iters = 5).as[(Long, Double)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(l => star(0L) > star(l)))
+    assert(math.abs(star(1L) - star(2L)) < 1e-12) // leaves symmetric
+    assert(math.abs(star.values.sum - 1.0) < 1e-12)
+    val path = Components.pageRank(und(Seq((10L, 11L), (11L, 12L))),
+      "src", "dst", iters = 5).as[(Long, Double)].collect().toMap
+    assert(path(11L) > path(10L) && math.abs(path(10L) - path(12L)) < 1e-12)
+  }
+
+  test("pageRank matches a driver-side reference on a random-ish graph") {
+    val raw = (0 until 40).map { i =>
+      ((i * 37 + 11) % 25L, (i * 53 + 29) % 25L)
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val got = Components.pageRank(und(raw), "src", "dst", iters = 4)
+      .as[(Long, Double)].collect().toMap
+    // reference: same recurrence, dense driver-side arithmetic
+    val sym = (raw ++ raw.map(_.swap)).distinct
+    val nodes = sym.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val outdeg = sym.groupBy(_._1).map { case (k, v) => k -> v.size }
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 4) {
+      val in = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => rank(u) / outdeg(u) }.sum
+      }
+      rank = nodes.map(v => v -> ((1.0 - 0.85) / n + 0.85 * in.getOrElse(v, 0.0))).toMap
+    }
+    assert(got.keySet == rank.keySet)
+    nodes.foreach(v => assert(math.abs(got(v) - rank(v)) < 1e-9,
+      s"node $v: got ${got(v)}, want ${rank(v)}"))
+  }
 }

@@ -33,14 +33,24 @@ class DedupSpec extends SparkSpec {
     assert(!cand.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
-  test("minhashSigs agrees with the per-row withMinhash variant") {
+  test("minhashSigs (fused expr) = explode-agg twin = higher-order twin") {
     val d = docs(1L -> "a b c d e f g", 2L -> "x", 3L -> "p q r")
     val fast = Dedup.minhashSigs(d, "doc_id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = Dedup.minhashSigsAgg(d, "doc_id", "text", 3, 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val slow = Dedup.withMinhash(d.select(col("doc_id").as("id"), col("text")),
         "text", "sig", 3, 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
     assert(fast == slow)
+    assert(agg == slow)
+    // and on real corpus text (multi-space/punctuation edge shapes)
+    val real = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val fastR = Dedup.minhashSigs(real, "doc_id", "text", 3, 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val aggR = Dedup.minhashSigsAgg(real, "doc_id", "text", 3, 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fastR == aggR)
   }
 
   test("simhash: near-identical docs have small hamming distance, disjoint docs large") {
@@ -68,13 +78,24 @@ class DedupSpec extends SparkSpec {
     assert(capped.where(col("id_a") === 21 && col("id_b") === 22).count() == 1) // survivors intact
   }
 
-  test("simhashSigs agrees with the per-row withSimhash variant") {
+  test("simhashSigs (fused expr) = explode-agg twin = higher-order twin") {
     val real = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
     val slow = Dedup.withSimhash(real, "text", "sh")
       .select("doc_id", "sh").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val fast = Dedup.simhashSigs(real, "doc_id", "text", "sh")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashSigsAgg(real, "doc_id", "text", "sh")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fast == slow)
+    assert(agg == slow)
+    // doubled-space edge: split(text, ' ') emits empty tokens — all three
+    // formulations must hash them identically
+    val tricky = docs(1L -> "a  b", 2L -> " lead", 3L -> "trail ")
+    val f2 = Dedup.simhashSigs(tricky, "doc_id", "text", "sh")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a2 = Dedup.simhashSigsAgg(tricky, "doc_id", "text", "sh")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f2 == a2)
   }
 
   test("ngramJaccardPairs: exact jaccard on constructed overlap") {
@@ -284,6 +305,40 @@ class TextAnalysisSpec extends SparkSpec {
     val both = one("call 123.456.7890 from 10.0.0.7")
       .select(TextAnalysis.redactPii(col("text"))).head().getString(0)
     assert(both == "call [PHONE] from [IP]")
+  }
+
+  test("tfIdfTopK: corpus-wide tokens score zero, rare tokens rank first") {
+    import spark.implicits._
+    // 'common' in all 3 docs → idf = ln(1) = 0; each doc's rare token wins
+    val docs = Seq(
+      (1L, "common alpha alpha beta"),
+      (2L, "common gamma"),
+      (3L, "common delta delta delta")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", k = 1)
+      .select("id", "tok", "tfidf")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(top(1L)._1 == "alpha") // tf 2 beats beta's tf 1
+    assert(top(2L)._1 == "gamma")
+    assert(top(3L)._1 == "delta")
+    // tf=2, df=1, N=3 → 2*ln(3)
+    assert(math.abs(top(1L)._2 - math.rint(2 * math.log(3.0) * 1e6) / 1e6) < 1e-12)
+    // ubiquitous token would score exactly 0
+    val all = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", k = 10)
+      .where(col("tok") === "common").select("tfidf")
+      .as[Double].collect()
+    assert(all.length == 3 && all.forall(_ == 0.0))
+  }
+
+  test("repetitionStats: distinct ratio and top-token share") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a b"), // 5 tokens, 2 distinct, top 'a' 4/5
+      (2L, "w x y z")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 5L, 2L, 0.4, 0.8)))
+    assert(r(2L) == ((2L, 4L, 4L, 1.0, 0.25)))
   }
 
   test("fingerprint is order-sensitive (anagram docs differ)") {
