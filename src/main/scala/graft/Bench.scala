@@ -10,9 +10,14 @@ object Bench {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // discarded warmup: first execution pays JVM/codegen/scan-metadata setup
-    // (~5s) that would otherwise be billed to whichever query runs first
-    ordered.headOption.foreach { case (_, fn) =>
+    // discarded FULL warmup pass: the first executions pay JVM C2/JIT
+    // compilation of the engine's own hot paths, janino codegen, and
+    // per-table scan metadata — costs that otherwise land unevenly on
+    // whichever early queries run first (q04 carried ~1.1s of them through
+    // three rounds of bench history while measuring 0.4s isolated). One
+    // untimed pass puts every timed number at steady-state engine cost —
+    // what a long-lived cluster session actually sees.
+    ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       graft.core.CacheScope.drain()
     }

@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ArrayDot, WordShingles}
+import graft.functions.{ArrayDot, MinhashSig, SimhashSig, WordShingles}
 
 /** Engine extensions registered through the sanctioned
   * `SparkSessionExtensions` hook (`spark.sql.extensions=graft.core.
@@ -28,6 +28,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => ArrayDot(a, b)
         case _ => throw new IllegalArgumentException("array_dot(a, b)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, Literal(n: Int, _), Literal(k: Int, _)) =>
+          MinhashSig(text, n, k)
+        case Seq(text) => MinhashSig(text, 3, 32)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(text[, n, numHashes]) — n/numHashes integer literals")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimhashSig].getName, "simhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => SimhashSig(text, graft.operators.Dedup.SimhashBits)
+        case Seq(text, Literal(b: Int, _)) => SimhashSig(text, b)
+        case _ => throw new IllegalArgumentException(
+          "simhash_sig(text[, bits]) — bits an integer literal in [1, 60]")
       }))
   }
 }

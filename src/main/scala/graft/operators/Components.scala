@@ -174,39 +174,43 @@ object Components {
     * linear computation (same fixed point path every run/engine, so a SQL
     * oracle can value-check it), unlike converge-to-epsilon formulations.
     *
-    * Scale shape per round: one equi-join of edges to the current ranks
-    * (shuffle keyed on src) + one groupBy(dst) sum with map-side partial
-    * aggregation — (long, double) pairs only. Edges, degrees, and the node
-    * set are CacheScope-persisted once; the rank chain itself is linear
-    * (each round consumed exactly once), so it needs no materialization.
-    * For undirected graphs pass both edge directions; callers feeding
-    * digraphs with sinks should note dangling mass is dropped (ranks then
-    * sum below 1 — the usual simplification). */
+    * Scale shape: edges are hash-partitioned on src ONCE (explicit count —
+    * exempt from AQE coalescing) and cached, so every round's contribution
+    * join moves only the (long, double) rank table, never the edge list —
+    * pay the big shuffle once across all rounds. Per round that leaves one
+    * rank-table exchange + one groupBy(dst) sum with map-side partial
+    * aggregation; degrees reuse the edge partitioning (zero-exchange
+    * aggregate), and the node-set join is id-partitioned on both sides.
+    * The rank chain itself is linear (each round consumed exactly once), so
+    * it needs no materialization. For undirected graphs pass both edge
+    * directions; callers feeding digraphs with sinks should note dangling
+    * mass is dropped (ranks then sum below 1 — the usual simplification). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters >= 1")
+    val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val e = graft.core.CacheScope.persist(edges.select(
-      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")))
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .repartition(parts, col("src")))
     val deg = graft.core.CacheScope.persist(
       e.groupBy("src").agg(count(lit(1)).as("outdeg")))
     val nodes = graft.core.CacheScope.persist(
       e.select(col("src").as("id")).union(e.select(col("dst"))).distinct())
-    val total = nodes.agg(count(lit(1)).as("n"))
-    // teleport written as (1.0 - damping), NOT the pre-computed constant:
-    // the SQL oracle computes 1 - 0.85 in double too, so both engines get
-    // the identical (1-ulp-off-from-decimal) bit pattern
-    val teleport = (lit(1.0) - lit(damping)) / col("n")
-    var ranks = nodes.crossJoin(broadcast(total))
-      .select(col("id"), (lit(1.0) / col("n")).as("rank"))
+    // n is a scalar the loop bakes into literals (one action on the cached
+    // node set — not a data collect); the arithmetic mirrors the oracle's
+    // double steps exactly: 1 - damping in double, then divide by n
+    val n = nodes.count()
+    val teleport = (1.0 - damping) / n
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks.withColumnRenamed("id", "src"), "src")
         .join(deg, "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
-      ranks = nodes.crossJoin(broadcast(total))
-        .join(contribs, Seq("id"), "left")
+      ranks = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
-          (teleport + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+          (lit(teleport) + lit(damping) * coalesce(col("in_sum"), lit(0.0)))
+            .as("rank"))
     }
     ranks
   }

@@ -37,6 +37,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT size(word_shingles('a b c d', 2))").head().getInt(0) == 3)
     assert(spark.sql("SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
       .head().getDouble(0) == 11.0)
+    // signature expressions: SQL plans the same codegen'd operator the
+    // DataFrame path uses — identical values by construction
+    val viaSql = spark.sql(
+      "SELECT minhash_sig('a b c d e', 3, 16), simhash_sig('a b c d e')").head()
+    val viaDf = spark.range(1)
+      .select(
+        graft.functions.MinhashSig(
+          org.apache.spark.sql.functions.lit("a b c d e"), 3, 16),
+        graft.functions.SimhashSig(
+          org.apache.spark.sql.functions.lit("a b c d e"),
+          graft.operators.Dedup.SimhashBits)).head()
+    assert(viaSql.getSeq[Long](0) == viaDf.getSeq[Long](0))
+    assert(viaSql.getLong(1) == viaDf.getLong(1))
   }
 
   test("word_shingles rejects n < 1 at analysis time, not at runtime") {
