@@ -475,9 +475,10 @@ object QueryCatalog {
         n = 3, minJaccard = 0.1, maxDocFreq = 20)
       .select(col("id_a"), col("id_b"), col("shared"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b")),
-    Some("""WITH sh AS (SELECT doc_id, unnest(list_distinct(
+    Some("""WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
           list_transform(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
-            i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')))) AS sh
+            i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')),
+          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647))) AS sh
         FROM documents),
       filt AS (SELECT doc_id, sh FROM (
           SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
@@ -1256,9 +1257,10 @@ object QueryCatalog {
         .select(col("id").as("doc_id"), col("shared_ngrams"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH sh AS (SELECT doc_id, unnest(list_distinct(
+    Some("""WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
           list_transform(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
-            i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')))) AS sh
+            i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')),
+          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647))) AS sh
         FROM documents),
       corpus AS (SELECT doc_id, sh FROM (
           SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df

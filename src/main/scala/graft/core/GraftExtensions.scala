@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ArrayDot, MinhashSig, SimhashSig, WordShingles}
+import graft.functions.{ArrayDot, MinhashSig, ShingleHashes, SimhashSig, WordShingles}
 
 /** Engine extensions registered through the sanctioned
   * `SparkSessionExtensions` hook (`spark.sql.extensions=graft.core.
@@ -38,6 +38,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text) => MinhashSig(text, 3, 32)
         case _ => throw new IllegalArgumentException(
           "minhash_sig(text[, n, numHashes]) — n/numHashes integer literals")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, Literal(n: Int, _)) if n >= 1 => ShingleHashes(text, n)
+        case Seq(text) => ShingleHashes(text, 3)
+        case _ => throw new IllegalArgumentException(
+          "shingle_hashes(text[, n]) — n must be an integer literal >= 1")
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash_sig"),

@@ -245,9 +245,14 @@ object Dedup {
     // CacheScope-registered: the session owner drains after the action.
     // (At 100 TB the cached explode is large — MEMORY_AND_DISK spills; the
     // warehouse-scale twin is writing the index to parquet once.)
+    // The index carries the 8-byte shingle HASH, not the shingle string
+    // ([[graft.functions.ShingleHashes]] — fused shingle+hash+distinct per
+    // row): identity is all the join and the counts use, and a long key
+    // shrinks the cached index, the shuffle, and the hash-join probe. The
+    // oracle computes identical hashes, so results match by construction.
     val sh = graft.core.CacheScope.persist(
       df.select(col(idCol).as("id"),
-        explode(array_distinct(shingles(col(textCol), n))).as("sh")))
+        explode(graft.functions.ShingleHashes(col(textCol), n)).as("sh")))
     // df-cut via an aggregated hot-shingle set, NOT `count(*) OVER
     // (PARTITION BY sh)`: the window sorts the FULL exploded table with no
     // partial aggregation, while groupBy collapses map-side to one row per
@@ -332,8 +337,10 @@ object Dedup {
       reference: DataFrame, refTextCol: String,
       n: Int = 5, minShared: Long = 5, maxDocFreq: Long = 1000,
       broadcastHot: Boolean = true): DataFrame = {
+    // both sides of the semi-join carry the 8-byte shingle hash, not the
+    // string ([[graft.functions.ShingleHashes]]) — see [[ngramJaccardPairs]]
     val corpusSh = corpus.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+      explode(graft.functions.ShingleHashes(col(textCol), n)).as("sh"))
     // same aggregated df-cut as [[ngramJaccardPairs]] — the windowed
     // count-over-shingle formulation has no map-side combine; broadcastHot
     // = false hands the anti-join strategy to AQE for unbounded hot sets
@@ -341,7 +348,7 @@ object Dedup {
       .where(col("df") > maxDocFreq).select("sh")
     val culled = cullHot(corpusSh, hot, broadcastHot)
     val refSh = reference
-      .select(explode(array_distinct(shingles(col(refTextCol), n))).as("sh"))
+      .select(explode(graft.functions.ShingleHashes(col(refTextCol), n)).as("sh"))
       .distinct()
     culled.join(refSh, "sh")
       .groupBy("id").agg(count(lit(1)).as("shared_ngrams"))
