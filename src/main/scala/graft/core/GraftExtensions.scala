@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ArrayDot, MinhashSig, ShingleHashes, SimhashSig, WordShingles}
+import graft.functions.{ArrayDot, HilbertIndex, MinhashSig, ShingleHashes, SimhashSig, WordShingles}
 
 /** Engine extensions registered through the sanctioned
   * `SparkSessionExtensions` hook (`spark.sql.extensions=graft.core.
@@ -38,6 +38,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text) => MinhashSig(text, 3, 32)
         case _ => throw new IllegalArgumentException(
           "minhash_sig(text[, n, numHashes]) — n/numHashes integer literals")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b, Literal(bits: Int, _)) => HilbertIndex(a, b, bits)
+        case Seq(a, b) => HilbertIndex(a, b, 16)
+        case _ => throw new IllegalArgumentException(
+          "hilbert_index(a, b[, bits]) — bits an integer literal in [1, 31]")
       }))
     ext.injectFunction((
       new FunctionIdentifier("shingle_hashes"),

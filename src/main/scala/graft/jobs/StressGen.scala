@@ -146,7 +146,9 @@ object StressGen {
   * `runMain graft.jobs.StressMain graph [nodes]` — connected components on a
   * generated chain-heavy graph (the worst case for per-hop propagation).
   * `runMain graft.jobs.StressMain asof [factor]` — as-of join on replicated
-  * event volume. */
+  * event volume.
+  * `runMain graft.jobs.StressMain pagerank [nodes] [iters]` — fixed-iteration
+  * PageRank on the same chain-heavy graph shape as `graph` mode. */
 object StressMain {
   def main(args: Array[String]): Unit = {
     val s = graft.core.Sessions.local(32)
@@ -199,6 +201,27 @@ object StressMain {
         comps.count()
       })
       time("distinct components")(comps.select("comp").distinct().count())
+    } else if (args.headOption.contains("pagerank")) {
+      // same graph shape as `graph` mode, both directions (undirected)
+      val nodes = args.lift(1).map(_.toLong).getOrElse(5000000L)
+      val iters = args.lift(2).map(_.toInt).getOrElse(5)
+      val chainLen = 1000L
+      import graft.operators.Components
+      val chains = s.range(nodes)
+        .where(col("id") % chainLen =!= chainLen - 1)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val cross = s.range(nodes / 10).select(
+        ((col("id") * 7919L) % nodes).as("a"),
+        ((col("id") * 104729L + 13L) % nodes).as("b"))
+      val dir = chains.union(cross).where(col("a") =!= col("b"))
+      val edges = dir.union(dir.select(col("b"), col("a"))).repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"materialize undirected edges ($nodes nodes)")(edges.count())
+      time(s"pageRank $iters iters")({
+        val r = Components.pageRank(edges, "a", "b", iters = iters)
+        r.count()
+      })
+      graft.core.CacheScope.drain()
     } else if (args.headOption.contains("asof")) {
       val factor = args.lift(1).map(_.toInt).getOrElse(100)
       import graft.operators.AsofJoin

@@ -58,6 +58,63 @@ object ScaleOps {
     * (Alias of functions.broadcast; exists so jobs name intent, not mechanism.) */
   def dim(df: DataFrame): DataFrame = broadcast(df)
 
+  /** Normalize a numeric column to `[0, 2^bits)` buckets over [lo, hi]. */
+  private def bucket(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val buckets = (1L << bits) - 1
+    least(greatest(
+      ((c.cast("double") - lo) / (if (hi > lo) hi - lo else 1.0) * buckets)
+        .cast("long"), lit(0L)), lit(buckets))
+  }
+
+  /** Morton (Z-order) curve value for two numeric columns, each normalized
+    * to `bits` buckets over [lo, hi]: interleaves the bucket bits so nearby
+    * (a, b) points get nearby z-values. Pure built-in arithmetic. Note the
+    * Z-curve has long jumps at quadrant junctions — a clustered write cut
+    * at an arbitrary curve position can catch a full-width file there;
+    * [[hilbertValue]] has no jumps and is what [[writeClustered]] uses. */
+  def zValue(a: Column, aLo: Double, aHi: Double,
+      b: Column, bLo: Double, bHi: Double, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 30, "bits in [1, 30]")
+    val ab = bucket(a, aLo, aHi, bits)
+    val bb = bucket(b, bLo, bHi, bits)
+    (0 until bits).map { i =>
+      (shiftright(ab, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(bb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** Hilbert curve value for two numeric columns (bucketed as [[zValue]]) —
+    * continuous, so EVERY contiguous curve range is a spatially local blob:
+    * the property that makes equal-frequency file cuts safe. Backed by the
+    * codegen'd [[graft.functions.HilbertIndex]] expression. */
+  def hilbertValue(a: Column, aLo: Double, aHi: Double,
+      b: Column, bLo: Double, bHi: Double, bits: Int = 16): Column =
+    graft.functions.HilbertIndex(
+      bucket(a, aLo, aHi, bits), bucket(b, bLo, bHi, bits), bits)
+
+  /** Space-filling-curve clustered write: rows sorted along the Hilbert
+    * curve of TWO filter columns, so parquet row-group min/max stats are
+    * tight on BOTH — range predicates on EITHER column prune files/row
+    * groups. The multi-column complement to [[writeSorted]] (a plain sort
+    * gives one column tight stats and leaves the other full-width in every
+    * file); at 100 TB this is the difference between "fast queries by date"
+    * and "fast queries by date OR by key". The min/max normalization bounds
+    * come from one aggregate over the input (a 4-value driver action, not a
+    * collect). */
+  def writeClustered(df: DataFrame, path: String, colA: String, colB: String,
+      files: Int, bits: Int = 16): Unit = {
+    val r = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    val h = hilbertValue(col(colA), r.getDouble(0), r.getDouble(1),
+      col(colB), r.getDouble(2), r.getDouble(3), bits)
+    df.withColumn("_h", h)
+      .repartitionByRange(files, col("_h"))
+      .sortWithinPartitions("_h")
+      .drop("_h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed catalog table write: pre-shuffles ONCE at write time so every
     * subsequent equi-join/aggregation on `bucketCols` runs exchange-free
     * (co-located, and with sortBy also merge-ready). The 100 TB play for

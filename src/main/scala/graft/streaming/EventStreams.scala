@@ -161,6 +161,28 @@ object EventStreams {
       .drop("_content_hash")
   }
 
+  /** Streaming NEAR-dup suppression: drop a document whose SimHash
+    * signature matches an earlier in-watermark doc exactly (hamming 0 —
+    * light reorderings and token noise hash to the same signature, unlike
+    * [[dedupedByContent]]'s exact md5). The signature is the fused per-row
+    * [[graft.functions.SimhashSig]] — a narrow map, so the only state is
+    * the watermark-bounded signature set; at ingest scale state size is
+    * (signature, timestamp) pairs only, never text.
+    *
+    * For hamming > 0 suppression, band the signature first
+    * ([[graft.operators.Dedup.simhashPairs]] semantics) and drop on any
+    * band match — that trades false-positive suppressions (band collisions)
+    * for recall, the standard streaming near-dup compromise; exact
+    * hamming re-checks need the pair join, which is a batch shape. */
+  def dedupedBySimhash(docs: DataFrame, textCol: String, tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("_simhash",
+        graft.functions.SimhashSig(col(textCol), graft.operators.Dedup.SimhashBits))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_simhash")
+      .drop("_simhash")
+
   /** Parquet sink with checkpointing (exactly-once file sink). */
   def writeParquet(df: DataFrame, outDir: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =

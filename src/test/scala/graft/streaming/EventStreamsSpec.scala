@@ -129,6 +129,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == Set(1L, 3L))
   }
 
+  test("dedupedBySimhash drops near-dups (same signature), keeps distinct docs") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.dedupedBySimhash(docs, "text")
+      .writeStream.format("memory").queryName("simdedup").outputMode("append").start()
+    // identical text → identical simhash → second drops; distinct text survives
+    in.addData(
+      (1L, ts(0), "the quick brown fox jumps over the lazy dog"),
+      (2L, ts(1), "the quick brown fox jumps over the lazy dog"),
+      (3L, ts(2), "completely different words in this one zzz yyy xxx"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("simdedup").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L))
+    // the suppression key is the SIGNATURE, not the bytes: batch-side check
+    // that a doc pair differing only by token order (same unigram multiset)
+    // collides — exactly what the streaming state would suppress
+    val a = "alpha beta gamma delta epsilon"
+    val b = "epsilon delta gamma beta alpha"
+    val sigs = Seq(a, b).toDF("text")
+      .select(graft.functions.SimhashSig(col("text"),
+        graft.operators.Dedup.SimhashBits)).collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+  }
+
   test("intervalJoin: stream-stream join pairs events within the window only") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
