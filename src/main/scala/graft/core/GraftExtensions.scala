@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ArrayDot, HilbertIndex, MinhashSig, ShingleHashes, SimhashSig, WordShingles}
+import graft.functions.{ArrayDot, HilbertIndex, MinhashSig, ShingleHashes, SimhashSig, TokenCounts, WordShingles}
 
 /** Engine extensions registered through the sanctioned
   * `SparkSessionExtensions` hook (`spark.sql.extensions=graft.core.
@@ -38,6 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text) => MinhashSig(text, 3, 32)
         case _ => throw new IllegalArgumentException(
           "minhash_sig(text[, n, numHashes]) — n/numHashes integer literals")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_counts"),
+      new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => TokenCounts(text)
+        case _ => throw new IllegalArgumentException("token_counts(text)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("hilbert_index"),

@@ -131,8 +131,17 @@ object TextAnalysis {
     * a doc-partitioned window whose rank-limit Spark pushes map-side
     * (WindowGroupLimit — plan-audited). */
   def tfIdfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val tf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    // term frequency computed INSIDE each row ([[graft.functions.
+    // TokenCounts]] — tf is a per-document aggregate, so the classic
+    // explode → groupBy(doc, token) shuffles one row per token OCCURRENCE
+    // to derive what the row already knows); the explode here emits one row
+    // per DISTINCT token per doc, post-aggregation. Persisted because it
+    // feeds the document-frequency aggregate AND the score join
+    // (CacheScope-registered; owner drains after the action).
+    val tf = graft.core.CacheScope.persist(
+      df.select(col(idCol).as("id"),
+          explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+        .select(col("id"), col("tc.tok").as("tok"), col("tc.tf").as("tf")))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val total = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "tok")
@@ -148,16 +157,17 @@ object TextAnalysis {
   /** Intra-document repetition stats — the Gopher-style quality cut for
     * degenerate/templated text: `distinct_ratio` (unique tokens / tokens;
     * low = loops, keyword stuffing) and `top_token_share` (most frequent
-    * token's share; high = one-token spam). Two-level aggregation, both
-    * levels with map-side partial combine; nothing wider than
-    * (id, token, count) ever shuffles. */
+    * token's share; high = one-token spam). Term counts come from the
+    * per-row [[graft.functions.TokenCounts]] (no occurrence-level shuffle);
+    * the one id-keyed aggregate collapses fully map-side because a row's
+    * explode output stays in its partition. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .groupBy("id", "tok").agg(count(lit(1)).as("cnt"))
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
       .groupBy("id").agg(
-        sum("cnt").as("n_tokens"),
+        sum("tc.tf").as("n_tokens"),
         count(lit(1)).as("n_distinct"),
-        max("cnt").as("top_cnt"))
+        max("tc.tf").as("top_cnt"))
       .select(col("id"), col("n_tokens"), col("n_distinct"),
         round(col("n_distinct").cast("double") / col("n_tokens"), 6)
           .as("distinct_ratio"),

@@ -329,6 +329,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(all.length == 3 && all.forall(_ == 0.0))
   }
 
+  test("TokenCounts = explode+groupBy twin on real corpus text") {
+    import spark.implicits._
+    val real = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val fused = real.select(col("doc_id"),
+        explode(graft.functions.TokenCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.tok"), col("tc.tf"))
+      .as[(Long, String, Long)].collect().toSet
+    val twin = real.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(fused == twin)
+    // doubled/leading/trailing spaces → empty tokens, split(text,' ') semantics
+    val tricky = Seq((1L, "a  b"), (2L, " x"), (3L, "y ")).toDF("doc_id", "text")
+    val f2 = tricky.select(col("doc_id"),
+        explode(graft.functions.TokenCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.tok"), col("tc.tf"))
+      .as[(Long, String, Long)].collect().toSet
+    val t2 = tricky.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(f2 == t2)
+  }
+
   test("repetitionStats: distinct ratio and top-token share") {
     import spark.implicits._
     val docs = Seq(
