@@ -1550,6 +1550,30 @@ object QueryCatalog {
     },
     Some(pageRankOracle(iters = 5)))
 
+  /** Self-trained character-bigram LM quality score
+    * ([[TextAnalysis.charLmScore]]) — the perplexity-style curation filter,
+    * value-checked cross-engine because the "model" is the corpus's own
+    * bigram table and every arithmetic step (integer counts → one double
+    * division → ln → weighted avg → round) mirrors exactly in SQL. */
+  private val q61 = QuerySpec(
+    "q61_char_lm_score",
+    (s, dir) => TextAnalysis.charLmScore(t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""WITH bg0 AS (SELECT doc_id,
+        unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bg
+      FROM documents),
+      bgc AS (SELECT doc_id, bg, count(*) AS n FROM bg0 GROUP BY 1, 2),
+      cab AS (SELECT bg, CAST(sum(n) AS BIGINT) AS cab FROM bgc GROUP BY 1),
+      ca AS (SELECT substr(bg, 1, 1) AS pfx, CAST(sum(cab) AS BIGINT) AS ca
+        FROM cab GROUP BY 1),
+      model AS (SELECT bg, cab, ca FROM cab JOIN ca ON substr(cab.bg, 1, 1) = ca.pfx)
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        round(sum(n * ln(CAST(cab AS DOUBLE) / ca)) / CAST(sum(n) AS DOUBLE), 6)
+          AS lm_score
+      FROM bgc JOIN model USING (bg)
+      GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -1558,5 +1582,6 @@ object QueryCatalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
+    q61)
 }

@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ArrayDot, HilbertIndex, MinhashSig, ShingleHashes, SimhashSig, TokenCounts, WordShingles}
+import graft.functions.{ArrayDot, CharBigramCounts, HilbertIndex, MinhashSig, ShingleHashes, SimhashSig, TokenCounts, WordShingles}
 
 /** Engine extensions registered through the sanctioned
   * `SparkSessionExtensions` hook (`spark.sql.extensions=graft.core.
@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(text) => TokenCounts(text)
         case _ => throw new IllegalArgumentException("token_counts(text)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("char_bigram_counts"),
+      new ExpressionInfo(classOf[CharBigramCounts].getName, "char_bigram_counts"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => CharBigramCounts(text)
+        case _ => throw new IllegalArgumentException("char_bigram_counts(text)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("hilbert_index"),

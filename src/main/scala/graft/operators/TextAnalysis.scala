@@ -154,6 +154,43 @@ object TextAnalysis {
       .select(col("id"), col("tok"), col("tf"), col("df"), col("tfidf"), col("rn"))
   }
 
+  /** Character-bigram language-model quality score — the perplexity-style
+    * filter of CCNet-lineage curation pipelines, self-trained: the model is
+    * the corpus's own bigram statistics, so "low score" = "character
+    * transitions unlike this corpus" (mojibake, binary-as-text, codepoint
+    * soup), with no external model artifact and full cross-engine
+    * determinism. Returns (id, n_bigrams, lm_score) where lm_score =
+    * Σ_occurrences ln P(c₂|c₁) / n_bigrams (avg log-prob; higher = more
+    * corpus-like), P(b|a) = count(ab) / Σ_x count(ax). Docs shorter than 2
+    * chars have no bigrams and drop out.
+    *
+    * Scale shape: per-doc bigram counts are row-local
+    * ([[graft.functions.CharBigramCounts]] — no occurrence-level shuffle);
+    * the model is two tiny aggregates over distinct bigrams (vocab is
+    * bounded by charset², broadcastable at ANY corpus size — that's the
+    * charm of char-grams vs word-grams); scoring is a broadcast join + one
+    * id-keyed aggregate that collapses map-side. */
+  def charLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // persist: feeds the model aggregates AND the scoring join
+    val bg = graft.core.CacheScope.persist(
+      df.select(col(idCol).as("id"),
+          explode(graft.functions.CharBigramCounts(col(textCol))).as("bc"))
+        .select(col("id"), col("bc.bg").as("bg"), col("bc.n").as("n")))
+    val cab = bg.groupBy("bg").agg(sum("n").as("cab"))
+    val ca = cab.groupBy(substring(col("bg"), 1, 1).as("pfx"))
+      .agg(sum("cab").as("ca"))
+    val model = cab.join(ca, substring(col("bg"), 1, 1) === col("pfx"))
+      .select(col("bg"), col("cab"), col("ca"))
+    bg.join(broadcast(model), "bg")
+      .groupBy("id")
+      .agg(
+        sum("n").as("n_bigrams"),
+        round(
+          sum(col("n") * log(col("cab").cast("double") / col("ca"))) /
+            sum(col("n")).cast("double"),
+          6).as("lm_score"))
+  }
+
   /** Intra-document repetition stats — the Gopher-style quality cut for
     * degenerate/templated text: `distinct_ratio` (unique tokens / tokens;
     * low = loops, keyword stuffing) and `top_token_share` (most frequent

@@ -352,6 +352,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f2 == t2)
   }
 
+  test("CharBigramCounts: char boundaries, multibyte UTF-8, short-doc empty") {
+    import spark.implicits._
+    val got = Seq((1L, "abab"), (2L, "x"), (3L, "ä5ä")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(graft.functions.CharBigramCounts(col("text"))).as("bc"))
+      .select(col("doc_id"), col("bc.bg"), col("bc.n"))
+      .as[(Long, String, Long)].collect().toSet
+    // "abab": ab×2, ba×1; "x": none (explode drops the empty array);
+    // "ä5ä": 2-byte ä sliced on CHAR boundaries, not bytes
+    assert(got == Set((1L, "ab", 2L), (1L, "ba", 1L),
+      (3L, "ä5", 1L), (3L, "5ä", 1L)))
+  }
+
+  test("charLmScore: corpus-like text outranks character soup") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog sat on the log"),
+      (2L, "the rat sat on the hat and the bat sat on the mat"),
+      (3L, "zq jx qz xj zx qj jz xq zj qx jq xz")).toDF("doc_id", "text")
+    val scores = TextAnalysis.charLmScore(docs, "doc_id", "text")
+      .select("id", "lm_score").as[(Long, Double)].collect().toMap
+    // docs 1/2 share each other's transitions; doc 3's bigrams are rare
+    assert(scores(3L) < scores(1L) && scores(3L) < scores(2L))
+    // avg log-prob is never positive (every P <= 1)
+    assert(scores.values.forall(_ <= 0.0))
+  }
+
   test("repetitionStats: distinct ratio and top-token share") {
     import spark.implicits._
     val docs = Seq(
