@@ -20,6 +20,13 @@ object CurationJob {
   final case class Config(
       lang: String = "en",
       minQuality: Double = 0.5,
+      // Gopher-style repetition cut: drop docs whose most frequent token
+      // exceeds this share (one-token spam). Per-row, no shuffle.
+      maxTopTokenShare: Option[Double] = None,
+      // char-bigram LM cut: drop docs whose avg log-prob under the corpus's
+      // own bigram model falls below this (mojibake/codepoint soup). One
+      // broadcast-join pass (TextAnalysis.charLmScore).
+      minLmScore: Option[Double] = None,
       nearDupJaccard: Double = 0.8,
       chunkTokens: Int = 50,
       chunkOverlap: Int = 10,
@@ -46,10 +53,24 @@ object CurationJob {
       benchmark: Option[DataFrame] = None): (DataFrame, Stats) = {
     val input = docs.count()
 
-    // 1. language + quality gate — per-row, codegen'd, no shuffle
-    val qualityGated = docs.where(
+    // 1. language + quality (+ optional repetition) gate — per-row,
+    // codegen'd scan-side, no shuffle
+    val rowGate = cfg.maxTopTokenShare.foldLeft(
         TextAnalysis.langIdGuess(col("text")) === cfg.lang &&
-          TextAnalysis.qualityScore(col("text")) >= cfg.minQuality)
+          TextAnalysis.qualityScore(col("text")) >= cfg.minQuality) {
+      (acc, cap) => acc && TextAnalysis.topTokenShare(col("text")) <= cap
+    }
+    val rowGated = docs.where(rowGate)
+    // optional LM gate: one corpus pass trains the char-bigram model, one
+    // broadcast join scores; keep docs at-or-above the floor
+    val qualityGated = cfg.minLmScore match {
+      case None => rowGated
+      case Some(floor) =>
+        val ok = TextAnalysis.charLmScore(rowGated, "doc_id", "text")
+          .where(col("lm_score") >= floor)
+          .select(col("id").as("doc_id"))
+        rowGated.join(ok, Seq("doc_id"), "left_semi")
+    }
 
     // 1b. benchmark decontamination (optional)
     val (gated0, nDecon, leakyHandle) = benchmark match {

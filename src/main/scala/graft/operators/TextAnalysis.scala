@@ -154,6 +154,17 @@ object TextAnalysis {
       .select(col("id"), col("tok"), col("tf"), col("df"), col("tfidf"), col("rn"))
   }
 
+  /** Per-row most-frequent-token share (the [[repetitionStats]] column as a
+    * predicate-usable scalar): counts come from the fused
+    * [[graft.functions.TokenCounts]]; the two folds iterate the DISTINCT
+    * token array (small), so the interpreted higher-order cost is per
+    * distinct token, not per occurrence. */
+  def topTokenShare(text: Column): Column = {
+    val tc = graft.functions.TokenCounts(text)
+    array_max(transform(tc, x => x.getField("tf"))).cast("double") /
+      aggregate(tc, lit(0L), (acc, x) => acc + x.getField("tf")).cast("double")
+  }
+
   /** Character-bigram language-model quality score — the perplexity-style
     * filter of CCNet-lineage curation pipelines, self-trained: the model is
     * the corpus's own bigram statistics, so "low score" = "character

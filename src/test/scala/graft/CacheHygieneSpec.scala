@@ -43,4 +43,43 @@ class CacheHygieneSpec extends SparkSpec {
     }
     assert((sc.getPersistentRDDs.keySet -- baseline).isEmpty)
   }
+
+  test("drain is thread-scoped: concurrent queries can't release each other") {
+    import graft.core.CacheScope
+    CacheScope.drain()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // a "query" in flight on another thread: registers a persist and parks
+    @volatile var otherPending = -1
+    @volatile var otherCachedAfter = false
+    val registered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val other = new Thread(() => {
+      val sigs = CacheScope.persist(
+        graft.operators.Dedup.simhashSigs(docs, "doc_id", "text"))
+      sigs.count()
+      registered.countDown()
+      release.await()
+      // this thread's registration must still be alive and cached
+      otherPending = CacheScope.pending
+      otherCachedAfter = sigs.storageLevel.useMemory
+      CacheScope.drain()
+    })
+    other.start()
+    registered.await()
+    // main thread runs and drains its own query — must NOT touch the other's
+    CacheScope.persist(docs.select("doc_id")).count()
+    assert(CacheScope.pending == 1)
+    CacheScope.drain()
+    assert(CacheScope.pending == 0)
+    release.countDown()
+    other.join()
+    assert(otherPending == 1, "other thread's registration was drained away")
+    assert(otherCachedAfter, "other thread's persist was unpersisted")
+    // session-shutdown sweep catches scopes from exited threads
+    val ghost = new Thread(() =>
+      CacheScope.persist(docs.select("lang")).count(): Unit)
+    ghost.start(); ghost.join()
+    CacheScope.drainAll()
+    assert(CacheScope.pending == 0)
+  }
 }

@@ -59,6 +59,40 @@ class CurationJobSpec extends SparkSpec {
     assert(transitive == Set(1L))
   }
 
+  test("repetition and LM gates drop spam and character soup") {
+    import spark.implicits._
+    val clean1 = "the quick brown fox jumps over the lazy dog and it is a fine day"
+    val clean2 = "the slow red fox walks under the busy dog and it is a good day"
+    val spam = "the the the the the the the the the the the the fox"
+    val soup = "tqz jxq zvq the it is a qjz xqv zqt qzx jvq zzq the of and"
+    val docs = Seq(
+      (1L, clean1, "en"), (2L, clean2, "en"),
+      (3L, spam, "en"),   // top token 'the' share 12/13 → repetition gate
+      (4L, soup, "en"))   // rare bigram transitions → LM gate
+      .toDF("doc_id", "text", "lang")
+    // the LM model is self-trained, so derive the floor from the corpus:
+    // soup must score strictly lowest, and a floor between soup and the
+    // next-lowest doc must cut exactly soup
+    val scores = TextAnalysis.charLmScore(
+        docs.where(col("doc_id") =!= 3), "doc_id", "text")
+      .select("id", "lm_score").as[(Long, Double)].collect().toMap
+    assert(scores(4L) < scores(1L) && scores(4L) < scores(2L),
+      s"soup not lowest: $scores")
+    val floor = (scores(4L) + (scores - 4L).values.min) / 2
+    val (out, stats) = CurationJob.run(docs, CurationJob.Config(
+      minQuality = 0.0, maxTopTokenShare = Some(0.5),
+      minLmScore = Some(floor), nearDupJaccard = 0.95))
+    val ids = out.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(3L), "repetition gate missed the spam doc")
+    assert(!ids.contains(4L), "LM gate missed the character soup")
+    assert(ids == Set(1L, 2L))
+    assert(stats.afterQuality == 2)
+    // defaults-off config leaves prior behavior untouched
+    val (_, stats0) = CurationJob.run(docs, CurationJob.Config(
+      minQuality = 0.0, nearDupJaccard = 0.95))
+    assert(stats0.afterQuality == 4)
+  }
+
   test("benchmark decontamination removes leaky docs before dedup") {
     import spark.implicits._
     val en = "the quick brown fox jumps over the lazy dog and it is a fine day for running"
