@@ -1574,6 +1574,70 @@ object QueryCatalog {
       FROM bgc JOIN model USING (bg)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Deterministic per-key row cap ([[graft.operators.ScaleOps.capPerKey]])
+    * — the "≤ N docs per domain/source" corpus quota. Rank-limit pushes
+    * map-side (WindowGroupLimit, plan-audited); survivor choice is the
+    * engine-portable md5 hash, so the oracle selects the identical rows. */
+  private val q62 = QuerySpec(
+    "q62_per_key_cap",
+    (s, dir) => graft.operators.ScaleOps.capPerKey(
+        t(s, dir, "events").select(col("user_id"), col("event_id")),
+        "user_id", "event_id", cap = 5)
+      .orderBy(col("user_id"), col("event_id")),
+    Some("""WITH r AS (SELECT user_id, event_id, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+          % 2147483647, event_id) AS rn
+      FROM events)
+      SELECT user_id, event_id FROM r WHERE rn <= 5
+      ORDER BY user_id, event_id"""))
+
+  /** Deterministic 800/100/100 train/val/test split
+    * ([[graft.operators.ScaleOps.splitByHash]]) summarized per split —
+    * reproducible across engines because the split is the same md5-derived
+    * bucket [[graft.operators.ScaleOps.hashSample]] uses. */
+  private val q63 = QuerySpec(
+    "q63_split_by_hash",
+    (s, dir) => graft.operators.ScaleOps.splitByHash(
+        t(s, dir, "documents"), "doc_id", "split",
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split")),
+    Some("""WITH s AS (SELECT n_chars,
+        CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END
+          AS split
+      FROM (SELECT n_chars,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 2147483647 % 1000 AS h
+        FROM documents))
+      SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM s GROUP BY 1 ORDER BY 1"""))
+
+  /** Sharded sequence packing ([[graft.operators.ScaleOps.packBins]]):
+    * docs → fixed-token-budget training bins, 8 hash shards packed by
+    * independent running-sum windows (a global window would serialize the
+    * corpus through one task). */
+  private val q64 = QuerySpec(
+    "q64_sequence_pack",
+    (s, dir) => graft.operators.ScaleOps.packBins(
+        t(s, dir, "documents"), "doc_id", "text",
+        seqTokens = 2048, shards = 8)
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT)
+          AS n_tokens,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 2147483647 AS h
+      FROM documents),
+      s AS (SELECT doc_id, n_tokens, h, CAST(h % 8 AS INT) AS shard FROM d),
+      c AS (SELECT doc_id, n_tokens, shard,
+        coalesce(CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+      FROM s)
+      SELECT doc_id, n_tokens, shard,
+        CAST(floor(CAST(cum AS DOUBLE) / 2048) AS BIGINT) AS bin
+      FROM c ORDER BY doc_id"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -1583,5 +1647,5 @@ object QueryCatalog {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61)
+    q61, q62, q63, q64)
 }

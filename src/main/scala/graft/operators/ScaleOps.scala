@@ -158,6 +158,75 @@ object ScaleOps {
       % 1000 < rate)
   }
 
+  /** Deterministic per-key row cap — the "at most N docs per domain/source"
+    * quota every web-corpus mix applies. Survivors are chosen by the
+    * md5-derived hash of `idCol` (reproducible across runs/engines/
+    * partitionings, like [[hashSample]]), ties broken by the id itself.
+    * Spark pushes the rank limit below the exchange (WindowGroupLimit), so
+    * each map task forwards at most `cap` rows per key — the shuffle carries
+    * the caps, not the corpus. */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, "cap >= 1")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(graft.functions.Hashing.stableHash31(col(idCol).cast("string")),
+        col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= cap)
+      .drop("_rn")
+  }
+
+  /** Deterministic train/validation/test (or any N-way) split: each key's
+    * md5-derived hash lands in [0, 1000), and `permilles` carves that range
+    * in order (remainder → the last label). Same hash as [[hashSample]], so
+    * splits compose with sampling and are reproducible across engines; the
+    * label compiles to a codegen'd CASE chain — no shuffle, no randomness.
+    * Returns the input plus `splitCol`. */
+  def splitByHash(df: DataFrame, keyCol: String, splitCol: String,
+      permilles: Seq[(String, Int)]): DataFrame = {
+    require(permilles.nonEmpty && permilles.map(_._2).sum == 1000,
+      "permilles must sum to 1000")
+    val bucket = graft.functions.Hashing.stableHash31(col(keyCol).cast("string")) % 1000
+    val bounds = permilles.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    // foldRight so the FIRST range's check is outermost (CASE evaluates
+    // in declaration order)
+    val label = permilles.zip(bounds).init
+      .foldRight(lit(permilles.last._1): Column) {
+        case (((name, _), hi), acc) => when(bucket < hi, name).otherwise(acc)
+      }
+    df.withColumn(splitCol, label)
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget training bins
+    * (the pre-tokenization step that turns a curated corpus into
+    * context-window-sized sequences). Docs are ordered deterministically
+    * (md5 hash, then id) and binned by exclusive running token count — a
+    * doc belongs to the bin its token window STARTS in, so a bin may
+    * overflow by at most its last doc (the one-pass window approximation;
+    * exact first-fit needs sequential state and buys little at corpus
+    * scale, where downstream tokenization re-chunks anyway).
+    *
+    * Scale shape: packing is SHARDED — a hash shard per key-range, each
+    * packed independently by a shard-partitioned window (running sum needs
+    * an order, and a single global window would serialize the corpus
+    * through one task). Bin ids are (shard, bin-within-shard) flattened;
+    * cross-shard bins never mix, which is exactly how a distributed packer
+    * runs in production. Returns (id, n_tokens, shard, bin). */
+  def packBins(df: DataFrame, idCol: String, textCol: String,
+      seqTokens: Int, shards: Int): DataFrame = {
+    require(seqTokens >= 1 && shards >= 1, "seqTokens >= 1, shards >= 1")
+    val h = graft.functions.Hashing.stableHash31(col(idCol).cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        h.as("_h"), (h % shards).cast("int").as("shard"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / seqTokens)
+          .cast("long"))
+      .drop("_h")
+  }
+
   /** Approximate distinct count per group (HyperLogLog++, mergeable sketch —
     * the 100 TB replacement for count(distinct), one pass, fixed memory).
     * `rsd` = relative standard deviation (default 5%). */

@@ -121,6 +121,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q62 per-key cap pushes the rank limit map-side (WindowGroupLimit)") {
+    val p = planOf("q62_per_key_cap")
+    // each map task forwards at most cap rows per key before the exchange —
+    // the shuffle carries the caps, not the corpus
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
+  }
+
   test("q60 pagerank iterations are equi-joins + aggregates, never nested loops") {
     val p = planOf("q60_pagerank")
     assert(!p.contains("CartesianProduct"))

@@ -105,6 +105,60 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("capPerKey: at most cap rows per key, hash-deterministic survivors") {
+    import spark.implicits._
+    val rows = (1L to 400L).map(i => (i % 7, i)).toDF("k", "id")
+    val capped = ScaleOps.capPerKey(rows, "k", "id", cap = 3)
+    val perKey = capped.groupBy("k").count().as[(Long, Long)].collect().toMap
+    assert(perKey.values.forall(_ <= 3) && perKey.size == 7)
+    // deterministic: the same survivors on every run
+    val again = ScaleOps.capPerKey(rows, "k", "id", cap = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(again == capped.as[(Long, Long)].collect().toSet)
+    // keys with fewer rows than cap keep everything
+    val tiny = Seq((0L, 1L), (0L, 2L)).toDF("k", "id")
+    assert(ScaleOps.capPerKey(tiny, "k", "id", 5).count() == 2)
+  }
+
+  test("splitByHash: exhaustive labels, composes exactly with hashSample") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val split = ScaleOps.splitByHash(docs, "doc_id", "split",
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    assert(split.where(col("split").isNull).count() == 0)
+    val n = docs.count()
+    val byLabel = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.values.sum == n)
+    assert(byLabel("train") > byLabel("val") && byLabel("train") > byLabel("test"))
+    // the train split IS hashSample at the same rate — same bucket math,
+    // so sampling and splitting compose without key leakage across sets
+    val sampled = ScaleOps.hashSample(docs, "doc_id", 800)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val train = split.where(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(train == sampled)
+  }
+
+  test("packBins: bins respect the token budget up to one-doc overflow") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val packed = ScaleOps.packBins(docs, "doc_id", "text",
+      seqTokens = 2048, shards = 8)
+    assert(packed.count() == docs.count())
+    val maxDoc = packed.agg(max("n_tokens")).head().getLong(0)
+    val binTotals = packed.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("t")).collect().map(_.getLong(2))
+    // offset-based assignment: a bin holds < budget + its last (overflowing)
+    // doc — never more
+    assert(binTotals.forall(_ < 2048 + maxDoc))
+    // bins are contiguous from 0 within every shard
+    val perShard = packed.groupBy("shard")
+      .agg(min("bin").as("lo"), max("bin").as("hi"),
+        countDistinct("bin").as("nb")).collect()
+    perShard.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(3) == r.getLong(2) + 1)
+    }
+  }
+
   test("writeBucketed: join of two co-bucketed tables plans without a shuffle") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
