@@ -1638,6 +1638,36 @@ object QueryCatalog {
         CAST(floor(CAST(cum AS DOUBLE) / 2048) AS BIGINT) AS bin
       FROM c ORDER BY doc_id"""))
 
+  /** Corpus version diff ([[graft.operators.Dedup.corpusDiff]]): two
+    * simulated snapshots of the documents table (10% removed, 1/7 added,
+    * every 5th edited) → per-status counts — the dataset-versioning audit
+    * that pairs with VersionedTable snapshots. */
+  private val q65 = QuerySpec(
+    "q65_corpus_diff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.where(col("doc_id") % 10 =!= 0)
+      val neu = docs.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Dedup.corpusDiff(old, neu, "doc_id", "text")
+        .groupBy("status").agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("status"))
+    },
+    Some("""WITH o AS (SELECT doc_id, md5(text) AS h FROM documents
+        WHERE doc_id % 10 <> 0),
+      n AS (SELECT doc_id,
+          md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+        FROM documents WHERE doc_id % 7 <> 0),
+      d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          CASE WHEN o.h IS NULL THEN 'added'
+               WHEN n.h IS NULL THEN 'removed'
+               WHEN o.h <> n.h THEN 'changed'
+               ELSE 'unchanged' END AS status
+        FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+      SELECT status, count(*) AS n_docs FROM d GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -1647,5 +1677,5 @@ object QueryCatalog {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64)
+    q61, q62, q63, q64, q65)
 }

@@ -177,6 +177,27 @@ object Dedup {
           .cast("double") / lit(numHashes)).as("est_jaccard"))
   }
 
+  /** Corpus version diff: per-doc status between two snapshots of a
+    * document table — the audit step of dataset versioning (pairs with
+    * [[graft.sources.VersionedTable]]'s snapshot writes: "what changed
+    * between v3 and v4, and how much re-tokenization does it trigger").
+    * Returns (id, status ∈ added | removed | changed | unchanged).
+    *
+    * Scale shape: content hashed map-side next to each scan (only
+    * (id, md5) pairs move), one id-keyed full outer join — co-partitioned
+    * if both snapshots are bucketed by id, a plain hash shuffle otherwise. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("_h_old"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("_h_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("_h_old").isNull, "added")
+          .when(col("_h_new").isNull, "removed")
+          .when(col("_h_old") =!= col("_h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** SimHash bit width (stableHash provides 60 usable bits; 32 keeps the plan
     * compact while preserving near-dup recall on word unigrams). */
   val SimhashBits = 32

@@ -65,6 +65,16 @@ class DedupSpec extends SparkSpec {
     assert(ham(sigs(1L), sigs(2L)) <= 8)
   }
 
+  test("corpusDiff: added/removed/changed/unchanged classified exactly") {
+    import spark.implicits._
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "gone")).toDF("doc_id", "text")
+    val neu = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new")).toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(old, neu, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("minhashCandidates maxBucketSize drops mega-bucket pairs only") {
     // 12 identical docs (degenerate bucket) + 2 near-dup docs
     val rows = (1L to 12L).map(_ -> "same same same same same") ++
