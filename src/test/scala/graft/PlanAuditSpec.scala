@@ -128,6 +128,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
   }
 
+  test("q64 sequence packing windows are SHARDED, not one global sort") {
+    val p = planOf("q64_sequence_pack")
+    // the running-sum window must partition by shard — a global (empty
+    // partitionBy) window would funnel the corpus through a single task
+    val windowLines = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(windowLines.contains("shard"),
+      s"pack window not shard-partitioned:\n$windowLines")
+    assert(!p.contains("SinglePartition"),
+      s"global single-partition stage in the pack plan:\n$p")
+  }
+
   test("q60 pagerank iterations are equi-joins + aggregates, never nested loops") {
     val p = planOf("q60_pagerank")
     assert(!p.contains("CartesianProduct"))

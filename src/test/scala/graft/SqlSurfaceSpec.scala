@@ -50,6 +50,16 @@ class SqlSurfaceSpec extends SparkSpec {
           graft.operators.Dedup.SimhashBits)).head()
     assert(viaSql.getSeq[Long](0) == viaDf.getSeq[Long](0))
     assert(viaSql.getLong(1) == viaDf.getLong(1))
+    // frequency/index expressions
+    val r = spark.sql("""SELECT
+        size(shingle_hashes('a b c d', 2)),
+        size(token_counts('x y x')),
+        size(char_bigram_counts('abc')),
+        hilbert_index(CAST(0 AS BIGINT), CAST(0 AS BIGINT), 4)""").head()
+    assert(r.getInt(0) == 3)  // 3 distinct 2-gram hashes
+    assert(r.getInt(1) == 2)  // tokens x (tf 2), y (tf 1)
+    assert(r.getInt(2) == 2)  // bigrams ab, bc
+    assert(r.getLong(3) == 0L) // curve origin
   }
 
   test("word_shingles rejects n < 1 at analysis time, not at runtime") {
