@@ -30,10 +30,17 @@ object Bench {
       graft.core.CacheScope.drain()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The harness reading this line only keeps a ~2000-char tail of the run
+    // output; the full query names + full double repr overflowed that window
+    // (the line's head was cut, so it never parsed). Short qNN keys and 3dp
+    // values keep the line under ~1k chars even at 100 queries.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) =>
+      val short = k.indexOf('_') match { case -1 => k; case i => k.substring(0, i) }
+      "\"" + short + "\":" + f3(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
