@@ -552,6 +552,19 @@ object QueryCatalog {
   // ------------------------------------------- extensions: text analysis
 
   /** Token counts, ratios, composite quality score. */
+  /** The DuckDB mirror of [[TextAnalysis.qualityScore]] — the exact text
+    * q24 inlines (kept verbatim there); q69 reuses it as the gate's score.
+    * The inner CASTs force DOUBLE so DuckDB's DECIMAL literals never drive
+    * the arithmetic. */
+  private val QualityScoreSql: String = """round(
+        0.4 * least(CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+        + 0.3 * (CASE WHEN (CAST(list_sum(list_transform(str_split(text, ' '), x -> len(x))) AS DOUBLE)
+            / greatest(len(str_split(text, ' ')), 1)) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+        + 0.15 * (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+            / greatest(length(text), 1) * 4.0, 1.0))
+        + 0.15 * (1.0 - least(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+            / greatest(length(text), 1) * 4.0, 1.0)), 6)"""
+
   private val q24 = QuerySpec(
     "q24_text_stats",
     (s, dir) => t(s, dir, "documents")
@@ -1668,6 +1681,135 @@ object QueryCatalog {
         FROM o FULL JOIN n ON o.doc_id = n.doc_id)
       SELECT status, count(*) AS n_docs FROM d GROUP BY 1 ORDER BY 1"""))
 
+  /** Corpus-level boilerplate stripping ([[graft.operators.Dedup
+    * .boilerplateStrip]]): non-overlapping 8-word segments hashed per-row
+    * ([[graft.functions.SegmentHashes]]), segments in >= 3 distinct docs
+    * dropped everywhere — the CCNet/RefinedWeb "line dedup" pass for
+    * single-line documents. */
+  private val q66 = QuerySpec(
+    "q66_boilerplate_strip",
+    (s, dir) => Dedup.boilerplateStrip(t(s, dir, "documents"),
+        "doc_id", "text", segWords = 8, maxDocFreq = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""WITH base AS (SELECT doc_id, str_split(text, ' ') AS arr FROM documents),
+      segs AS (SELECT doc_id, unnest(list_transform(range(len(arr) // 8),
+          i -> ('0x' || substr(md5(array_to_string(
+            list_slice(arr, i*8 + 1, i*8 + 8), ' ')), 1, 15))::BIGINT))
+          AS seg_hash
+        FROM base),
+      hot AS (SELECT seg_hash FROM (
+          SELECT seg_hash, count(DISTINCT doc_id) AS dfd FROM segs GROUP BY 1)
+        WHERE dfd >= 3),
+      per AS (SELECT s.doc_id, count(*) AS n_segs,
+          CAST(sum(CASE WHEN h.seg_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dropped
+        FROM segs s LEFT JOIN hot h ON s.seg_hash = h.seg_hash GROUP BY 1)
+      SELECT b.doc_id, len(b.arr) AS n_tokens,
+        coalesce(p.n_segs, 0) AS n_segs,
+        coalesce(p.n_dropped, 0) AS n_dropped,
+        len(b.arr) - coalesce(p.n_dropped, 0) * 8 AS kept_tokens
+      FROM base b LEFT JOIN per p ON b.doc_id = p.doc_id
+      ORDER BY b.doc_id"""))
+
+  /** Corpus vocabulary top-k by global term frequency
+    * ([[TextAnalysis.vocabTopK]]) — tokenizer-vocab construction / Zipf
+    * sanity check; per-doc term counts row-local, top-k via
+    * TakeOrderedAndProject. */
+  private val q67 = QuerySpec(
+    "q67_vocab_topk",
+    (s, dir) => TextAnalysis.vocabTopK(t(s, dir, "documents"), "text", k = 30)
+      .orderBy(col("rnk")),
+    Some("""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      v AS (SELECT tok, CAST(sum(c) AS BIGINT) AS tf_total, count(*) AS df
+        FROM tf GROUP BY 1),
+      ranked AS (SELECT tok, tf_total, df,
+          row_number() OVER (ORDER BY tf_total DESC, tok) AS rnk FROM v)
+      SELECT tok, tf_total, df, rnk FROM ranked WHERE rnk <= 30
+      ORDER BY rnk"""))
+
+  /** SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]): IVF-cell
+    * assignment (seed centroids, the q33 scheme), in-cell pairs only,
+    * drop the higher id of any pair with cosine >= 0.4. */
+  private val q68 = {
+    val (nlist, minCos) = (16, 0.4)
+    val cosSql = (a: String, b: String) =>
+      s"""list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]),
+          (x, y) -> x + y) /
+        (sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]),
+          (x, y) -> x + y)) *
+         sqrt(list_reduce(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]),
+          (x, y) -> x + y)))"""
+    QuerySpec(
+      "q68_semantic_dedup",
+      (s, dir) => Similarity.semanticDedup(t(s, dir, "embeddings"),
+          nlist = nlist, minCosine = minCos)
+        .orderBy(col("vec_id")),
+      Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cent_vec
+          FROM embeddings WHERE vec_id < $nlist),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        assigned AS (SELECT vec_id, cv, cid FROM (
+            SELECT vec_id, cv, cid,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ${cosSql("cv", "cent_vec")} DESC, cid) AS rn
+            FROM c CROSS JOIN cent) WHERE rn = 1),
+        dropped AS (SELECT DISTINCT r.vec_id FROM assigned l JOIN assigned r
+            ON l.cid = r.cid AND l.vec_id < r.vec_id
+          WHERE ${cosSql("l.cv", "r.cv")} >= $minCos)
+        SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
+        FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        ORDER BY a.vec_id"""))
+  }
+
+  /** Exact quality-quantile gate ([[TextAnalysis.qualityGate]], keep top
+    * 30%) — equivalent to a global row_number over (score desc, id) but
+    * computed via the score histogram, so no corpus-wide single-partition
+    * window. The oracle states it the declarative way; 0.3 is forced to
+    * DOUBLE there because DuckDB would otherwise read it as DECIMAL and
+    * round floor(0.3·N) differently than IEEE doubles do. */
+  private val q69 = QuerySpec(
+    "q69_quality_gate",
+    (s, dir) => TextAnalysis.qualityGate(t(s, dir, "documents"),
+        "doc_id", "text", keepFrac = 0.3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH scored AS (SELECT doc_id, $QualityScoreSql AS score
+        FROM documents),
+      ranked AS (SELECT doc_id, score,
+          row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM scored)
+      SELECT doc_id, score,
+        rnk <= CAST(floor(CAST(0.3 AS DOUBLE) * (SELECT count(*) FROM scored))
+          AS BIGINT) AS keep
+      FROM ranked ORDER BY doc_id"""))
+
+  /** Epoch-weighted mixing ([[graft.operators.ScaleOps.epochMix]]):
+    * "2.5 epochs of src0, 2 of src1, 0.4 of src2, 1.25 of src3, 0.5 of
+    * everything else" — floor(w) copies per doc plus a hash-chosen extra
+    * for the fractional epoch. Weights quantized to permille in the driver
+    * (integer literals in both plans). */
+  private val q70 = QuerySpec(
+    "q70_epoch_mix",
+    (s, dir) => graft.operators.ScaleOps.epochMix(t(s, dir, "documents"),
+        "source", "doc_id",
+        Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.4, "src3" -> 1.25),
+        defaultWeight = 0.5)
+      .select(col("doc_id"), col("source"), col("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx")),
+    Some("""WITH w AS (SELECT doc_id, source,
+        (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 2
+            WHEN 'src2' THEN 0 WHEN 'src3' THEN 1 ELSE 0 END)
+        + (CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 2147483647 % 1000 <
+            (CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 0
+              WHEN 'src2' THEN 400 WHEN 'src3' THEN 250 ELSE 500 END)
+          THEN 1 ELSE 0 END) AS n_copies
+        FROM documents)
+      SELECT doc_id, source, unnest(range(n_copies)) AS copy_idx
+      FROM w WHERE n_copies > 0
+      ORDER BY doc_id, copy_idx"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -1677,5 +1819,5 @@ object QueryCatalog {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
 }

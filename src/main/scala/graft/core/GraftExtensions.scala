@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ArrayDot, CharBigramCounts, HilbertIndex, MinhashSig, ShingleHashes, SimhashSig, TokenCounts, WordShingles}
+import graft.functions.{ArrayDot, CharBigramCounts, HilbertIndex, MinhashSig, SegmentHashes, ShingleHashes, SimhashSig, TokenCounts, WordShingles}
 
 /** Engine extensions registered through the sanctioned
   * `SparkSessionExtensions` hook (`spark.sql.extensions=graft.core.
@@ -70,6 +70,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text) => ShingleHashes(text, 3)
         case _ => throw new IllegalArgumentException(
           "shingle_hashes(text[, n]) — n must be an integer literal >= 1")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("segment_hashes"),
+      new ExpressionInfo(classOf[SegmentHashes].getName, "segment_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, Literal(w: Int, _)) if w >= 1 => SegmentHashes(text, w)
+        case Seq(text) => SegmentHashes(text, 8)
+        case _ => throw new IllegalArgumentException(
+          "segment_hashes(text[, w]) — w must be an integer literal >= 1")
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash_sig"),

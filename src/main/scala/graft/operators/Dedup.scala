@@ -414,4 +414,49 @@ object Dedup {
       .distinct() // a pair colliding in k bands appears k times
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Corpus-level boilerplate stripping — the segment/"line"-dedup pass of
+    * CCNet/RefinedWeb-lineage pipelines, adapted to single-line documents:
+    * a doc's non-overlapping `segWords`-word segments are hashed per-row
+    * ([[graft.functions.SegmentHashes]] — no occurrence-level token
+    * shuffle), and a segment whose hash occurs in >= `maxDocFreq` DISTINCT
+    * documents is boilerplate (headers, navigation chrome, license
+    * blurbs) — every occurrence of it is dropped. Returns per-doc removal
+    * accounting: (doc_id, n_tokens, n_segs, n_dropped, kept_tokens) with
+    * kept_tokens = n_tokens − n_dropped·segWords (the trailing partial
+    * segment never drops).
+    *
+    * Scale shape: segment rows are tokens/segWords (~8× fewer rows than the
+    * token explode), id+hash only; the df count is (hash, doc)-distinct +
+    * one map-side-combining aggregate; the hot set is small by construction
+    * (segments repeated across >= maxDocFreq docs) and joins back
+    * left-semi-style — AQE picks broadcast when it fits, no forced hint
+    * (unbounded on a boilerplate-heavy corpus). */
+  def boilerplateStrip(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 8, maxDocFreq: Long = 3): DataFrame = {
+    // persist: feeds the df-count aggregate AND the per-doc join-back
+    // (CacheScope-registered; the session owner drains after the action)
+    val segs = graft.core.CacheScope.persist(
+      df.select(col(idCol).as("id"),
+        explode(graft.functions.SegmentHashes(col(textCol), segWords))
+          .as("seg_hash")))
+    val hot = segs.select("seg_hash", "id").distinct()
+      .groupBy("seg_hash").agg(count(lit(1)).as("df_docs"))
+      .where(col("df_docs") >= maxDocFreq)
+      .select("seg_hash")
+    val perDoc = segs
+      .join(hot.withColumn("is_hot", lit(1)), Seq("seg_hash"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_segs"),
+        coalesce(sum(col("is_hot")), lit(0L)).cast("long").as("n_dropped"))
+    df.select(col(idCol).as("id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        col("n_tokens"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_tokens") - coalesce(col("n_dropped"), lit(0L)) * segWords)
+          .as("kept_tokens"))
+  }
 }

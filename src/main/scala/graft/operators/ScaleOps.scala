@@ -158,6 +158,46 @@ object ScaleOps {
       % 1000 < rate)
   }
 
+  /** Epoch-weighted corpus mixing — the UP-sampling half of mixture
+    * construction ([[stratifiedHashSample]] is the down-sampling half):
+    * a stratum with weight 2.5 contributes every doc twice plus a
+    * deterministic half of them a third time ("2.5 epochs of books, 0.6
+    * epochs of web" — the standard pretraining-mix recipe). Each doc emits
+    * `floor(w)` copies, plus one more iff its md5-derived hash lands under
+    * `round(frac(w)·1000)` permille — same hash family as [[hashSample]],
+    * so the fractional-epoch subset is reproducible across runs/engines
+    * and consistent with every other hash-keyed decision on the same key.
+    * Returns the input keyed rows exploded with `copy_idx` (0-based).
+    *
+    * Scale shape: the weight lookup is a codegen'd CASE chain and the copy
+    * fan-out is a per-row explode of a tiny sequence — narrow, no shuffle,
+    * no randomness; output size is Σ n_s·w_s by construction. Weights are
+    * quantized to permille in the DRIVER so the plan carries integer
+    * literals (engine-portable, no float-boundary ambiguity). */
+  def epochMix(df: DataFrame, stratumCol: String, keyCol: String,
+      weightsByStratum: Map[String, Double],
+      defaultWeight: Double = 0.0): DataFrame = {
+    val quantized = (weightsByStratum.toSeq :+ ("" -> defaultWeight)).map {
+      case (s, w) =>
+        require(w >= 0.0 && w <= 100.0, s"weight for '$s' in [0, 100]")
+        val whole = math.floor(w).toLong
+        (s, whole, math.round((w - whole) * 1000))
+    }
+    val (defWhole, defPermille) = (quantized.last._2, quantized.last._3)
+    val whole = quantized.init.foldLeft(lit(defWhole)) {
+      case (acc, (s, wh, _)) => when(col(stratumCol) === s, wh).otherwise(acc)
+    }
+    val permille = quantized.init.foldLeft(lit(defPermille)) {
+      case (acc, (s, _, pm)) => when(col(stratumCol) === s, pm).otherwise(acc)
+    }
+    val extra = (graft.functions.Hashing.stableHash31(col(keyCol).cast("string"))
+      % 1000 < permille).cast("long")
+    df.withColumn("_copies", whole + extra)
+      .where(col("_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_copies")
+  }
+
   /** Deterministic per-key row cap — the "at most N docs per domain/source"
     * quota every web-corpus mix applies. Survivors are chosen by the
     * md5-derived hash of `idCol` (reproducible across runs/engines/

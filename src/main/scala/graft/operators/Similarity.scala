@@ -185,6 +185,41 @@ object Similarity {
       nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfSearch(ivfIndex(corpus, nlist, idCol, vecCol), queries, k, nprobe, idCol, vecCol)
 
+  /** SemDeDup-style semantic deduplication: assign every vector to its IVF
+    * cell, compare pairs ONLY within a cell, and drop a vector when a
+    * lower-id near-duplicate (cosine >= `minCosine`) shares its cell.
+    * Returns (vec_id, cid, keep) — the kept set is the corpus minus
+    * higher-id members of near-dup pairs (greedy low-id-wins; deterministic
+    * and engine-portable, unlike centroid-distance tie-breaks).
+    *
+    * Scale shape: this is THE reason semantic dedup survives 100 TB — the
+    * all-pairs O(N²) cosine matrix becomes Σ|cell|², so cost is controlled
+    * by nlist (√N cells ≈ linear total work). The cell self-join shuffles
+    * (id, vec) keyed by cid; for huge corpora raise nlist so cells stay
+    * task-sized (nlist IS the skew guard — a hot cell is a too-coarse
+    * index, and [[trainCentroids]] rebalances it). Dropped ids travel as
+    * id-only rows into the verdict anti-join. */
+  def semanticDedup(corpus: DataFrame, nlist: Int, minCosine: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[DataFrame] = None): DataFrame = {
+    // persist: both sides of the in-cell self-join AND the verdict join
+    // read the assignment (CacheScope-registered; owner drains after use)
+    val assigned = graft.core.CacheScope.persist(
+      ivfIndex(corpus, nlist, idCol, vecCol, centroids).assigned)
+    val l = assigned.select(col("cid"), col("neighbor_id").as("id_a"),
+      col("c_vec").as("va"), col("c_norm").as("na"))
+    val r = assigned.select(col("cid"), col("neighbor_id").as("id_b"),
+      col("c_vec").as("vb"), col("c_norm").as("nb"))
+    val dropped = l.join(r, Seq("cid"))
+      .where(col("id_a") < col("id_b"))
+      .where(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= minCosine)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.select(col("neighbor_id").as("vec_id"), col("cid"))
+      .join(dropped.withColumn("is_dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("is_dup").isNull.as("keep"))
+  }
+
   /** Scale path: bucket corpus and queries by sign-LSH signature, join on the
     * bucket (hash shuffle on a small key — no cross join anywhere), then exact
     * cosine re-rank inside buckets. Approximate: recall < 1 by construction. */

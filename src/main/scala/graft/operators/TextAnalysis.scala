@@ -202,6 +202,71 @@ object TextAnalysis {
           6).as("lm_score"))
   }
 
+  /** Corpus vocabulary, top `k` by global term frequency — the first pass of
+    * tokenizer/vocab construction and the Zipf sanity check on a crawl.
+    * Returns (tok, tf_total, df, rnk) with rnk dense over (tf_total desc,
+    * tok).
+    *
+    * Scale shape: per-doc term counts are row-local
+    * ([[graft.functions.TokenCounts]]); the global aggregate is token-keyed
+    * with map-side combine (one row per distinct token per partition); the
+    * top-k cut is orderBy+limit — Spark plans TakeOrderedAndProject
+    * (per-partition heaps, no global sort materialization) — and only the
+    * K survivors enter the rank window, so the unpartitioned window is a
+    * K-row driver-sized stage, not a corpus-wide single-partition sort. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val v = df.select(explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .groupBy(col("tc.tok").as("tok"))
+      .agg(sum("tc.tf").as("tf_total"), count(lit(1)).as("df"))
+      .orderBy(col("tf_total").desc, col("tok"))
+      .limit(k)
+    v.withColumn("rnk",
+      row_number().over(Window.orderBy(col("tf_total").desc, col("tok")))
+        .cast("long"))
+  }
+
+  /** Quality-quantile gate: keep the top `keepFrac` of the corpus by
+    * [[qualityScore]], exactly — equivalent to
+    * `row_number() OVER (ORDER BY score DESC, id) <= floor(keepFrac·N)`
+    * but WITHOUT the corpus-wide single-partition window that global
+    * ranking normally costs. Returns (id, score, keep).
+    *
+    * Scale shape: scores round to 6dp, so the score histogram
+    * (groupBy(score).count) is a bounded-size aggregate with map-side
+    * combine; the cumulative scan runs on that tiny table; only the ONE
+    * boundary score group needs within-group ranking (a window partitioned
+    * by score over that group's rows — parallel, skew-free unless the
+    * corpus is one score). Two driver scalars (N, boundary row) — same
+    * class of action as PageRank's N, not a collect. */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+      keepFrac: Double): DataFrame = {
+    val scored = graft.core.CacheScope.persist(
+      df.select(col(idCol).as("id"), qualityScore(col(textCol)).as("score")))
+    val n = scored.count()
+    val target = math.floor(keepFrac * n).toLong
+    val hist = scored.groupBy("score").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum",
+        sum("cnt").over(Window.orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val boundary = hist.where(col("cum") >= target)
+      .orderBy(col("score").desc).limit(1)
+      .select(col("score"), (col("cum") - col("cnt")).as("n_above"))
+      .collect().headOption
+    boundary match {
+      case None => // target == 0: nothing kept
+        scored.select(col("id"), col("score"), lit(false).as("keep"))
+      case Some(row) =>
+        val (cutoff, nAbove) = (row.getDouble(0), row.getLong(1))
+        val inGroup = Window.partitionBy("score").orderBy(col("id"))
+        scored
+          .withColumn("keep",
+            col("score") > cutoff ||
+              (col("score") === cutoff &&
+                row_number().over(inGroup) <= lit(target - nAbove)))
+          .select(col("id"), col("score"), col("keep"))
+    }
+  }
+
   /** Intra-document repetition stats — the Gopher-style quality cut for
     * degenerate/templated text: `distinct_ratio` (unique tokens / tokens;
     * low = loops, keyword stuffing) and `top_token_share` (most frequent

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.SparkSpec
+
+/** Round-5 curation operators: segment-level boilerplate stripping,
+  * vocabulary building, semantic dedup, the quality-quantile gate, and
+  * epoch-weighted mixing. Each is checked against an independent
+  * declarative restatement of its semantics (not against itself). */
+class CurationOpsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  // --------------------------------------------------- SegmentHashes
+
+  test("segment_hashes == declarative slice+hash twin, incl. ragged tails") {
+    import spark.implicits._
+    val df = Seq(
+      "a b c d e f g h i",          // 9 tokens, w=4 → 2 segs + ragged 1
+      "a b c d",                     // exactly one segment
+      "a b c",                       // shorter than w → no segment
+      "", "x",                       // degenerate
+      "a  b c d",                    // double space → empty token counts
+      "uno dos tres cuatro cinco seis siete ocho").toDF("text")
+    val w = 4
+    val fused = df.select(graft.functions.SegmentHashes(col("text"), w).as("h"))
+    // guard the zero-segment case: sequence(1, 0) steps DOWN in Spark, so
+    // the transform only runs when at least one full segment exists
+    val t = split(col("text"), " ")
+    val nSegs = floor(size(t) / lit(w)).cast("int")
+    val declarativeSafe = df.select(
+      when(nSegs >= 1,
+        transform(sequence(lit(1), greatest(nSegs, lit(1))),
+          g => graft.functions.Hashing.stableHash(
+            concat_ws(" ", slice(t, (g - 1) * w + 1, lit(w))))))
+        .otherwise(array().cast("array<long>")).as("h"))
+    val a = fused.collect().map(_.getSeq[Long](0).toList)
+    val b = declarativeSafe.collect().map(_.getSeq[Long](0).toList)
+    assert(a.toList == b.toList)
+  }
+
+  // ------------------------------------------------ boilerplateStrip
+
+  test("boilerplateStrip: accounting identity and hot-everywhere semantics") {
+    import spark.implicits._
+    val boiler = "all rights reserved contact us terms of service"  // 8 words
+    val unique = (i: Int) => s"unique${i}a unique${i}b unique${i}c unique${i}d " +
+      s"unique${i}e unique${i}f unique${i}g unique${i}h"
+    // docs 0-4 share the boilerplate segment; 5-6 are fully unique; doc 7
+    // contains the boilerplate TWICE (both occurrences must drop)
+    val df = ((0 to 4).map(i => (i.toLong, s"$boiler ${unique(i)}")) ++
+      Seq((5L, unique(5)), (6L, unique(6)),
+          (7L, s"$boiler $boiler tail words here")))
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateStrip(df, "doc_id", "text",
+      segWords = 8, maxDocFreq = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    (0 to 4).foreach { i =>
+      val (nTok, nSegs, nDropped, kept) = out(i.toLong)
+      assert(nSegs == 2 && nDropped == 1, s"doc $i: boiler seg must drop")
+      assert(kept == nTok - 8)
+    }
+    Seq(5L, 6L).foreach { i =>
+      val (nTok, _, nDropped, kept) = out(i)
+      assert(nDropped == 0 && kept == nTok)
+    }
+    val (t7, s7, d7, k7) = out(7L)
+    assert(s7 == 2 && d7 == 2, "both boilerplate occurrences drop")
+    assert(k7 == t7 - 16)
+  }
+
+  test("boilerplateStrip on corpus: kept_tokens identity, no doc lost") {
+    val out = Dedup.boilerplateStrip(docs, "doc_id", "text")
+    assert(out.count() == docs.count())
+    assert(out.where(col("kept_tokens") =!=
+      col("n_tokens") - col("n_dropped") * 8).count() == 0)
+    assert(out.where(col("n_dropped") > col("n_segs")).count() == 0)
+  }
+
+  // ------------------------------------------------------ vocabTopK
+
+  test("vocabTopK == explode/groupBy twin") {
+    val k = 25
+    val fused = TextAnalysis.vocabTopK(docs, "text", k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tf = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val twin = tf.groupBy("tok")
+      .agg(sum("c").as("tf_total"), count(lit(1)).as("df"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("tf_total").desc, col("tok"))).cast("long"))
+      .where(col("rnk") <= k).orderBy("rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fused.toList == twin.toList)
+  }
+
+  // -------------------------------------------------- semanticDedup
+
+  test("semanticDedup: dropped iff a lower-id in-cell neighbor above threshold") {
+    val nlist = 8
+    val minCos = 0.35
+    val out = Similarity.semanticDedup(emb, nlist, minCos)
+    // restate: join verdicts against independently computed in-cell pairs
+    val assigned = out.select("vec_id", "cid")
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val withVec = assigned.join(vecs, "vec_id")
+    val pairs = withVec.as("l").join(withVec.as("r"),
+        col("l.cid") === col("r.cid") && col("l.vec_id") < col("r.vec_id"))
+      .where(graft.functions.Vectors.dot(col("l.embedding"), col("r.embedding")) /
+        (graft.functions.Vectors.l2Norm(col("l.embedding")) *
+         graft.functions.Vectors.l2Norm(col("r.embedding"))) >= minCos)
+      .select(col("r.vec_id").as("vec_id")).distinct()
+    val expectedDropped = pairs.collect().map(_.getLong(0)).toSet
+    val actualDropped = out.where(!col("keep")).collect().map(_.getLong(0)).toSet
+    assert(actualDropped == expectedDropped)
+    assert(out.count() == emb.count(), "every vector gets a verdict")
+  }
+
+  // ---------------------------------------------------- qualityGate
+
+  test("qualityGate == global row_number ranking (histogram path is exact)") {
+    val frac = 0.3
+    val out = TextAnalysis.qualityGate(docs, "doc_id", "text", frac)
+    val n = docs.count()
+    val target = math.floor(frac * n).toLong
+    val ranked = docs.select(col("doc_id").as("id"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))))
+    val expectKeep = ranked.where(col("rnk") <= target)
+      .collect().map(_.getLong(0)).toSet
+    val actualKeep = out.where(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(actualKeep == expectKeep)
+    assert(actualKeep.size.toLong == target)
+    assert(out.count() == n, "gate returns a verdict per doc, not a filter")
+  }
+
+  test("qualityGate keepFrac=0 keeps nothing; keepFrac=1 keeps everything") {
+    import spark.implicits._
+    val tiny = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota")).toDF("doc_id", "text")
+    assert(TextAnalysis.qualityGate(tiny, "doc_id", "text", 0.0)
+      .where(col("keep")).count() == 0)
+    assert(TextAnalysis.qualityGate(tiny, "doc_id", "text", 1.0)
+      .where(col("keep")).count() == 3)
+  }
+
+  // ------------------------------------------------------- epochMix
+
+  test("epochMix: copy counts match quantized weights, copy_idx is dense") {
+    val weights = Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.4)
+    val out = ScaleOps.epochMix(docs, "source", "doc_id", weights,
+      defaultWeight = 0.0)
+    val perDoc = out.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), max("copy_idx").as("mx"))
+    // dense 0..n-1 copy indices
+    assert(perDoc.where(col("mx") =!= col("n") - 1).count() == 0)
+    // whole part: every src1 doc appears exactly twice (frac 0 → no extra)
+    assert(perDoc.where(col("source") === "src1" && col("n") =!= 2).count() == 0)
+    // src0: 2 or 3 copies; src2: 0 or 1 (docs absent from out when 0)
+    assert(perDoc.where(col("source") === "src0" &&
+      (col("n") < 2 || col("n") > 3)).count() == 0)
+    assert(perDoc.where(col("source") === "src2" && col("n") =!= 1).count() == 0)
+    // default weight 0 → other sources contribute nothing
+    assert(out.where(!col("source").isin("src0", "src1", "src2")).count() == 0)
+    // determinism: a second run emits the identical multiset
+    val again = ScaleOps.epochMix(docs, "source", "doc_id", weights, 0.0)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("epochMix fractional subset == hashSample of the same permille") {
+    // weight 0.4 keeps exactly the docs hashSample(permille=400) keeps —
+    // the hash-decision composition contract across mixing primitives
+    val mixed = ScaleOps.epochMix(docs.where(col("source") === "src2"),
+      "source", "doc_id", Map("src2" -> 0.4), 0.0)
+      .select("doc_id").distinct()
+    val sampled = ScaleOps.hashSample(docs.where(col("source") === "src2"),
+      "doc_id", permille = 400).select("doc_id")
+    assert(mixed.exceptAll(sampled).isEmpty && sampled.exceptAll(mixed).isEmpty)
+  }
+}
