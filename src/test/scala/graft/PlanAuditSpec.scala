@@ -148,4 +148,72 @@ class PlanAuditSpec extends SparkSpec {
     val iters = 5
     assert(bnlj <= iters + 1, s"unexpected loop joins ($bnlj):\n$p")
   }
+
+  test("q66 boilerplate strip explodes fused segment hashes, aggregates map-side") {
+    val p = planOf("q66_boilerplate_strip")
+    // the explode source is the per-row expression — token-level rows never exist
+    assert(p.contains("segment_hashes"), s"fused expression missing:\n$p")
+    assert(p.contains("partial_count"), "df count must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q67 vocab top-k cuts via TakeOrderedAndProject, window sees only k rows") {
+    val p = planOf("q67_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap, not a global sort:\n$p")
+    // the unpartitioned rank window is AFTER the limit — its input is the
+    // k survivors, so the SinglePartition stage it needs is k rows, and the
+    // plan must place TakeOrderedAndProject below the Window
+    val lines = p.linesIterator.toSeq
+    val winAt = lines.indexWhere(_.contains("Window"))
+    val topAt = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+    assert(winAt >= 0 && topAt > winAt,
+      s"TakeOrderedAndProject must feed the Window (win@$winAt top@$topAt):\n$p")
+  }
+
+  test("q68 semantic dedup pairs join on the cell id, never all-pairs") {
+    // static plan: the executed AQE plan nests the persisted assignment's
+    // own "Initial Plan" section, which planOf's truncation would cut
+    // BEFORE the pair join it needs to inspect
+    val p = planOf("q68_semantic_dedup")
+    // in-cell self-join must be an equi join keyed by cid
+    val joins = p.linesIterator.filter(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin")).mkString("\n")
+    assert(joins.contains("cid"), s"no cid-keyed equi join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // BNLJ appears only for the broadcast-centroid assignment fan-out
+    // (corpus × nlist, tiny side broadcast — the designed shape). The
+    // static plan prints the PERSISTED assignment subtree once per
+    // consumer (pair-left, pair-right, verdict) — at runtime the cache
+    // makes it one scan, so 3 printed BNLJs = 1 executed.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3)
+  }
+
+  test("q69 quality gate ranks within score groups, no corpus-wide single partition") {
+    val p = planOf("q69_quality_gate")
+    val windowLines = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(windowLines.contains("score"),
+      s"keep-rank window not score-partitioned:\n$windowLines")
+    assert(!p.contains("SinglePartition"),
+      s"corpus-wide single-partition stage in the gate plan:\n$p")
+  }
+
+  test("epochMix is shuffle-free: explode + case chain, no exchange") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = ScaleOpsAccess.epochMix(docs)
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out) { df.explain() }
+    val p = out.toString
+    assert(!p.contains("Exchange"), s"mixing must stay narrow:\n$p")
+    assert(p.contains("Generate explode"), s"copy fan-out missing:\n$p")
+  }
+}
+
+/** Indirection so the plan audit builds the operator output WITHOUT the
+  * catalog's final ORDER BY (whose range exchange is presentation, not
+  * operator cost). */
+private object ScaleOpsAccess {
+  def epochMix(docs: org.apache.spark.sql.DataFrame) =
+    graft.operators.ScaleOps.epochMix(docs, "source", "doc_id",
+      Map("src0" -> 2.5, "src1" -> 2.0), defaultWeight = 0.5)
 }

@@ -60,6 +60,12 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getInt(1) == 2)  // tokens x (tf 2), y (tf 1)
     assert(r.getInt(2) == 2)  // bigrams ab, bc
     assert(r.getLong(3) == 0L) // curve origin
+    // segment hashes: 2 full 2-word segments of a 5-token doc (tail kept)
+    val seg = spark.sql(
+      "SELECT segment_hashes('a b c d e', 2), segment_hashes('a b', 2)").head()
+    assert(seg.getSeq[Long](0).length == 2)
+    assert(seg.getSeq[Long](0).head == seg.getSeq[Long](1).head,
+      "same segment text must hash identically across docs")
   }
 
   test("word_shingles rejects n < 1 at analysis time, not at runtime") {
