@@ -20,6 +20,18 @@ object CurationJob {
   final case class Config(
       lang: String = "en",
       minQuality: Double = 0.5,
+      // RefinedWeb-style boilerplate gate: drop docs whose corpus-hot
+      // segments ([[Dedup.boilerplateStrip]], 8-word segments shared by
+      // >= 3 docs) make up more than this share of their tokens. Computed
+      // over the RAW input (document frequencies must see every doc,
+      // including the ones later gates remove).
+      maxBoilerplateShare: Option[Double] = None,
+      // relative quality gate: keep the top X fraction by quality score
+      // ([[TextAnalysis.qualityGate]], exact histogram path) INSTEAD of the
+      // absolute minQuality floor — the right knob when the score
+      // distribution shifts corpus to corpus. Applied within the
+      // lang-matched subset.
+      keepTopQualityFrac: Option[Double] = None,
       // Gopher-style repetition cut: drop docs whose most frequent token
       // exceeds this share (one-token spam). Per-row, no shuffle.
       maxTopTokenShare: Option[Double] = None,
@@ -53,14 +65,39 @@ object CurationJob {
       benchmark: Option[DataFrame] = None): (DataFrame, Stats) = {
     val input = docs.count()
 
+    // 0. optional boilerplate gate — segment document frequencies over the
+    // raw corpus, then a share threshold per doc (two id-keyed aggregates;
+    // text never shuffles)
+    val boilerGated = cfg.maxBoilerplateShare match {
+      case None => docs
+      case Some(cap) =>
+        val ok = Dedup.boilerplateStrip(docs, "doc_id", "text")
+          .where(col("n_dropped") * lit(8.0) /
+            greatest(col("n_tokens"), lit(1L)).cast("double") <= cap)
+          .select(col("id").as("doc_id"))
+        docs.join(ok, Seq("doc_id"), "left_semi")
+    }
+
     // 1. language + quality (+ optional repetition) gate — per-row,
-    // codegen'd scan-side, no shuffle
+    // codegen'd scan-side, no shuffle. With keepTopQualityFrac the absolute
+    // score floor is replaced by the exact top-fraction gate (one histogram
+    // pass over the lang-matched subset).
+    val absFloor = cfg.keepTopQualityFrac match {
+      case None => TextAnalysis.qualityScore(col("text")) >= cfg.minQuality
+      case Some(_) => lit(true)
+    }
     val rowGate = cfg.maxTopTokenShare.foldLeft(
-        TextAnalysis.langIdGuess(col("text")) === cfg.lang &&
-          TextAnalysis.qualityScore(col("text")) >= cfg.minQuality) {
+        TextAnalysis.langIdGuess(col("text")) === cfg.lang && absFloor) {
       (acc, cap) => acc && TextAnalysis.topTokenShare(col("text")) <= cap
     }
-    val rowGated = docs.where(rowGate)
+    val rowGated0 = boilerGated.where(rowGate)
+    val rowGated = cfg.keepTopQualityFrac match {
+      case None => rowGated0
+      case Some(frac) =>
+        val keep = TextAnalysis.qualityGate(rowGated0, "doc_id", "text", frac)
+          .where(col("keep")).select(col("id").as("doc_id"))
+        rowGated0.join(keep, Seq("doc_id"), "left_semi")
+    }
     // optional LM gate: one corpus pass trains the char-bigram model, one
     // broadcast join scores; keep docs at-or-above the floor
     val qualityGated = cfg.minLmScore match {

@@ -93,6 +93,43 @@ class CurationJobSpec extends SparkSpec {
     assert(stats0.afterQuality == 4)
   }
 
+  test("boilerplate-share gate drops mostly-boilerplate docs, spares light ones") {
+    import spark.implicits._
+    val boiler = "all rights reserved contact us terms of service" // 8 words
+    // every doc carries en function words so the LANG gate passes them all —
+    // this test must isolate the boilerplate gate
+    def uniq(i: Int, n: Int) = "the is it and " +
+      (0 until n).map(j => s"tok$i" + ('a' + j).toChar).mkString(" ")
+    // 1-3: one boiler seg + 29 other tokens (share 8/37 ≈ 0.22)
+    // 4: boiler twice + 12 other (share 16/28 ≈ 0.57 → gated)
+    // 5: no boilerplate at all
+    val docs = Seq(
+      (1L, s"$boiler ${uniq(1, 25)}", "en"),
+      (2L, s"$boiler ${uniq(2, 25)}", "en"),
+      (3L, s"$boiler ${uniq(3, 25)}", "en"),
+      (4L, s"$boiler $boiler ${uniq(4, 8)}", "en"),
+      (5L, uniq(5, 33), "en")).toDF("doc_id", "text", "lang")
+    val (out, stats) = CurationJob.run(docs, CurationJob.Config(
+      minQuality = 0.0, lang = "en", nearDupJaccard = 0.95,
+      maxBoilerplateShare = Some(0.5)))
+    val ids = out.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(4L), "mostly-boilerplate doc must gate out")
+    assert(Set(1L, 2L, 3L, 5L).subsetOf(ids))
+    assert(stats.afterQuality == 4)
+  }
+
+  test("keepTopQualityFrac gates relatively: exactly floor(frac*n) survive") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("lang") === "en")
+    val (_, stats) = CurationJob.run(docs, CurationJob.Config(
+      lang = "en", keepTopQualityFrac = Some(0.5), nearDupJaccard = 0.95))
+    // the fraction applies WITHIN the heuristic-lang-matched subset (the
+    // metadata lang column and the n-gram guess disagree on some docs)
+    val n = docs.where(TextAnalysis.langIdGuess(col("text")) === "en").count()
+    assert(stats.afterQuality == math.floor(0.5 * n).toLong,
+      s"expected floor(0.5*$n), got ${stats.afterQuality}")
+  }
+
   test("benchmark decontamination removes leaky docs before dedup") {
     import spark.implicits._
     val en = "the quick brown fox jumps over the lazy dog and it is a fine day for running"
