@@ -1810,6 +1810,45 @@ object QueryCatalog {
       FROM w WHERE n_copies > 0
       ORDER BY doc_id, copy_idx"""))
 
+  /** Quality-aware duplicate-cluster survivorship
+    * ([[graft.operators.Components.keepersByScore]]): the q57 closure with
+    * the keeper chosen by HIGHEST quality score (ties → min id) instead of
+    * min id — what a production pipeline actually ships (keep the best copy,
+    * not the first-crawled). */
+  private val q71 = QuerySpec(
+    "q71_quality_keepers",
+    (s, dir) => {
+      import graft.operators.Components
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.minhashCandidates(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16)
+        .where(col("est_jaccard") >= 0.5)
+      val comp = Components.connectedComponents(edges, "id_a", "id_b")
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      Components.keepersByScore(comp, scored, "doc_id", "quality")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+          col("score").as("quality"), col("is_keeper"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE ${minhashCtes(numHashes = 32, bands = 16)},
+      close_pairs AS (SELECT id_a, id_b FROM cand WHERE est_jaccard >= 0.5),
+      und AS (SELECT id_a AS a, id_b AS b FROM close_pairs
+        UNION SELECT id_b, id_a FROM close_pairs),
+      walk(id, comp) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.a, w.comp FROM und u JOIN walk w ON w.id = u.b),
+      membership AS (SELECT id, min(comp) AS component FROM walk GROUP BY 1),
+      scored AS (SELECT doc_id, $QualityScoreSql AS quality FROM documents),
+      ranked AS (SELECT m.id, m.component, s.quality,
+          row_number() OVER (PARTITION BY m.component
+            ORDER BY s.quality DESC, m.id) AS rn
+        FROM membership m JOIN scored s ON s.doc_id = m.id)
+      SELECT id AS doc_id, component AS cluster_id, quality,
+        rn = 1 AS is_keeper
+      FROM ranked ORDER BY doc_id"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -1819,5 +1858,6 @@ object QueryCatalog {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
+    q71)
 }

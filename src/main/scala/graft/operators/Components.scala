@@ -164,6 +164,28 @@ object Components {
     components.groupBy("comp")
       .agg(min("id").as("keeper_id"), count(lit(1)).as("cluster_size"))
 
+  /** Score-aware survivor selection: the production-pipeline refinement of
+    * [[keepers]] — within each duplicate cluster keep the member with the
+    * HIGHEST score (quality, length, recency…), ties → smallest id, instead
+    * of blindly keeping the smallest id. Takes (id, comp) membership and a
+    * per-id score table; returns (id, comp, score, is_keeper) with exactly
+    * one keeper per component.
+    *
+    * Scale shape: one id-keyed equi join to attach scores, then a window
+    * partitioned by component whose rank-1 limit pushes map-side
+    * (WindowGroupLimit applies to the keeper verdict; membership is
+    * cluster-sized per partition, never corpus-sized, because components
+    * are small by construction of the near-dup graph). */
+  def keepersByScore(membership: DataFrame, scores: DataFrame,
+      idCol: String = "id", scoreCol: String = "score"): DataFrame = {
+    val m = membership.join(
+      scores.select(col(idCol).as("id"), col(scoreCol).as("score")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("comp")
+      .orderBy(col("score").desc, col("id"))
+    m.withColumn("is_keeper", row_number().over(w) === 1)
+      .select(col("id"), col("comp"), col("score"), col("is_keeper"))
+  }
+
   /** Fixed-iteration PageRank over a directed edge list — graph-centrality
     * weighting for corpus curation (link-graph importance is a standard
     * quality signal for web-crawl training data; over a near-dup similarity

@@ -116,4 +116,21 @@ class ComponentsSpec extends SparkSpec {
     nodes.foreach(v => assert(math.abs(got(v) - rank(v)) < 1e-9,
       s"node $v: got ${got(v)}, want ${rank(v)}"))
   }
+
+  test("keepersByScore: argmax-score keeper per cluster, ties fall to min id") {
+    import spark.implicits._
+    // cluster 1 = {1,2,3} (scores 0.2, 0.9, 0.5 -> keeper 2)
+    // cluster 10 = {10,11} (tied scores -> keeper 10)
+    val membership = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "comp")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (10L, 0.7), (11L, 0.7))
+      .toDF("id", "score")
+    val out = Components.keepersByScore(membership, scores)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val keepers = out.filter(_._4).map(t => t._2 -> t._1).toMap
+    assert(keepers == Map(1L -> 2L, 10L -> 10L))
+    // exactly one keeper per component, every member gets a verdict
+    assert(out.length == 5)
+    assert(out.count(_._4) == 2)
+  }
 }
