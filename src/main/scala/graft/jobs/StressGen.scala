@@ -222,6 +222,73 @@ object StressMain {
         r.count()
       })
       graft.core.CacheScope.drain()
+    } else if (args.headOption.contains("boiler")) {
+      // corpus-boilerplate stripping at volume: a third of the replicated
+      // docs carry a shared 16-word chrome prefix (2 hot segments each)
+      val replicas = args.lift(1).map(_.toInt).getOrElse(100)
+      import graft.operators.Dedup
+      val chrome = "subscribe to our newsletter follow us on social media " +
+        "copyright twenty twenty four all rights reserved"
+      val docs = s.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val big = docs.crossJoin(s.range(replicas).select(col("id").as("rep")))
+        .select((col("rep") * 5000 + col("doc_id")).as("doc_id"),
+          when(col("rep") % 3 === 0, concat(lit(chrome + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"materialize ${replicas}x docs")(big.count())
+      time("boilerplateStrip")({
+        val out = Dedup.boilerplateStrip(big, "doc_id", "text")
+        val agg = out.agg(count(lit(1)), sum("n_dropped")).head()
+        println(s"STRESS dropped segment occurrences: ${agg.getLong(1)}")
+        agg.getLong(0)
+      })
+      graft.core.CacheScope.drain()
+    } else if (args.headOption.contains("semdedup")) {
+      // SemDeDup at volume: pseudo-random positive vectors (in-cell random
+      // cosine ≈ 0.75, identical even/odd pairs = exact dups at 1.0, so
+      // threshold 0.99 separates cleanly); nlist ~ sqrt(n) keeps cells
+      // task-sized — the n^1.5 pair bound that replaces all-pairs n^2
+      val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+      val dims = 64
+      import graft.operators.Similarity
+      val vec = s.range(n)
+        .select(col("id").as("vec_id"), (col("id") - col("id") % 2).as("seed"))
+        .withColumn("embedding",
+          // per-element hash scatter (NOT linear in d — a modular-linear
+          // formula collides whole vectors for seeds equal mod the modulus)
+          transform(sequence(lit(0), lit(dims - 1)),
+            d => (pmod(xxhash64(col("seed"), d), lit(1000))
+              .cast("double") / 1000.0).cast("float")))
+        .select("vec_id", "embedding")
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"materialize $n vectors x $dims")(vec.count())
+      val nlist = math.max(16, math.sqrt(n.toDouble).toInt)
+      // seed centroids (first nlist ids) cover a near-uniform cloud badly —
+      // cell skew makes the in-cell pair count blow past the uniform
+      // n²/nlist bound; `trained` swaps in k-means(‖) centroids
+      // ([[Similarity.trainCentroids]]) to rebalance the cells, the exact
+      // knob the operator documents for this failure mode
+      val trained = args.lift(2).contains("trained")
+      val cents =
+        if (!trained) None
+        else {
+          var c: org.apache.spark.sql.DataFrame = null
+          time(s"trainCentroids nlist=$nlist")({
+            c = Similarity.trainCentroids(vec, nlist, iters = 2)
+            c.count()
+          })
+          Some(c)
+        }
+      time(s"semanticDedup nlist=$nlist trained=$trained")({
+        val out = Similarity.semanticDedup(vec, nlist, minCosine = 0.99,
+          centroids = cents)
+        val nDropped = out.where(!col("keep")).count()
+        println(s"STRESS dropped near-dups: $nDropped (expect ~${n / 2})")
+        nDropped
+      })
+      graft.core.CacheScope.drain()
     } else if (args.headOption.contains("asof")) {
       val factor = args.lift(1).map(_.toInt).getOrElse(100)
       import graft.operators.AsofJoin
