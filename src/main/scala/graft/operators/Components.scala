@@ -172,10 +172,10 @@ object Components {
     * one keeper per component.
     *
     * Scale shape: one id-keyed equi join to attach scores, then a window
-    * partitioned by component whose rank-1 limit pushes map-side
-    * (WindowGroupLimit applies to the keeper verdict; membership is
-    * cluster-sized per partition, never corpus-sized, because components
-    * are small by construction of the near-dup graph). */
+    * partitioned by component — parallel across clusters, and each window
+    * group is cluster-sized, never corpus-sized, because near-dup
+    * components are small by construction. (No WindowGroupLimit here: every
+    * member keeps its verdict row, so there is no rank filter to push.) */
   def keepersByScore(membership: DataFrame, scores: DataFrame,
       idCol: String = "id", scoreCol: String = "score"): DataFrame = {
     val m = membership.join(
