@@ -19,7 +19,12 @@ class CacheHygieneSpec extends SparkSpec {
     graft.core.CacheScope.drain() // start clean regardless of suite order
     val baseline = sc.getPersistentRDDs.keySet
     val names = Seq("q43_components", "q49_simhash_pairs", "q50_set_ops",
-      "q19_dedup_minhash", "q21_dedup_ngram_jaccard")
+      "q19_dedup_minhash", "q21_dedup_ngram_jaccard",
+      // round-5 persisting operators: segment table (q66), IVF assignment
+      // (q68), score table (q69), and the q57/q71 pair share the minhash
+      // candidate sub-plan — the same collision class as q43/q49
+      "q66_boilerplate_strip", "q68_semantic_dedup", "q69_quality_gate",
+      "q57_dedup_clusters", "q71_quality_keepers")
     for (name <- names) {
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       assert(n >= 0)

@@ -172,6 +172,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("degenerate inputs: empty corpus, k past vocab, nlist past corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.boilerplateStrip(empty, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.vocabTopK(empty, "text", 5).count() == 0)
+    assert(TextAnalysis.qualityGate(empty, "doc_id", "text", 0.5).count() == 0)
+    // k larger than the vocabulary: every token ranked, none invented
+    val two = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabTopK(two, "text", 100)
+    assert(v.count() == 3 && v.agg(max("rnk")).head().getLong(0) == 3L)
+    // nlist larger than the corpus: every vector its own cell, all kept
+    val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val sd = Similarity.semanticDedup(vecs, nlist = 16, minCosine = 0.9)
+    assert(sd.count() == 2 && sd.where(!col("keep")).count() == 0)
+  }
+
   test("epochMix fractional subset == hashSample of the same permille") {
     // weight 0.4 keeps exactly the docs hashSample(permille=400) keeps —
     // the hash-decision composition contract across mixing primitives
