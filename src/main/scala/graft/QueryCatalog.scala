@@ -1849,6 +1849,26 @@ object QueryCatalog {
         rn = 1 AS is_keeper
       FROM ranked ORDER BY doc_id"""))
 
+  /** Incremental dedup ([[graft.operators.Dedup
+    * .minhashCandidatesIncremental]]): the new batch (doc_id % 4 = 0)
+    * pairs against the standing corpus and itself; old × old is never
+    * re-paired. The oracle states the same result declaratively: full
+    * candidates filtered to pairs touching a new doc. */
+  private val q72 = QuerySpec(
+    "q72_incremental_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashCandidatesIncremental(
+          docs.where(col("doc_id") % 4 =!= 0),
+          docs.where(col("doc_id") % 4 === 0),
+          "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH ${minhashCtes(numHashes = 32, bands = 16)}
+      SELECT id_a, id_b, est_jaccard FROM cand
+      WHERE id_a % 4 = 0 OR id_b % 4 = 0
+      ORDER BY id_a, id_b"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -1859,5 +1879,5 @@ object QueryCatalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71)
+    q71, q72)
 }

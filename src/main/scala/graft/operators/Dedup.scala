@@ -177,6 +177,58 @@ object Dedup {
           .cast("double") / lit(numHashes)).as("est_jaccard"))
   }
 
+  /** Incremental LSH dedup — candidate near-dup pairs for a NEW batch of
+    * documents against an existing corpus and within the batch itself,
+    * WITHOUT re-pairing the existing corpus (old × old pairs were found
+    * when the old snapshot was curated). This is how dedup actually runs in
+    * production: each ingest batch joins against the standing index, it
+    * never re-processes the corpus.
+    *
+    * Ids must be disjoint across the two inputs. Returns
+    * (id_a, id_b, est_jaccard) with id_a < id_b — exactly the
+    * [[minhashCandidates]] rows of (old ∪ new) that touch at least one new
+    * doc, by construction rather than by filtering.
+    *
+    * Scale shape: the batch's band table is small (|new| × bands rows); the
+    * corpus side ships only (band key, id) rows into the bucket join, and
+    * at warehouse scale sigs/bands of the corpus are a PRE-BUILT parquet
+    * index appended per batch — so per-ingest work scales with
+    * |new| × collision rate, never |corpus|². */
+  def minhashCandidatesIncremental(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      joinHint: Option[String] = Some("shuffle_hash")): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // persist both signature tables: each feeds its band table AND the
+    // est-jaccard join-back (CacheScope-registered; owner drains after use)
+    val sigsOld = graft.core.CacheScope.persist(
+      minhashSigs(oldDf, idCol, textCol, shingleSize, numHashes))
+    val sigsNew = graft.core.CacheScope.persist(
+      minhashSigs(newDf, idCol, textCol, shingleSize, numHashes))
+    def bandsOf(s: DataFrame) =
+      lshBands(s, "id", "sig", bands, rowsPerBand)
+        .select("band_idx", "band_hash", "id")
+    val bAll = bandsOf(sigsOld).withColumn("is_new", lit(false))
+      .unionByName(bandsOf(sigsNew).withColumn("is_new", lit(true)))
+    // new side is ALWAYS the left: new-old pairs emit regardless of id
+    // order, new-new pairs emit once (l < r); old-old pairs cannot occur
+    val pairs = hinted(bandsOf(sigsNew).as("l"), joinHint)
+      .join(hinted(bAll.as("r"), joinHint), Seq("band_idx", "band_hash"))
+      .where((!col("r.is_new") && col("l.id") =!= col("r.id")) ||
+        (col("r.is_new") && col("l.id") < col("r.id")))
+      .select(least(col("l.id"), col("r.id")).as("id_a"),
+        greatest(col("l.id"), col("r.id")).as("id_b"))
+      .distinct()
+    val sigsAll = sigsOld.unionByName(sigsNew)
+    pairs
+      .join(sigsAll.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigsAll.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / lit(numHashes)).as("est_jaccard"))
+  }
+
   /** Corpus version diff: per-doc status between two snapshots of a
     * document table — the audit step of dataset versioning (pairs with
     * [[graft.sources.VersionedTable]]'s snapshot writes: "what changed

@@ -120,6 +120,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.count() == emb.count(), "every vector gets a verdict")
   }
 
+  // -------------------------------------- minhashCandidatesIncremental
+
+  test("incremental dedup == full candidates filtered to pairs touching new") {
+    val old = docs.where(col("doc_id") % 4 =!= 0)
+    val neu = docs.where(col("doc_id") % 4 === 0)
+    val inc = Dedup.minhashCandidatesIncremental(old, neu, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16)
+      .where(col("id_a") % 4 === 0 || col("id_b") % 4 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == full)
+    // and strictly no old-old pair sneaks in
+    assert(inc.forall { case (a, b, _) => a % 4 == 0 || b % 4 == 0 })
+  }
+
   // ---------------------------------------------------- qualityGate
 
   test("qualityGate == global row_number ranking (histogram path is exact)") {
