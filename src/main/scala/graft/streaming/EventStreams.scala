@@ -233,55 +233,133 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val dir = new java.io.File(tableDir)
-        val backup = new java.io.File(s"${tableDir}_old")
-        // Crash recovery FIRST: a death between the swap's two renames
-        // leaves the table dir absent and `_old` holding the ENTIRE
-        // accumulated history. Restore it before reading the marker —
-        // otherwise lastMerged resets to -1 and the replayed batch
-        // rebuilds the table from its own delta alone (and the old
-        // unconditional stale-backup delete would have destroyed the only
-        // surviving copy). The marker travels inside the dir, so the
-        // restore brings the correct lastMerged with it.
-        if (!dir.exists() && backup.exists() && !backup.renameTo(dir))
-          throw new IllegalStateException(
-            s"cannot restore crash backup $backup to $tableDir")
-        val marker = new java.io.File(dir, "_last_batch")
-        val lastMerged =
-          if (marker.exists()) java.nio.file.Files.readString(marker.toPath).trim.toLong
-          else -1L
-        if (batchId > lastMerged) {
+        mergeSwap(spark, tableDir, batchId) { current =>
           val delta = batch.groupBy(col(keyCol))
             .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
-          val merged = if (dir.exists()) {
-            val current = spark.read.parquet(tableDir)
-            current.select(col(keyCol), col("n"), col("total"))
-              .unionByName(delta)
-              .groupBy(col(keyCol))
-              .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
-          } else delta
-          // write-new-then-swap; the marker is written into the NEW table
-          // before the swap so it becomes visible atomically with the data
-          val tmp = new java.io.File(s"${tableDir}_b$batchId")
-          deleteRecursively(tmp)
-          merged.write.mode("overwrite").parquet(tmp.getPath)
-          java.nio.file.Files.writeString(
-            new java.io.File(tmp, "_last_batch").toPath, batchId.toString)
-          // any backup still present here is a post-swap leftover (the
-          // table dir exists — the dangerous absent-table case was
-          // restored at batch start), so deleting it is safe
-          deleteRecursively(backup)
-          if (dir.exists() && !dir.renameTo(backup))
-            throw new IllegalStateException(s"cannot move $tableDir aside")
-          if (!tmp.renameTo(dir)) {
-            backup.renameTo(dir) // restore, then fail the batch for retry
-            throw new IllegalStateException(s"cannot publish $tmp to $tableDir")
+          current match {
+            case Some(c) =>
+              c.select(col(keyCol), col("n"), col("total"))
+                .unionByName(delta)
+                .groupBy(col(keyCol))
+                .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+            case None => delta
           }
-          deleteRecursively(backup) // only after a fully successful swap
         }
-        ()
       }
       .start()
+  }
+
+  /** Streaming corpus ingestion with incremental near-dup suppression —
+    * the streaming composition of [[graft.operators.Dedup
+    * .minhashCandidatesIncremental]] with the effectively-once swap sink:
+    * each micro-batch of (doc_id, text) pairs ONLY against the standing
+    * corpus table and itself (corpus × corpus is never re-paired), drops a
+    * batch doc whose estimated Jaccard reaches `minJaccard` against any
+    * corpus doc or any smaller-id batch doc, and publishes corpus ∪
+    * survivors atomically. Replayed batches are skipped by the in-table
+    * marker, so a doc admitted once is never re-judged (and batch/corpus
+    * ids must be globally unique — the dedup identity key).
+    *
+    * Scale shape: per-batch cost is |batch| signatures + a band join
+    * against the corpus index — the warehouse form keeps the band table as
+    * its own appended parquet alongside the corpus rather than re-banding
+    * per batch; the swap becomes a transactional-table commit. */
+  def corpusIngestSink(docs: DataFrame, tableDir: String,
+      checkpointDir: String, minJaccard: Double = 0.8,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id"), col("text"))
+        mergeSwap(spark, tableDir, batchId) { current =>
+          val corpus = current.map(_.select(col("doc_id"), col("text")))
+            .getOrElse(b.limit(0))
+          val cand = graft.operators.Dedup.minhashCandidatesIncremental(
+              corpus, b, "doc_id", "text", shingleSize, numHashes, bands)
+            .where(col("est_jaccard") >= minJaccard)
+          val oldIds = corpus.select("doc_id")
+          // pair touches the corpus → the batch side drops; both-new pair →
+          // the greater id (id_b) drops. Candidates are canonical id_a<id_b.
+          val dropVsOldA = cand.join(
+            oldIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+            .select(col("id_a").as("doc_id"))
+          val dropVsOldB = cand.join(
+            oldIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+            .select(col("id_b").as("doc_id"))
+          val dropNewNew = cand
+            .join(oldIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_anti")
+            .join(oldIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_anti")
+            .select(col("id_b").as("doc_id"))
+          val dropped = dropVsOldA.union(dropVsOldB).union(dropNewNew).distinct()
+          corpus.unionByName(b.join(dropped, Seq("doc_id"), "left_anti"))
+        }
+        // the incremental candidates persist their signature tables through
+        // CacheScope — the sink owns this batch's scope, release it now
+        graft.core.CacheScope.drain()
+      }
+      .start()
+  }
+
+  /** Shared effectively-once parquet-swap harness for foreachBatch sinks:
+    * crash-restore, replayed-batch skip via the in-table `_last_batch`
+    * marker, write-new-then-swap publication. `merge` maps the current
+    * table (None before the first batch) to its full replacement; the
+    * helper MATERIALIZES the replacement before touching the current dir.
+    *
+    * Failure semantics (lifted verbatim from the original runningAggSink):
+    * foreachBatch alone is AT-LEAST-once — a batch whose swap landed but
+    * whose checkpoint commit didn't is REPLAYED on restart, and re-merging
+    * would double-apply it. The marker is underscore-prefixed (parquet
+    * readers skip it) and travels with the swap, so table and marker
+    * commit together; replayed batchIds are skipped. The table and its
+    * checkpoint form a unit: restarting with a fresh checkpoint against an
+    * existing table restarts batch numbering and is undefined. Single
+    * writer; both renames are checked, and a failed swap throws so the
+    * batch retries rather than silently dropping the merge. */
+  private def mergeSwap(spark: SparkSession, tableDir: String, batchId: Long)
+      (merge: Option[DataFrame] => DataFrame): Unit = {
+    val dir = new java.io.File(tableDir)
+    val backup = new java.io.File(s"${tableDir}_old")
+    // Crash recovery FIRST: a death between the swap's two renames leaves
+    // the table dir absent and `_old` holding the ENTIRE accumulated
+    // history. Restore it before reading the marker — otherwise lastMerged
+    // resets to -1 and the replayed batch rebuilds the table from its own
+    // delta alone (and an unconditional stale-backup delete would have
+    // destroyed the only surviving copy). The marker travels inside the
+    // dir, so the restore brings the correct lastMerged with it.
+    if (!dir.exists() && backup.exists() && !backup.renameTo(dir))
+      throw new IllegalStateException(
+        s"cannot restore crash backup $backup to $tableDir")
+    val marker = new java.io.File(dir, "_last_batch")
+    val lastMerged =
+      if (marker.exists()) java.nio.file.Files.readString(marker.toPath).trim.toLong
+      else -1L
+    if (batchId > lastMerged) {
+      val merged = merge(
+        if (dir.exists()) Some(spark.read.parquet(tableDir)) else None)
+      // write-new-then-swap; the marker is written into the NEW table
+      // before the swap so it becomes visible atomically with the data
+      val tmp = new java.io.File(s"${tableDir}_b$batchId")
+      deleteRecursively(tmp)
+      merged.write.mode("overwrite").parquet(tmp.getPath)
+      java.nio.file.Files.writeString(
+        new java.io.File(tmp, "_last_batch").toPath, batchId.toString)
+      // any backup still present here is a post-swap leftover (the table
+      // dir exists — the dangerous absent-table case was restored at
+      // batch start), so deleting it is safe
+      deleteRecursively(backup)
+      if (dir.exists() && !dir.renameTo(backup))
+        throw new IllegalStateException(s"cannot move $tableDir aside")
+      if (!tmp.renameTo(dir)) {
+        backup.renameTo(dir) // restore, then fail the batch for retry
+        throw new IllegalStateException(s"cannot publish $tmp to $tableDir")
+      }
+      deleteRecursively(backup) // only after a fully successful swap
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

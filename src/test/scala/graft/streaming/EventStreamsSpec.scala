@@ -288,4 +288,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Set(("click", 2L, 5.0), ("view", 1L, 2.0)))
     assert(!old.exists()) // backup deleted only after the successful swap
   }
+
+  test("corpusIngestSink: per-batch incremental dedup against the standing corpus") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val in = MemoryStream[(Long, String)]
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "one two three four five six seven eight nine ten eleven"
+    val textC = "red orange yellow green blue indigo violet cyan magenta white"
+    def run(): Unit = {
+      val q = EventStreams.corpusIngestSink(
+        in.toDF().toDF("doc_id", "text"), s"$dir/corpus", s"$dir/chk",
+        minJaccard = 0.8)
+      q.awaitTermination()
+    }
+    in.addData((1L, textA), (2L, textB))
+    run()
+    assert(spark.read.parquet(s"$dir/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // batch 2: an exact dup of a corpus doc (drops vs corpus), a new doc,
+    // and an exact dup WITHIN the batch (greater id drops)
+    in.addData((3L, textA), (4L, textC), (5L, textC))
+    run()
+    val got = spark.read.parquet(s"$dir/corpus").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L),
+      s"expected corpus {1,2,4}, got ${got.keySet}")
+    assert(got(4L) == textC)
+    // batch 3: near-dup of a doc admitted in batch 2 — the standing-corpus
+    // check must see batch-2 survivors, not just the initial corpus
+    in.addData((6L, textC))
+    run()
+    assert(spark.read.parquet(s"$dir/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+  }
 }
