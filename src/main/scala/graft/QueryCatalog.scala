@@ -1869,6 +1869,31 @@ object QueryCatalog {
       WHERE id_a % 4 = 0 OR id_b % 4 = 0
       ORDER BY id_a, id_b"""))
 
+  /** Out-of-vocabulary rate per doc vs the corpus top-50 vocabulary
+    * ([[TextAnalysis.oovRate]]) — tokenizer-coverage analysis; the vocab
+    * tie-break at the k-boundary is (tf_total desc, tok) in both engines. */
+  private val q73 = QuerySpec(
+    "q73_oov_rate",
+    (s, dir) => TextAnalysis.oovRate(t(s, dir, "documents"),
+        "doc_id", "text", k = 50)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      v AS (SELECT tok, CAST(sum(c) AS BIGINT) AS tf_total FROM tf GROUP BY 1),
+      vocab AS (SELECT tok FROM (SELECT tok,
+          row_number() OVER (ORDER BY tf_total DESC, tok) AS rnk FROM v)
+        WHERE rnk <= 50),
+      per AS (SELECT t.doc_id,
+          CAST(sum(t.c) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN w.tok IS NULL THEN t.c ELSE 0 END) AS BIGINT)
+            AS oov_tokens
+        FROM tf t LEFT JOIN vocab w ON t.tok = w.tok GROUP BY 1)
+      SELECT doc_id, n_tokens, oov_tokens,
+        round(CAST(oov_tokens AS DOUBLE) / n_tokens, 6) AS oov_rate
+      FROM per ORDER BY doc_id"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -1879,5 +1904,5 @@ object QueryCatalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72)
+    q71, q72, q73)
 }

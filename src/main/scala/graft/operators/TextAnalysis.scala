@@ -225,6 +225,32 @@ object TextAnalysis {
         .cast("long"))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own top-`k`
+    * vocabulary ([[vocabTopK]]) — the tokenizer-coverage question ("how
+    * much of each doc would a k-entry vocab cover?") asked before
+    * committing to a vocab size. Returns (id, n_tokens, oov_tokens,
+    * oov_rate).
+    *
+    * Scale shape: the vocab is k rows (broadcast); per-doc term counts are
+    * row-local ([[graft.functions.TokenCounts]]), the explode emits one
+    * row per DISTINCT token per doc, and the id-keyed aggregate collapses
+    * map-side — one corpus pass after the vocab build. */
+  def oovRate(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val vocab = vocabTopK(df, textCol, k).select(col("tok"))
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .join(broadcast(vocab.withColumn("in_vocab", lit(1))),
+        col("tc.tok") === col("tok"), "left")
+      .groupBy("id")
+      .agg(
+        sum("tc.tf").as("n_tokens"),
+        coalesce(sum(when(col("in_vocab").isNull, col("tc.tf"))), lit(0L))
+          .as("oov_tokens"))
+      .select(col("id"), col("n_tokens"), col("oov_tokens"),
+        round(col("oov_tokens").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+  }
+
   /** Quality-quantile gate: keep the top `keepFrac` of the corpus by
     * [[qualityScore]], exactly — equivalent to
     * `row_number() OVER (ORDER BY score DESC, id) <= floor(keepFrac·N)`

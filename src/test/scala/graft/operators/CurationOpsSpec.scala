@@ -137,6 +137,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(inc.forall { case (a, b, _) => a % 4 == 0 || b % 4 == 0 })
   }
 
+  // -------------------------------------------------------- oovRate
+
+  test("oovRate: k covering the whole vocab gives zero OOV; k=tiny gives high OOV") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a a a b"), (2L, "a c c c c")).toDF("doc_id", "text")
+    val full = TextAnalysis.oovRate(tiny, "doc_id", "text", k = 100)
+    assert(full.where(col("oov_tokens") =!= 0L).count() == 0)
+    // k=1 keeps only the most frequent token ('c': tf 4 beats 'a': tf 4?
+    // no — both tf 4, tie falls to 'a' lexicographically)
+    val one = TextAnalysis.oovRate(tiny, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(one(1L) == ((4L, 1L)))  // 'b' is OOV
+    assert(one(2L) == ((5L, 4L)))  // all four 'c' are OOV
+  }
+
   // ---------------------------------------------------- qualityGate
 
   test("qualityGate == global row_number ranking (histogram path is exact)") {
