@@ -1894,6 +1894,123 @@ object QueryCatalog {
         round(CAST(oov_tokens AS DOUBLE) / n_tokens, 6) AS oov_rate
       FROM per ORDER BY doc_id"""))
 
+  /** Bloom-filter pre-filtered semi-join ([[graft.operators.ScaleOps
+    * .bloomSemiJoin]]): high-value order keys → bloom probe in the lineitem
+    * scan stage ([[graft.functions.BloomMightContain]], codegen'd) → residual
+    * exact semi-join. Result-identical to the plain IN-subquery the oracle
+    * states (no false negatives; residual join kills false positives). */
+  private val q74 = QuerySpec(
+    "q74_bloom_semi_join",
+    (s, dir) => graft.operators.ScaleOps.bloomSemiJoin(
+        t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders").where(col("o_totalprice") > 450000), "o_orderkey",
+        expectedDistinct = 50000, fpp = 0.01)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, count(*) AS n_rows,
+        round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Shingle containment pairs ([[Dedup.containmentPairs]]):
+    * shared / min(|A|,|B|) — catches a short doc quoted whole inside a long
+    * one, which Jaccard scores near 0. Same inverted-index CTEs as q21,
+    * different final scalar. */
+  private val q75 = QuerySpec(
+    "q75_containment_pairs",
+    (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minContainment = 0.5, minShared = 2, maxDocFreq = 20)
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          list_transform(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
+            i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')),
+          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647))) AS sh
+        FROM documents),
+      filt AS (SELECT doc_id, sh FROM (
+          SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+        WHERE df <= 20),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM filt GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM filt a JOIN filt b ON a.sh = b.sh
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT id_a, id_b, shared,
+        round(CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
+      ORDER BY id_a, id_b"""))
+
+  /** Zipf-law fit over the top-50 vocabulary ([[TextAnalysis.zipfSlope]]) —
+    * corpus-health drift gauge; closed-form least squares from raw sums in
+    * both engines (built-in covar/var one-pass updates order differently). */
+  private val q76 = QuerySpec(
+    "q76_zipf_slope",
+    (s, dir) => TextAnalysis.zipfSlope(t(s, dir, "documents"), "text", k = 50),
+    Some("""WITH toks AS (SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+      v AS (SELECT tok, count(*) AS tf_total FROM toks GROUP BY 1),
+      ranked AS (SELECT tf_total,
+          row_number() OVER (ORDER BY tf_total DESC, tok) AS rnk FROM v),
+      pts AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(tf_total AS DOUBLE)) AS y
+        FROM ranked WHERE rnk <= 50),
+      s AS (SELECT count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+          sum(x*y) AS sxy, sum(x*x) AS sxx FROM pts)
+      SELECT n_terms,
+        round((n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx), 6) AS slope,
+        round((sy - ((n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx)) * sx) / n_terms, 6)
+          AS intercept
+      FROM s"""))
+
+  /** Per-doc n-gram novelty vs the corpus's global first appearance
+    * ([[Dedup.noveltyRates]]) — is a crawl batch adding content or
+    * re-crawling? min-id aggregate + 1:1 join back on the shingle key. */
+  private val q77 = QuerySpec(
+    "q77_novelty_rate",
+    (s, dir) => Dedup.noveltyRates(t(s, dir, "documents"), "doc_id", "text", n = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          list_transform(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
+            i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')),
+          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647))) AS sh
+        FROM documents),
+      fs AS (SELECT sh, min(doc_id) AS first_id FROM sh GROUP BY 1),
+      per AS (SELECT s.doc_id, count(*) AS n_shingles,
+          CAST(sum(CASE WHEN f.first_id < s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_seen
+        FROM sh s JOIN fs f ON s.sh = f.sh GROUP BY 1)
+      SELECT doc_id, n_shingles, n_seen,
+        round(CAST(1 AS DOUBLE) - CAST(n_seen AS DOUBLE) / n_shingles, 6) AS novelty
+      FROM per ORDER BY doc_id"""))
+
+  /** Deterministic importance sampling ([[graft.operators.ScaleOps
+    * .importanceSample]]): per-doc keep-probability proportional to the
+    * quality score (clamped, permille-quantized, floor not round — half-up
+    * tie behavior differs between engines), decided by the engine-portable
+    * hash — the quality-weighted downsample between q69's hard gate and
+    * q35's uniform sample. */
+  private val q78 = QuerySpec(
+    "q78_importance_sample",
+    (s, dir) => graft.operators.ScaleOps.importanceSample(
+        t(s, dir, "documents"), "doc_id",
+        TextAnalysis.qualityScore(col("text")), rate = 0.9)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH scored AS (SELECT doc_id, source, $QualityScoreSql AS score
+        FROM documents),
+      p AS (SELECT doc_id, source,
+          least(greatest(CAST(floor(score * CAST(0.9 AS DOUBLE) * 1000) AS BIGINT), 0), 1000)
+            AS pm
+        FROM scored)
+      SELECT doc_id, source FROM p
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 2147483647 % 1000 < pm
+      ORDER BY doc_id"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -1904,5 +2021,5 @@ object QueryCatalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73)
+    q71, q72, q73, q74, q75, q76, q77, q78)
 }

@@ -511,4 +511,73 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_dropped"), lit(0L)) * segWords)
           .as("kept_tokens"))
   }
+
+  /** Shingle CONTAINMENT pairs: `shared / min(|A|, |B|)` instead of Jaccard's
+    * `shared / |A ∪ B|` — the signal Jaccard structurally misses: a document
+    * quoted whole inside a much longer one scores `|A| / |A ∪ B| ≈ 0` on
+    * Jaccard but 1.0 on containment. The standard second dedup pass after
+    * near-dup removal (catches quote-expansion, boilerplate-wrapped reposts,
+    * chunk-of-a-longer-doc leaks into eval sets).
+    *
+    * Identical physical shape to [[ngramJaccardPairs]] — shared inverted
+    * index, df-cut, shingle-keyed self-join, id-only pairs — so the same
+    * 100 TB story holds; only the final scalar differs. `minShared` prunes
+    * single-shingle coincidences before the size join. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minContainment: Double = 0.8, minShared: Long = 2,
+      maxDocFreq: Long = 100, broadcastHot: Boolean = true,
+      joinHint: Option[String] = Some("shuffle_hash")): DataFrame = {
+    // one persisted explode feeds the hot-set aggregate, the sizes
+    // aggregate, and both self-join sides (see ngramJaccardPairs for why
+    // groupBy-hot beats a count window, and why the index carries 8-byte
+    // shingle hashes, not strings)
+    val sh = graft.core.CacheScope.persist(
+      df.select(col(idCol).as("id"),
+        explode(graft.functions.ShingleHashes(col(textCol), n)).as("sh")))
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq).select("sh")
+    val filtered = cullHot(sh, hot, broadcastHot)
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val pairs = hinted(filtered.as("a"), joinHint)
+      .join(hinted(filtered.as("b"), joinHint), "sh")
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("n_a"), col("n_b")))
+      .where(col("containment") >= minContainment)
+      .select("id_a", "id_b", "shared", "containment")
+  }
+
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct shingles
+    * whose global first appearance (min id over the corpus) is the doc
+    * itself. The crawl-health metric behind "is batch N still adding
+    * content, or re-crawling what we have?" — aggregate novelty per
+    * source/batch falls out of one more groupBy on the result.
+    *
+    * Scale shape: the only wide operations are a shingle-keyed groupBy
+    * (map-side combine collapses to one row per distinct shingle per
+    * partition) and a 1:1 join back to the index on the same key — Spark
+    * reuses the exchange, so the index shuffles once. No self-join, so no
+    * df-cut needed: a hot shingle costs rows proportional to its frequency,
+    * not frequency². */
+  def noveltyRates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    // persisted: feeds the first-seen aggregate and the join-back
+    // (CacheScope-registered; the session owner drains after the action)
+    val sh = graft.core.CacheScope.persist(
+      df.select(col(idCol).as("id"),
+        explode(graft.functions.ShingleHashes(col(textCol), n)).as("sh")))
+    val first = sh.groupBy("sh").agg(min("id").as("first_id"))
+    sh.join(first, "sh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") < col("id"), 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6))
+  }
 }

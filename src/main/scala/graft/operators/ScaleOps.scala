@@ -174,6 +174,23 @@ object ScaleOps {
     * no randomness; output size is Σ n_s·w_s by construction. Weights are
     * quantized to permille in the DRIVER so the plan carries integer
     * literals (engine-portable, no float-boundary ambiguity). */
+  /** Deterministic IMPORTANCE sampling: keep each row with probability
+    * proportional to its (per-row, continuous) `scoreCol` — the
+    * quality-weighted downsample between a hard quality gate (keep/drop at a
+    * threshold) and uniform [[hashSample]]. p_keep = clamp(rate · score, 0, 1),
+    * quantized to permille so the decision is integer arithmetic on the same
+    * engine-portable hash as [[hashSample]] (same key ⇒ consistent decisions
+    * across tables and engines; no RNG, so re-runs and backfills agree).
+    * Shape: a scan-stage filter — no shuffle, no sort, nothing global. */
+  def importanceSample(df: DataFrame, keyCol: String, scoreCol: Column,
+      rate: Double): DataFrame = {
+    require(rate > 0, "rate must be > 0")
+    val permille = least(greatest(floor(scoreCol * rate * 1000).cast("long"),
+      lit(0L)), lit(1000L))
+    df.where(graft.functions.Hashing.stableHash31(col(keyCol).cast("string"))
+      % 1000 < permille)
+  }
+
   def epochMix(df: DataFrame, stratumCol: String, keyCol: String,
       weightsByStratum: Map[String, Double],
       defaultWeight: Double = 0.0): DataFrame = {
@@ -299,4 +316,35 @@ object ScaleOps {
             abs(col("est") - col(s"exact_distinct_$valueCol")).cast("double") /
               col(s"exact_distinct_$valueCol") <= 3 * rsd))
       .drop("est")
+
+  /** Bloom-filter pre-filtered semi-join: keep the `fact` rows whose
+    * `factKey` appears in `dim.dimKey` — result-identical to a plain
+    * `left_semi` join, physically a two-stage runtime filter:
+    *
+    *  1. a [[org.apache.spark.util.sketch.BloomFilter]] over the dim keys
+    *     (distributed aggregate, `expectedDistinct`/`fpp` sizing) probes
+    *     every fact row IN THE SCAN STAGE ([[graft.functions
+    *     .BloomMightContain]], codegen'd) — no false negatives, so only
+    *     `matches + fpp·|fact|` rows survive;
+    *  2. the residual exact semi-join removes the false positives.
+    *
+    * When dim fits a broadcast, plain BHJ semi already does this better —
+    * use this when dim is too big to broadcast as a hashed relation but its
+    * KEY SET fits a bloom (1M keys / 1% fpp ≈ 1.2 MB, 1B keys ≈ 1.2 GB —
+    * at the high end size fpp up or pre-partition): the fact side's shuffle
+    * then carries percent-scale row counts instead of the full table, which
+    * at 100 TB is the whole cost of the join. Spark's own
+    * `runtime.bloomFilter` optimization does this automatically only when
+    * one query plans both sides; this is the explicit form for
+    * cross-job/cross-frame key sets (e.g. decontamination reference corpora).
+    */
+  def bloomSemiJoin(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      expectedDistinct: Long, fpp: Double = 0.01): DataFrame = {
+    val bloom = dim.stat.bloomFilter(dimKey, expectedDistinct, fpp)
+    fact
+      .where(graft.functions.BloomMightContain(col(factKey).cast("long"), bloom))
+      .join(dim.select(col(dimKey).as("_dim_key")).distinct(),
+        col(factKey) === col("_dim_key"), "left_semi")
+  }
 }

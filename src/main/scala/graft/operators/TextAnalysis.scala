@@ -312,4 +312,34 @@ object TextAnalysis {
           .as("distinct_ratio"),
         round(col("top_cnt").cast("double") / col("n_tokens"), 6)
           .as("top_token_share"))
+
+  /** Zipf-law fit over the top-`k` vocabulary: least-squares slope and
+    * intercept of ln(tf) against ln(rank). Healthy natural-language corpora
+    * sit near slope ≈ −1; a much flatter slope flags templated/synthetic
+    * text, a cliff flags a vocabulary dominated by boilerplate. One row out —
+    * the corpus-level drift gauge a curation pipeline trends per crawl batch.
+    *
+    * Physical shape: [[vocabTopK]]'s aggregate (map-side combine over
+    * per-row [[graft.functions.TokenCounts]]) + TakeOrdered(k), then a
+    * 5-sum aggregate over k rows — nothing after the vocab cut exceeds k
+    * rows, so corpus size only touches the first aggregate. Closed-form
+    * slope from raw Σx/Σy/Σxy/Σx² (not covar_pop/var_pop built-ins, whose
+    * one-pass co-moment update orders differ per engine — raw sums round
+    * stably at 6 dp in both). */
+  def zipfSlope(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val pts = vocabTopK(df, textCol, k).select(
+      log(col("rnk").cast("double")).as("x"),
+      log(col("tf_total").cast("double")).as("y"))
+    val s = pts.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val nd = col("n_terms").cast("double")
+    val slope = (nd * col("sxy") - col("sx") * col("sy")) /
+      (nd * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n_terms"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / nd, 6).as("intercept"))
+  }
 }

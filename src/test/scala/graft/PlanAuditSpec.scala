@@ -198,6 +198,44 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus-wide single-partition stage in the gate plan:\n$p")
   }
 
+  test("q74 bloom probe filters in the scan stage, residual semi-join is hash-based") {
+    val p = planOf("q74_bloom_semi_join", execute = true)
+    // the probe must sit in stage 1 (scan side), BEFORE any exchange
+    assert(p.contains("*(1) Filter bloom_might_contain") ||
+      p.linesIterator.exists(l => l.contains("Filter") && l.contains("bloom_might_contain")),
+      s"bloom probe not a scan-stage filter:\n$p")
+    assert(p.contains("LeftSemi"), s"residual semi-join missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q75 containment pairs join on the shingle key, never cartesian") {
+    val p = planOf("q75_containment_pairs")
+    assert(p.contains("ShuffledHashJoin"), s"pinned bucket join missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q76 zipf fit: corpus-size work ends at the TakeOrdered vocab cut") {
+    val p = planOf("q76_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"), s"vocab cut not TakeOrdered:\n$p")
+  }
+
+  test("q77 novelty reads the persisted index from cache on both consumers") {
+    val p = planOf("q77_novelty_rate")
+    assert(p.contains("InMemoryTableScan"), s"index not cache-backed:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q78 importance sampling is a pure scan-stage filter — no exchange") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.ScaleOps.importanceSample(docs, "doc_id",
+      graft.operators.TextAnalysis.qualityScore(
+        org.apache.spark.sql.functions.col("text")), rate = 0.9)
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out) { df.explain() }
+    val p = out.toString
+    assert(!p.contains("Exchange"), s"sampling must stay narrow:\n$p")
+  }
+
   test("epochMix is shuffle-free: explode + case chain, no exchange") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = ScaleOpsAccess.epochMix(docs)

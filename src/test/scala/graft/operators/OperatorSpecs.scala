@@ -125,6 +125,46 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() == 0)
   }
 
+  test("containmentPairs: full quote inside a longer doc scores 1.0 where jaccard is low") {
+    // doc1 (4 shingles) quoted whole inside doc2 (9 shingles, 4 shared):
+    // containment = 4/4 = 1.0; jaccard = 4/9 — below a 0.5 dup threshold
+    val d = docs(
+      1L -> "a b c d e f",
+      2L -> "x1 x2 x3 a b c d e f y1 y2")
+    val cont = Dedup.containmentPairs(d, "doc_id", "text", n = 3,
+      minContainment = 0.9, minShared = 2, maxDocFreq = 100).collect()
+    assert(cont.length == 1)
+    assert(cont.head.getLong(2) == 4L) // shared shingles
+    assert(cont.head.getDouble(3) == 1.0)
+    val jac = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3,
+      minJaccard = 0.5, maxDocFreq = 100)
+    assert(jac.count() == 0)
+  }
+
+  test("containmentPairs: minShared prunes single-shingle coincidences") {
+    val d = docs(1L -> "a b c q r s", 2L -> "a b c x y z")
+    // exactly one shared shingle ("a b c"); minShared = 2 drops the pair
+    // even though containment 1/4 would pass a 0.2 threshold
+    assert(Dedup.containmentPairs(d, "doc_id", "text", n = 3,
+      minContainment = 0.2, minShared = 2, maxDocFreq = 100).count() == 0)
+    assert(Dedup.containmentPairs(d, "doc_id", "text", n = 3,
+      minContainment = 0.2, minShared = 1, maxDocFreq = 100).count() == 1)
+  }
+
+  test("noveltyRates: repeat of an earlier doc scores 0, fresh content 1, overlap in between") {
+    val d = docs(
+      1L -> "a b c d e",   // 3 distinct shingles, all first seen here → 1.0
+      2L -> "a b c d e",   // identical, later id → 0.0
+      3L -> "p q r s t",   // fresh → 1.0
+      4L -> "a b c p p")   // shingles {a b c, b c p, c p p}: 1 of 3 seen → 2/3
+    val out = Dedup.noveltyRates(d, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 1.0)
+    assert(math.abs(out(4L) - 0.666667) < 1e-9)
+  }
+
   test("contaminatedIds flags exactly the docs sharing enough n-grams with the ref set") {
     import spark.implicits._
     val ref = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
@@ -399,6 +439,21 @@ class TextAnalysisSpec extends SparkSpec {
       .map(t => t._1 -> t).toMap
     assert(r(1L) == ((1L, 5L, 2L, 0.4, 0.8)))
     assert(r(2L) == ((2L, 4L, 4L, 1.0, 0.25)))
+  }
+
+  test("zipfSlope: exact -1 on a perfect Zipf corpus, flat on a uniform one") {
+    import spark.implicits._
+    // tf = 12/rank exactly: a×12, b×6, c×4, d×3 → ln(tf) = ln 12 − 1·ln(rank),
+    // so the least-squares slope is exactly −1 and the fit is residual-free
+    val zipf = Seq((1L, (("a " * 12) + ("b " * 6) + ("c " * 4) + ("d " * 3)).trim))
+      .toDF("doc_id", "text")
+    val fit = TextAnalysis.zipfSlope(zipf, "text", k = 4).collect().head
+    assert(fit.getLong(0) == 4L)
+    assert(fit.getDouble(1) == -1.0)
+    assert(math.abs(fit.getDouble(2) - math.log(12.0)) < 1e-6)
+    // uniform frequencies → slope exactly 0
+    val flat = Seq((1L, "w x y z w x y z")).toDF("doc_id", "text")
+    assert(TextAnalysis.zipfSlope(flat, "text", k = 4).collect().head.getDouble(1) == 0.0)
   }
 
   test("fingerprint is order-sensitive (anagram docs differ)") {

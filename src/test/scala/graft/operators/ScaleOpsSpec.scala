@@ -229,4 +229,50 @@ class ScaleOpsSpec extends SparkSpec {
       assert(r.getBoolean(r.fieldIndex("within_bound")))
     }
   }
+
+  test("importanceSample: 0 drops all, 1 keeps all, monotone in rate, tracks E[score]") {
+    import spark.implicits._
+    val d = (1L to 500L).map(i => (i, i.toDouble / 500.0)).toDF("id", "score")
+    assert(ScaleOps.importanceSample(d, "id", lit(0.0), rate = 1.0).count() == 0)
+    assert(ScaleOps.importanceSample(d, "id", lit(1.0), rate = 1.0).count() == 500)
+    // a row kept at rate r is kept at every higher rate (floor is monotone)
+    val lo = ScaleOps.importanceSample(d, "id", col("score"), rate = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val hi = ScaleOps.importanceSample(d, "id", col("score"), rate = 1.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi))
+    // keep fraction ≈ E[p_keep] = E[score] ≈ 0.5 (hash is uniform)
+    assert(hi.size > 180 && hi.size < 320, s"kept ${hi.size} of 500")
+  }
+
+  test("bloomSemiJoin == plain left_semi join (row-level, real tables)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val dim = spark.read.parquet(s"$sfDir/orders.parquet")
+      .where(col("o_totalprice") > 200000)
+    val plain = li.join(dim.select(col("o_orderkey").as("l_orderkey")).distinct(),
+      Seq("l_orderkey"), "left_semi")
+    val bloomed = ScaleOps.bloomSemiJoin(li, "l_orderkey", dim, "o_orderkey",
+      expectedDistinct = 10000, fpp = 0.01)
+    assert(plain.count() > 0)
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+  }
+
+  test("BloomMightContain: no false negatives; probe runs codegen'd in a scan-stage filter") {
+    import spark.implicits._
+    val keys = (0L until 5000L).map(_ * 7L)
+    val bloom = keys.toDF("k").stat.bloomFilter("k", 5000, 0.01)
+    // every inserted key probes true — the property the residual-join
+    // correctness argument rests on
+    val probed = keys.toDF("k")
+      .where(graft.functions.BloomMightContain(col("k"), bloom))
+    assert(probed.count() == keys.size)
+    // the probe sits in a Filter next to the scan — asserted on a
+    // file-backed frame (a LocalRelation gets constant-folded on the driver)
+    val scan = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .where(graft.functions.BloomMightContain(col("l_orderkey"), bloom))
+    val plan = scan.queryExecution.executedPlan.toString
+    // "*(1) Filter" = the probe runs inside whole-stage codegen, stage 1
+    // (the scan stage) — before any exchange
+    assert(plan.contains("*(1) Filter bloom_might_contain"), plan.take(500))
+  }
 }
