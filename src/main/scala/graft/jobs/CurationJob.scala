@@ -40,9 +40,18 @@ object CurationJob {
       // broadcast-join pass (TextAnalysis.charLmScore).
       minLmScore: Option[Double] = None,
       nearDupJaccard: Double = 0.8,
+      // second dedup axis: drop docs CONTAINED in a surviving doc
+      // ([[Dedup.containmentPairs]], shared/min(|A|,|B|) >= this) — catches
+      // quote-expansion dups whose Jaccard sits below nearDupJaccard.
+      containmentThreshold: Option[Double] = None,
       chunkTokens: Int = 50,
       chunkOverlap: Int = 10,
       samplePermille: Int = 1000, // 1000 = keep everything
+      // quality-proportional sampling ([[ScaleOps.importanceSample]]):
+      // replaces the uniform samplePermille cut; chunk keep-probability =
+      // clamp(rate * qualityScore(chunk), 0, 1). Deterministic per
+      // (doc, chunk), so re-runs agree row-for-row.
+      importanceRate: Option[Double] = None,
       minhashBands: Int = 16,
       maxBucketSize: Option[Int] = Some(1024),
       // false: drop the larger id of each candidate pair (keeps every LOCAL
@@ -149,7 +158,19 @@ object CurationJob {
         // pairwise: drop the larger id of each pair (keeps local minima; the
         // global min of a cluster never appears as the larger side)
         dupPairs.select(col("id_b").as("doc_id")).distinct()
-    val unique = exact.join(losers, Seq("doc_id"), "left_anti")
+    val unique0 = exact.join(losers, Seq("doc_id"), "left_anti")
+
+    // 3b. containment pass (optional) — over the near-dup SURVIVORS (the
+    // contained side of a pair the minhash stage already dropped needs no
+    // second look); drops each contained doc, keeps its container
+    val unique = cfg.containmentThreshold match {
+      case None => unique0
+      case Some(thr) =>
+        val contained = Dedup.containmentPairs(unique0, "doc_id", "text",
+            minContainment = thr)
+          .select(col("contained_id").as("doc_id")).distinct()
+        unique0.join(contained, Seq("doc_id"), "left_anti")
+    }
     val afterNearDup = unique.count()
 
     // 4. chunking — one row per context window
@@ -158,9 +179,21 @@ object CurationJob {
       .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("chunk"))
     val chunks = chunked.count()
 
-    // 5. deterministic sampling to the target budget (reproducible mixing)
-    val sampled = ScaleOps.hashSample(chunked, "doc_id", cfg.samplePermille)
-    val nSampled = if (cfg.samplePermille == 1000) chunks else sampled.count()
+    // 5. deterministic sampling to the target budget (reproducible mixing):
+    // uniform by default; quality-proportional when importanceRate is set
+    // (key = doc:chunk so each chunk decides independently but stably)
+    val sampled = cfg.importanceRate match {
+      case None => ScaleOps.hashSample(chunked, "doc_id", cfg.samplePermille)
+      case Some(rate) =>
+        ScaleOps.importanceSample(
+            chunked.withColumn("_ck",
+              concat_ws(":", col("doc_id"), col("chunk_idx"))),
+            "_ck", TextAnalysis.qualityScore(col("chunk")), rate)
+          .drop("_ck")
+    }
+    val nSampled =
+      if (cfg.samplePermille == 1000 && cfg.importanceRate.isEmpty) chunks
+      else sampled.count()
     exact.unpersist()
 
     (sampled, Stats(input, afterQuality, afterExact, afterNearDup, chunks,

@@ -550,7 +550,13 @@ object Dedup {
       .withColumn("containment",
         col("shared").cast("double") / least(col("n_a"), col("n_b")))
       .where(col("containment") >= minContainment)
-      .select("id_a", "id_b", "shared", "containment")
+      // the CONTAINED side (fewer shingles; ties → the larger id, so the
+      // survivor choice stays deterministic) — what a dedup pass drops
+      .withColumn("contained_id",
+        when(col("n_a") < col("n_b"), col("id_a"))
+          .when(col("n_b") < col("n_a"), col("id_b"))
+          .otherwise(greatest(col("id_a"), col("id_b"))))
+      .select("id_a", "id_b", "shared", "containment", "contained_id")
   }
 
   /** Per-document n-gram NOVELTY: the fraction of a doc's distinct shingles

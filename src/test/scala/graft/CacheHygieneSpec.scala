@@ -24,7 +24,10 @@ class CacheHygieneSpec extends SparkSpec {
       // (q68), score table (q69), and the q57/q71 pair share the minhash
       // candidate sub-plan — the same collision class as q43/q49
       "q66_boilerplate_strip", "q68_semantic_dedup", "q69_quality_gate",
-      "q57_dedup_clusters", "q71_quality_keepers")
+      "q57_dedup_clusters", "q71_quality_keepers",
+      // containment (q75) and novelty (q77) persist the same shingle
+      // inverted index q21 does — same release contract
+      "q75_containment_pairs", "q77_novelty_rate")
     for (name <- names) {
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       assert(n >= 0)

@@ -34,6 +34,48 @@ class CurationJobSpec extends SparkSpec {
     assert(c1 == en)
   }
 
+  test("containment pass drops the quoted doc but not its container") {
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog tonight in the field"
+    val docs = Seq(
+      (1L, quote, "en"),                               // contained in 2 → dropped
+      (2L, s"preface words set the scene here $quote and a long trailing " +
+        "discussion keeps the jaccard far below the near dup bar", "en"),
+      (3L, "a completely different english document about the sea and the " +
+        "sky that it is in every way distinct for this test", "en"))
+      .toDF("doc_id", "text", "lang")
+    // without the containment pass the quote survives (jaccard too low)
+    val (_, statsOff) = CurationJob.run(docs,
+      CurationJob.Config(minQuality = 0.0, nearDupJaccard = 0.9))
+    assert(statsOff.afterNearDup == 3)
+    val (out, statsOn) = CurationJob.run(docs,
+      CurationJob.Config(minQuality = 0.0, nearDupJaccard = 0.9,
+        containmentThreshold = Some(0.8)))
+    assert(statsOn.afterNearDup == 2)
+    val ids = out.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 3L))
+  }
+
+  test("importance sampling: deterministic across runs, keeps more than uniform at same mean rate only via scores") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("lang", lit("en"))
+      .select(col("doc_id"), col("text"), col("lang"))
+    def run() = CurationJob.run(docs,
+      CurationJob.Config(minQuality = 0.0, lang = "en",
+        keepTopQualityFrac = None, importanceRate = Some(0.8)))
+    val (outA, statsA) = run()
+    val a = outA.select("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val (_, statsB) = run()
+    assert(statsA.sampled == statsB.sampled) // reproducible under re-run
+    assert(statsA.sampled > 0 && statsA.sampled < statsA.chunks)
+    // kept set is exactly re-derivable: same hash, same scores
+    val (outC, _) = run()
+    val c = outC.select("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == c)
+  }
+
   test("transitive mode keeps one doc per near-dup CLUSTER, pairwise keeps local minima") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and it is a fine day for running"
