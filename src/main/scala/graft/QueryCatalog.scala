@@ -2011,6 +2011,39 @@ object QueryCatalog {
           % 2147483647 % 1000 < pm
       ORDER BY doc_id"""))
 
+  /** Cross-source duplication matrix: minhash near-dup pairs rolled up to
+    * (source, source) cells — "which sources copy which", the provenance
+    * report behind per-source dedup budgeting. Pairs travel id-only; the
+    * source lookup is a narrow id→source join after the pair count has
+    * already collapsed. Cells are unordered (least/greatest) so A→B and
+    * B→A land in one cell. */
+  private val q79 = QuerySpec(
+    "q79_dup_matrix",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16)
+        .where(col("est_jaccard") >= 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("source", "src_a"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("source", "src_b"), "id_b")
+        .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+          greatest(col("src_a"), col("src_b")).as("source_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_x"), col("source_y"))
+    },
+    Some(s"""WITH ${minhashCtes(numHashes = 32, bands = 16)},
+      close_pairs AS (SELECT id_a, id_b FROM cand WHERE est_jaccard >= 0.5),
+      j AS (SELECT least(da.source, db.source) AS source_x,
+          greatest(da.source, db.source) AS source_y
+        FROM close_pairs p JOIN documents da ON da.doc_id = p.id_a
+          JOIN documents db ON db.doc_id = p.id_b)
+      SELECT source_x, source_y, count(*) AS n_pairs FROM j
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2021,5 +2054,5 @@ object QueryCatalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79)
 }

@@ -148,7 +148,12 @@ object StressGen {
   * `runMain graft.jobs.StressMain asof [factor]` — as-of join on replicated
   * event volume.
   * `runMain graft.jobs.StressMain pagerank [nodes] [iters]` — fixed-iteration
-  * PageRank on the same chain-heavy graph shape as `graph` mode. */
+  * PageRank on the same chain-heavy graph shape as `graph` mode.
+  * `runMain graft.jobs.StressMain containment [replicas]` — containment
+  * dedup on a designed contained/container replica corpus (df-cut under a
+  * boilerplate-heavy shingle distribution).
+  * `runMain graft.jobs.StressMain novelty [replicas]` — per-doc novelty +
+  * per-batch rollup on a re-crawl-heavy batch corpus. */
 object StressMain {
   def main(args: Array[String]): Unit = {
     val s = graft.core.Sessions.local(32)
@@ -242,6 +247,116 @@ object StressMain {
         val agg = out.agg(count(lit(1)), sum("n_dropped")).head()
         println(s"STRESS dropped segment occurrences: ${agg.getLong(1)}")
         agg.getLong(0)
+      })
+      graft.core.CacheScope.drain()
+    } else if (args.headOption.contains("bloom")) {
+      // runtime-filter value at volume: FACT = lineitem replicated N× (each
+      // replica shifts into its own orderkey range so dim selectivity stays
+      // ~2.4%), DIM = the high-value orders of replica 0 only. The plain
+      // semi-join shuffles every fact row; the bloom path cuts the fact
+      // side to matches + fpp·|fact| in the scan stage first. Same result
+      // set (asserted), different bytes through the exchange.
+      val factor = args.lift(1).map(_.toInt).getOrElse(100)
+      import graft.operators.ScaleOps
+      val shift = 100000000L
+      val li = s.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val fact = li.crossJoin(s.range(factor).select(col("id").as("rep")))
+        .select((col("l_orderkey") + col("rep") * shift).as("l_orderkey"),
+          col("l_quantity"))
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dim = s.read.parquet("/root/testdata/sf0.1/orders.parquet")
+        .where(col("o_totalprice") > 450000).select("o_orderkey")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"materialize ${factor}x fact")(fact.count())
+      val nDim = dim.count()
+      var plainN = 0L
+      time("plain left_semi (hint: merge — the no-broadcast regime)")({
+        plainN = fact.join(dim.hint("merge")
+          .select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_semi")
+          .count()
+        plainN
+      })
+      time(s"bloomSemiJoin ($nDim dim keys, fpp 0.01, residual merge)")({
+        val n = ScaleOps.bloomSemiJoin(fact, "l_orderkey", dim, "o_orderkey",
+          expectedDistinct = nDim, fpp = 0.01, joinHint = Some("merge")).count()
+        require(n == plainN, s"bloom path diverged: $n vs $plainN")
+        n
+      })
+      fact.unpersist(); dim.unpersist()
+      graft.core.CacheScope.drain()
+    } else if (args.headOption.contains("containment")) {
+      // containment dedup at volume: even replica r carries the base text +
+      // a replica-unique tail; odd replica r wraps replica r-1's FULL text
+      // in intro/outro padding — one designed (contained, container) pair
+      // per (doc, even/odd replica pair). The base text's shingles appear in
+      // every replica, so the df-cut removes them (the boilerplate-heavy
+      // regime the operator documents); the replica-unique shingles carry
+      // the containment signal through.
+      val replicas = args.lift(1).map(_.toInt).getOrElse(100)
+      import graft.operators.Dedup
+      val docs = s.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      // tails carry (replica, doc)-specific tokens: the designed pair's
+      // signal shingles then have df exactly 2 and ride through the df-cut
+      // (the base text's shingles, shared by every replica, get cut — that's
+      // the boilerplate-heavy regime under test)
+      def tag(rep: org.apache.spark.sql.Column) =
+        concat(rep.cast("string"), lit("d"), col("doc_id").cast("string"))
+      val big = docs.crossJoin(s.range(replicas).select(col("id").as("rep")))
+        .select((col("rep") * 1000000 + col("doc_id")).as("doc_id"),
+          when(col("rep") % 2 === 0,
+            concat(col("text"), lit(" t"), tag(col("rep")), lit("a t"),
+              tag(col("rep")), lit("b")))
+          .otherwise(concat(lit("intro"), tag(col("rep")), lit(" open "),
+            col("text"), lit(" t"), tag(col("rep") - 1), lit("a t"),
+            tag(col("rep") - 1), lit("b"),
+            lit(" close"), tag(col("rep")), lit("x pad"), tag(col("rep")),
+            lit("y pad"), tag(col("rep")), lit("z")))
+            .as("text"))
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"materialize ${replicas}x docs")(big.count())
+      time("containmentPairs")({
+        val out = Dedup.containmentPairs(big, "doc_id", "text",
+          minContainment = 0.9)
+        val n = out.count()
+        println(s"STRESS containment pairs: $n (designed ~${replicas / 2 * 5000})")
+        n
+      })
+      graft.core.CacheScope.drain()
+    } else if (args.headOption.contains("novelty")) {
+      // crawl-health novelty at volume: replica = crawl batch (ids ordered
+      // by batch); 1 doc in 10 per batch gets batch-unique tagged content,
+      // the rest re-crawl the base corpus. Batch 0 measures the corpus's
+      // INTRINSIC novelty (the small synthetic vocabulary repeats shingles
+      // across docs → ~0.11); later batches collapse to fresh-share ×
+      // tagged-shingle-fraction (~0.004) — exactly the "is this crawl
+      // adding anything" cliff the metric exists to expose. Exercises the
+      // min-id aggregate + join-back at full volume with a heavily repeated
+      // shingle distribution.
+      val replicas = args.lift(1).map(_.toInt).getOrElse(100)
+      import graft.operators.Dedup
+      val docs = s.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val r = col("rep").cast("string")
+      val big = docs.crossJoin(s.range(replicas).select(col("id").as("rep")))
+        .select((col("rep") * 1000000 + col("doc_id")).as("doc_id"),
+          when(col("doc_id") % 10 === 0,
+            concat(lit("fresh"), r, lit(" content"), r, lit(" "), col("text"),
+              lit(" batchnew"), r, lit("a batchnew"), r, lit("b")))
+          .otherwise(col("text")).as("text"))
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"materialize ${replicas}x docs")(big.count())
+      time("noveltyRates + per-batch rollup")({
+        val rates = Dedup.noveltyRates(big, "doc_id", "text")
+        val byBatch = rates.groupBy((col("id") / 1000000).cast("long").as("batch"))
+          .agg(round(avg(col("novelty")), 4).as("mean_novelty"))
+          .orderBy(col("batch"))
+        val rows = byBatch.collect()
+        println(s"STRESS novelty batch0=${rows.head.getDouble(1)} " +
+          s"batch${rows.length - 1}=${rows.last.getDouble(1)}")
+        rows.length.toLong
       })
       graft.core.CacheScope.drain()
     } else if (args.headOption.contains("semdedup")) {

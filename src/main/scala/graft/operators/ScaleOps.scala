@@ -340,11 +340,16 @@ object ScaleOps {
     */
   def bloomSemiJoin(fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
-      expectedDistinct: Long, fpp: Double = 0.01): DataFrame = {
+      expectedDistinct: Long, fpp: Double = 0.01,
+      joinHint: Option[String] = None): DataFrame = {
     val bloom = dim.stat.bloomFilter(dimKey, expectedDistinct, fpp)
+    // joinHint pins the residual join's strategy ("merge"/"shuffle_hash") —
+    // in the operator's target regime the dim is NOT broadcastable, which
+    // test-scale AQE can't know; None lets AQE choose from measured sizes
+    val dimKeys = dim.select(col(dimKey).as("_dim_key")).distinct()
     fact
       .where(graft.functions.BloomMightContain(col(factKey).cast("long"), bloom))
-      .join(dim.select(col(dimKey).as("_dim_key")).distinct(),
+      .join(joinHint.fold(dimKeys)(dimKeys.hint(_)),
         col(factKey) === col("_dim_key"), "left_semi")
   }
 }
