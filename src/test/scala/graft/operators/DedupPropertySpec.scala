@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Randomized brute-force twins for the inverted-index dedup operators:
+  * on seeded random corpora (tiny vocabulary → dense shingle sharing, plus
+  * short/empty/doubled-space edge docs), the distributed plans must equal a
+  * direct Scala restatement of the semantics computed on the driver.
+  * String shingles stand in for the 60-bit hashes — a collision on these
+  * corpus sizes is ~2^-40, and the operators' own contract is that both
+  * engines collapse collisions identically anyway. */
+class DedupPropertySpec extends SparkSpec {
+
+  // mirror of WordShingles.shingle + ShingleHashes' per-doc distinct
+  private def shingleSet(text: String, n: Int): Set[String] = {
+    val toks = text.split(" ", -1)
+    if (toks.length <= n) Set(text)
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  private def randomCorpus(seed: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val n = 8 + rnd.nextInt(12)
+    (1L to n).map { id =>
+      val len = rnd.nextInt(13) // 0 → empty doc
+      val base = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // occasionally weave in a doubled space (empty-token edge)
+      val text = if (len > 2 && rnd.nextInt(5) == 0) base.replaceFirst(" ", "  ") else base
+      id -> text
+    }
+  }
+
+  test("containmentPairs == driver brute force on random corpora") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3, 4, 5)) {
+      val corpus = randomCorpus(seed)
+      val (n, minCont, minShared, maxDf) = (3, 0.5, 2L, 6L)
+      val sets = corpus.map { case (id, t) => id -> shingleSet(t, n) }.toMap
+      val docFreq = sets.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val filtered = sets.view.mapValues(_.filter(docFreq(_) <= maxDf)).toMap
+      val expect = (for {
+        (a, sa) <- filtered.toSeq; (b, sb) <- filtered.toSeq if a < b
+        shared = (sa & sb).size.toLong if shared >= minShared
+        cont = shared.toDouble / math.min(sa.size, sb.size) if cont >= minCont
+      } yield (a, b) -> (shared, cont)).toMap
+      val got = Dedup.containmentPairs(corpus.toDF("doc_id", "text"), "doc_id", "text",
+          n = n, minContainment = minCont, minShared = minShared, maxDocFreq = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(got.keySet == expect.keySet, s"seed $seed pair sets differ")
+      expect.foreach { case (k, (sh, c)) =>
+        assert(got(k)._1 == sh, s"seed $seed shared $k")
+        assert(math.abs(got(k)._2 - c) < 1e-12, s"seed $seed containment $k")
+      }
+      graft.core.CacheScope.drain()
+    }
+  }
+
+  test("noveltyRates == driver brute force on random corpora") {
+    import spark.implicits._
+    for (seed <- Seq(11, 12, 13, 14, 15)) {
+      val corpus = randomCorpus(seed)
+      val n = 3
+      val sets = corpus.map { case (id, t) => id -> shingleSet(t, n) }.toMap
+      val firstSeen = sets.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val expect = sets.map { case (id, s) =>
+        val seen = s.count(sh => firstSeen(sh) < id)
+        id -> ((s.size.toLong, seen.toLong,
+          BigDecimal(1.0 - seen.toDouble / s.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      val got = Dedup.noveltyRates(corpus.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(got.keySet == expect.keySet, s"seed $seed doc sets differ")
+      expect.foreach { case (id, (ns, seen, nov)) =>
+        assert(got(id)._1 == ns, s"seed $seed n_shingles doc $id")
+        assert(got(id)._2 == seen, s"seed $seed n_seen doc $id")
+        assert(math.abs(got(id)._3 - nov) < 2e-6, s"seed $seed novelty doc $id")
+      }
+      graft.core.CacheScope.drain()
+    }
+  }
+}
