@@ -439,6 +439,18 @@ object Dedup {
     * so the whole pipeline shuffles (id, long) tuples only. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 1, bands: Int = 2,
+      joinHint: Option[String] = Some("shuffle_hash")): DataFrame =
+    bandedHammingPairs(simhashSigs(df, idCol, textCol, "sig"), idCol, "sig",
+      maxHamming, bands, joinHint)
+
+  /** Band-bucket candidate pairs over ANY precomputed 64-bit signature
+    * column (simhash over text, perceptual aHash over images, …): split the
+    * signature into `bands` equal bit-bands, equi-join on (band index, band
+    * value), keep pairs within `maxHamming`. Pigeonhole-exact recall when
+    * `maxHamming < bands` (a pair within the cap must agree on at least one
+    * whole band). The signature frame shuffles as (id, long) only. */
+  def bandedHammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int, bands: Int,
       joinHint: Option[String] = Some("shuffle_hash")): DataFrame = {
     require(SimhashBits % bands == 0, "bands must divide SimhashBits")
     require(maxHamming < bands,
@@ -448,8 +460,9 @@ object Dedup {
     // persist: feeds both sides of the band self-join (recompute trap).
     // CacheScope-registered so a session running many queries over the same
     // corpus doesn't pin one signature cache per call forever.
-    val sigs = graft.core.CacheScope.persist(simhashSigs(df, idCol, textCol, "sig"))
-    val banded = sigs.select(col(idCol).as("id"), col("sig"),
+    val s = graft.core.CacheScope.persist(
+      sigs.select(col(idCol).as("id"), col(sigCol).as("sig")))
+    val banded = s.select(col("id"), col("sig"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("sig"), b * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band_idx")

@@ -42,6 +42,10 @@ object Multimodal {
   trait Codec extends Serializable {
     def meta(payload: Array[Byte]): MediaMeta
     def feature(payload: Array[Byte], dims: Int = 8): Array[Float]
+    /** 8×8 spatial luminance grid (row-major, 64 cells) — the downscale
+      * behind the perceptual average-hash. Real codecs average pixel blocks;
+      * the stub derives cells from payload byte positions. */
+    def grid8(payload: Array[Byte]): Array[Float]
   }
 
   /** The deterministic fake (default; what the q27 oracle replays). */
@@ -49,6 +53,17 @@ object Multimodal {
     def meta(payload: Array[Byte]): MediaMeta = decodeStub(payload)
     def feature(payload: Array[Byte], dims: Int): Array[Float] =
       featureStub(payload, dims)
+    // position-based cell averaging: byte i lands in cell i mod 64, so a
+    // small payload edit perturbs few cells — the locality a real
+    // perceptual hash has, reproduced deterministically on fake bytes
+    def grid8(payload: Array[Byte]): Array[Float] = {
+      val sums = new Array[Float](64); val counts = new Array[Float](64)
+      var i = 0
+      while (i < payload.length) {
+        sums(i % 64) += (payload(i) & 0xff); counts(i % 64) += 1f; i += 1
+      }
+      Array.tabulate(64)(c => if (counts(c) == 0) 0f else sums(c) / counts(c))
+    }
   }
 
   /** REAL image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP — no extra
@@ -86,6 +101,29 @@ object Multimodal {
       }
       val total = math.max(counts.sum, 1f)
       counts.map(_ / total)
+    }
+    // block-average luma over the 8×8 partition of the real image — the
+    // classic aHash downscale (each cell = mean luminance of its block;
+    // images smaller than 8×8 map pixels onto cells directly)
+    def grid8(payload: Array[Byte]): Array[Float] = {
+      val img = read(payload)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Float](64); val counts = new Array[Float](64)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(y * 8 / h, 7)
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          val c = cy * 8 + math.min(x * 8 / w, 7)
+          sums(c) += lum; counts(c) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(64)(c => if (counts(c) == 0) 0f else sums(c) / counts(c))
     }
   }
 
@@ -164,6 +202,38 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(batch => batchEncodeStub(batch, dims))
     }.toDF("media_id", "embedding")
+  }
+
+  /** 64-bit perceptual average-hash from an 8×8 grid: bit i set iff cell i
+    * exceeds the grid mean. Hamming distance between hashes ≈ how many
+    * regions of the two images differ in relative brightness — robust to
+    * re-encoding/scaling, exactly what exact byte-hash dedup misses. */
+  def averageHash64(grid: Array[Float]): Long = {
+    require(grid.length == 64, s"need 64 cells, got ${grid.length}")
+    var mean = 0f
+    var i = 0
+    while (i < 64) { mean += grid(i); i += 1 }
+    mean /= 64
+    var sig = 0L
+    i = 0
+    while (i < 64) { if (grid(i) > mean) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  /** Perceptual image near-dup pairs: per-row aHash (narrow, payloads never
+    * shuffle) + the same pigeonhole-exact band join text simhash uses
+    * ([[Dedup.bandedHammingPairs]] — only (id, long) signatures move).
+    * The image twin of text near-dup removal: re-encoded, resized, or
+    * lightly edited copies land within `maxHamming` bits. */
+  def perceptualDedup(media: Dataset[MediaRow], codec: Codec = StubCodec,
+      maxHamming: Int = 4, bands: Int = 8,
+      joinHint: Option[String] = Some("shuffle_hash")): DataFrame = {
+    import media.sparkSession.implicits._
+    val sigs = media.mapPartitions(_.map(r =>
+        (r.media_id, averageHash64(codec.grid8(r.payload)))))
+      .toDF("media_id", "sig")
+    Dedup.bandedHammingPairs(sigs, "media_id", "sig", maxHamming, bands,
+      joinHint)
   }
 
   /** Build a media table from the `documents` fixture (text bytes as payload) —

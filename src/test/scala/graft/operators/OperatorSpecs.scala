@@ -554,6 +554,55 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("perceptualDedup: re-encoded and lightly-edited images pair, distinct scenes don't") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // a "scene": 64x64 of 8x8 blocks with seeded random brightness — block
+    // structure survives the aHash downscale
+    def scene(seed: Int): java.awt.image.BufferedImage = {
+      val r = new scala.util.Random(seed)
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val block = Array.fill(8, 8)(r.nextInt(256))
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = block(y / 8)(x / 8)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def toPng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val base = scene(1)
+    // light edit: brighten ONE 8x8 block — at most a few aHash bits move
+    val edited = scene(1)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = math.min(255, (edited.getRGB(x, y) & 0xff) + 40)
+      edited.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", toPng(base)),
+      Multimodal.MediaRow(2L, "image", toPng(base)),   // re-encode of the same scene
+      Multimodal.MediaRow(3L, "image", toPng(edited)), // light edit
+      Multimodal.MediaRow(4L, "image", toPng(scene(2))) // different scene
+    ).toDS()
+    val pairs = Multimodal.perceptualDedup(media, Multimodal.ImageIoCodec,
+        maxHamming = 4, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0) // identical scene
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 4) // light edit
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      s"distinct scene paired: $pairs")
+    // stub codec drives the same plumbing without image libs
+    val stubPairs = Multimodal.perceptualDedup(
+      Seq(Multimodal.MediaRow(1L, "image", Array.fill(256)(rnd.nextInt.toByte)),
+        Multimodal.MediaRow(2L, "image", Array.fill(256)(rnd.nextInt.toByte))).toDS(),
+      Multimodal.StubCodec, maxHamming = 4, bands = 8)
+    assert(stubPairs.columns.toSeq == Seq("id_a", "id_b", "hamming"))
+  }
 }
 
 class CsvToParquetSpec extends SparkSpec {
