@@ -245,6 +245,7 @@ object EventStreams {
             case None => delta
           }
         }
+        () // lambda must be Unit; the applied flag matters only to metrics
       }
       .start()
   }
@@ -266,7 +267,8 @@ object EventStreams {
     * per batch; the swap becomes a transactional-table commit. */
   def corpusIngestSink(docs: DataFrame, tableDir: String,
       checkpointDir: String, minJaccard: Double = 0.8,
-      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 16)
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      metricsDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     docs.writeStream
       .outputMode(OutputMode.Append)
@@ -275,7 +277,17 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.select(col("doc_id"), col("text"))
-        mergeSwap(spark, tableDir, batchId) { current =>
+        // mirrors mergeSwap's crash recovery: a mid-swap death leaves the
+        // table in `_old`, and counting an absent dir as 0 would corrupt
+        // the metrics row for the batch that restores it
+        val sizeBefore = if (metricsDir.isEmpty) 0L else {
+          val d = new java.io.File(tableDir)
+          val bkp = new java.io.File(s"${tableDir}_old")
+          if (d.exists()) spark.read.parquet(tableDir).count()
+          else if (bkp.exists()) spark.read.parquet(bkp.getPath).count()
+          else 0L
+        }
+        val applied = mergeSwap(spark, tableDir, batchId) { current =>
           val corpus = current.map(_.select(col("doc_id"), col("text")))
             .getOrElse(b.limit(0))
           val cand = graft.operators.Dedup.minhashCandidatesIncremental(
@@ -296,6 +308,21 @@ object EventStreams {
             .select(col("id_b").as("doc_id"))
           val dropped = dropVsOldA.union(dropVsOldB).union(dropNewNew).distinct()
           corpus.unionByName(b.join(dropped, Seq("doc_id"), "left_anti"))
+        }
+        // per-batch crawl-health metrics, appended only when the merge
+        // actually landed (a replayed batch writes nothing — no double
+        // counting). A crash between the swap and this append loses the
+        // row: metrics are at-MOST-once observability, the table itself
+        // stays effectively-once.
+        if (applied) metricsDir.foreach { mDir =>
+          val sizeAfter = spark.read.parquet(tableDir).count()
+          val nBatch = b.count()
+          val admitted = sizeAfter - sizeBefore
+          import spark.implicits._
+          Seq((batchId, nBatch, admitted, nBatch - admitted, sizeAfter))
+            .toDF("batch_id", "n_batch", "n_admitted", "n_suppressed",
+              "corpus_size")
+            .write.mode("append").parquet(mDir)
         }
         // the incremental candidates persist their signature tables through
         // CacheScope — the sink owns this batch's scope, release it now
@@ -321,7 +348,7 @@ object EventStreams {
     * writer; both renames are checked, and a failed swap throws so the
     * batch retries rather than silently dropping the merge. */
   private def mergeSwap(spark: SparkSession, tableDir: String, batchId: Long)
-      (merge: Option[DataFrame] => DataFrame): Unit = {
+      (merge: Option[DataFrame] => DataFrame): Boolean = {
     val dir = new java.io.File(tableDir)
     val backup = new java.io.File(s"${tableDir}_old")
     // Crash recovery FIRST: a death between the swap's two renames leaves
@@ -359,7 +386,8 @@ object EventStreams {
         throw new IllegalStateException(s"cannot publish $tmp to $tableDir")
       }
       deleteRecursively(backup) // only after a fully successful swap
-    }
+      true
+    } else false // replayed batch: the marker says this merge already landed
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -300,7 +300,7 @@ class EventStreamsSpec extends SparkSpec {
     def run(): Unit = {
       val q = EventStreams.corpusIngestSink(
         in.toDF().toDF("doc_id", "text"), s"$dir/corpus", s"$dir/chk",
-        minJaccard = 0.8)
+        minJaccard = 0.8, metricsDir = Some(s"$dir/metrics"))
       q.awaitTermination()
     }
     in.addData((1L, textA), (2L, textB))
@@ -322,5 +322,15 @@ class EventStreamsSpec extends SparkSpec {
     run()
     assert(spark.read.parquet(s"$dir/corpus").select("doc_id")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    // crawl-health metrics: one row per applied batch, admitted + suppressed
+    // re-derive the corpus trajectory exactly
+    val metrics = spark.read.parquet(s"$dir/metrics").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(metrics.keySet.size == 3, s"one metrics row per batch: $metrics")
+    val byOrder = metrics.toSeq.sortBy(_._1).map(_._2)
+    assert(byOrder(0) == ((2L, 2L, 0L, 2L))) // both admitted
+    assert(byOrder(1) == ((3L, 1L, 2L, 3L))) // dup-vs-corpus + in-batch dup
+    assert(byOrder(2) == ((1L, 0L, 1L, 3L))) // near-dup of a batch-2 survivor
   }
 }
