@@ -268,7 +268,8 @@ object EventStreams {
   def corpusIngestSink(docs: DataFrame, tableDir: String,
       checkpointDir: String, minJaccard: Double = 0.8,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 16,
-      metricsDir: Option[String] = None)
+      metricsDir: Option[String] = None,
+      minQuality: Option[Double] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     docs.writeStream
       .outputMode(OutputMode.Append)
@@ -276,7 +277,13 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val b = batch.select(col("doc_id"), col("text"))
+        // quality gate first (per-row, codegen'd, no shuffle): junk never
+        // reaches the dedup join, exactly like CurationJob's stage order;
+        // gated docs count as suppressed in the metrics
+        val b = minQuality.foldLeft(batch.select(col("doc_id"), col("text"))) {
+          (d, floor) => d.where(
+            graft.operators.TextAnalysis.qualityScore(col("text")) >= floor)
+        }
         // mirrors mergeSwap's crash recovery: a mid-swap death leaves the
         // table in `_old`, and counting an absent dir as 0 would corrupt
         // the metrics row for the batch that restores it
@@ -316,7 +323,7 @@ object EventStreams {
         // stays effectively-once.
         if (applied) metricsDir.foreach { mDir =>
           val sizeAfter = spark.read.parquet(tableDir).count()
-          val nBatch = b.count()
+          val nBatch = batch.count() // pre-gate: quality drops count as suppressed
           val admitted = sizeAfter - sizeBefore
           import spark.implicits._
           Seq((batchId, nBatch, admitted, nBatch - admitted, sizeAfter))

@@ -300,7 +300,8 @@ class EventStreamsSpec extends SparkSpec {
     def run(): Unit = {
       val q = EventStreams.corpusIngestSink(
         in.toDF().toDF("doc_id", "text"), s"$dir/corpus", s"$dir/chk",
-        minJaccard = 0.8, metricsDir = Some(s"$dir/metrics"))
+        minJaccard = 0.8, metricsDir = Some(s"$dir/metrics"),
+        minQuality = Some(0.4))
       q.awaitTermination()
     }
     in.addData((1L, textA), (2L, textB))
@@ -318,12 +319,15 @@ class EventStreamsSpec extends SparkSpec {
     assert(got(4L) == textC)
     // batch 3: near-dup of a doc admitted in batch 2 — the standing-corpus
     // check must see batch-2 survivors, not just the initial corpus
-    in.addData((6L, textC))
+    // batch 3: a near-dup of a batch-2 survivor AND a junk doc the quality
+    // gate must stop before the dedup join
+    in.addData((6L, textC),
+      (7L, Seq.fill(8)("!@#$%^&*()!!##").mkString(" "))) // score ≈ 0.19
     run()
     assert(spark.read.parquet(s"$dir/corpus").select("doc_id")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
     // crawl-health metrics: one row per applied batch, admitted + suppressed
-    // re-derive the corpus trajectory exactly
+    // (dedup drops AND quality drops) re-derive the corpus trajectory exactly
     val metrics = spark.read.parquet(s"$dir/metrics").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))).toMap
@@ -331,6 +335,6 @@ class EventStreamsSpec extends SparkSpec {
     val byOrder = metrics.toSeq.sortBy(_._1).map(_._2)
     assert(byOrder(0) == ((2L, 2L, 0L, 2L))) // both admitted
     assert(byOrder(1) == ((3L, 1L, 2L, 3L))) // dup-vs-corpus + in-batch dup
-    assert(byOrder(2) == ((1L, 0L, 1L, 3L))) // near-dup of a batch-2 survivor
+    assert(byOrder(2) == ((2L, 0L, 2L, 3L))) // near-dup + quality-gated junk
   }
 }
