@@ -1,7 +1,6 @@
 package graft.functions
 
-import java.io.ByteArrayInputStream
-
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -14,13 +13,16 @@ import org.apache.spark.util.sketch.BloomFilter
   * runtime-filter primitive behind [[graft.operators.ScaleOps.bloomSemiJoin]].
   *
   * The filter is built once on the driver from the join's small side
-  * (`df.stat.bloomFilter`, itself a distributed aggregate) and travels to
-  * executors as a codegen reference object, NOT as a per-row join input: a
-  * 1M-key / 1% fpp filter is ~1.2 MB — two orders of magnitude below the
-  * hashed-relation broadcast of the same keys — so the fact side of a
-  * semi-join can be cut to `matches + fpp·|fact|` rows BEFORE its shuffle.
-  * No false negatives, so a residual exact join restores exact semantics;
-  * false positives only cost those rows riding the shuffle.
+  * (`df.stat.bloomFilter`, itself a distributed aggregate) and travels as a
+  * TORRENT BROADCAST: the expression serializes with only the broadcast
+  * handle (~bytes), executors fetch the filter bitset once each, and every
+  * task on the executor probes the same deserialized instance. A 1M-key /
+  * 1% fpp filter is ~1.2 MB — two orders of magnitude below the
+  * hashed-relation broadcast of the same keys — and even a 1B-key / 1.2 GB
+  * filter ships once per executor, never per task, which is what makes the
+  * pattern survive a 1000-executor fact scan. No false negatives, so a
+  * residual exact join restores exact semantics; false positives only cost
+  * those rows riding the shuffle.
   *
   * Mirrors Spark's own `spark.sql.optimizer.runtime.bloomFilter` injection
   * (which only fires on shuffle-join stages the optimizer can see through);
@@ -32,7 +34,8 @@ import org.apache.spark.util.sketch.BloomFilter
   * hashing detour); callers hash wider keys to 64 bits first
   * ([[Hashing.stableHash]]).
   */
-final case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+final case class BloomMightContain(child: Expression,
+    bloomBcast: Broadcast[BloomFilter])
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -43,20 +46,23 @@ final case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
 
-  // One deserialization per task (the transient lazy re-runs after ship),
-  // probes after that are two hash mults + bitset reads.
-  @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+  // One broadcast fetch per executor (torrent); probes after that are two
+  // hash mults + bitset reads against the shared instance.
+  @transient private lazy val bloom: BloomFilter = bloomBcast.value
 
   override def nullSafeEval(input: Any): Any =
     bloom.mightContainLong(input.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // BloomFilterImpl is Serializable, so the DESERIALIZED filter rides the
-    // generated class's reference array — executors never re-parse the bytes.
-    val ref = ctx.addReferenceObj("bloomFilter", bloom,
-      classOf[BloomFilter].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+    // the reference array carries the HANDLE; the filter itself is resolved
+    // from the executor-local broadcast cache once per generated-class
+    // instance (mutable state init), not per row and not per task ship
+    val bcastRef = ctx.addReferenceObj("bloomBcast", bloomBcast,
+      classOf[Broadcast[_]].getName)
+    val bloomCls = classOf[BloomFilter].getName
+    val bloomVar = ctx.addMutableState(bloomCls, "bloomFilter",
+      v => s"$v = ($bloomCls) $bcastRef.value();")
+    defineCodeGen(ctx, ev, c => s"$bloomVar.mightContainLong($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
@@ -64,12 +70,6 @@ final case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
 }
 
 object BloomMightContain {
-  def apply(key: Column, bloom: BloomFilter): Column = {
-    val bytes = {
-      val out = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(out)
-      out.toByteArray
-    }
-    Bridge.column(BloomMightContain(Bridge.expression(key), bytes))
-  }
+  def apply(key: Column, bcast: Broadcast[BloomFilter]): Column =
+    Bridge.column(BloomMightContain(Bridge.expression(key), bcast))
 }

@@ -342,7 +342,8 @@ object ScaleOps {
       dim: DataFrame, dimKey: String,
       expectedDistinct: Long, fpp: Double = 0.01,
       joinHint: Option[String] = None): DataFrame = {
-    val bloom = dim.stat.bloomFilter(dimKey, expectedDistinct, fpp)
+    val bloom = fact.sparkSession.sparkContext.broadcast(
+      dim.stat.bloomFilter(dimKey, expectedDistinct, fpp))
     // joinHint pins the residual join's strategy ("merge"/"shuffle_hash") —
     // in the operator's target regime the dim is NOT broadcastable, which
     // test-scale AQE can't know; None lets AQE choose from measured sizes

@@ -260,7 +260,8 @@ class ScaleOpsSpec extends SparkSpec {
   test("BloomMightContain: no false negatives; probe runs codegen'd in a scan-stage filter") {
     import spark.implicits._
     val keys = (0L until 5000L).map(_ * 7L)
-    val bloom = keys.toDF("k").stat.bloomFilter("k", 5000, 0.01)
+    val bloom = spark.sparkContext.broadcast(
+      keys.toDF("k").stat.bloomFilter("k", 5000, 0.01))
     // every inserted key probes true — the property the residual-join
     // correctness argument rests on
     val probed = keys.toDF("k")
