@@ -2044,6 +2044,75 @@ object QueryCatalog {
       SELECT source_x, source_y, count(*) AS n_pairs FROM j
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** The composed corpus health report ([[graft.jobs.CorpusReport]]) as a
+    * value-checked query: per-source volume/quality/dup/novelty/OOV plus
+    * the corpus-level Zipf fit, all in one result — every constituent is an
+    * operator this catalog already oracle-checks (q19/q24/q67/q73/q76/q77);
+    * this row proves the COMPOSITION (joins, rollup, corpus-row stitching)
+    * is value-faithful too. */
+  private val q80 = QuerySpec(
+    "q80_corpus_report",
+    (s, dir) => graft.jobs.CorpusReport.run(t(s, dir, "documents"))
+      .orderBy(col("is_corpus_row"), col("source")),
+    Some(s"""WITH ${minhashCtes(numHashes = 32, bands = 16)},
+      dup_ids AS (SELECT DISTINCT id FROM (
+        SELECT id_a AS id FROM cand WHERE est_jaccard >= 0.8
+        UNION ALL SELECT id_b FROM cand WHERE est_jaccard >= 0.8)),
+      nsh AS (SELECT doc_id, unnest(list_distinct(hh)) AS shh FROM hs),
+      fsn AS (SELECT shh, min(doc_id) AS first_id FROM nsh GROUP BY 1),
+      nov AS (SELECT n.doc_id, count(*) AS n_sh,
+          CAST(sum(CASE WHEN f.first_id < n.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_seen
+        FROM nsh n JOIN fsn f ON n.shh = f.shh GROUP BY 1),
+      novelty AS (SELECT doc_id,
+          round(CAST(1 AS DOUBLE) - CAST(n_seen AS DOUBLE) / n_sh, 6) AS novelty
+        FROM nov),
+      tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+      tf AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+      v AS (SELECT tok, CAST(sum(c) AS BIGINT) AS tf_total FROM tf GROUP BY 1),
+      vocab AS (SELECT tok FROM (SELECT tok,
+          row_number() OVER (ORDER BY tf_total DESC, tok) AS rnk FROM v)
+        WHERE rnk <= 50),
+      oov AS (SELECT t.doc_id, CAST(sum(t.c) AS BIGINT) AS n_toks,
+          CAST(sum(CASE WHEN w.tok IS NULL THEN t.c ELSE 0 END) AS BIGINT) AS oovt
+        FROM tf t LEFT JOIN vocab w ON t.tok = w.tok GROUP BY 1),
+      oovr AS (SELECT doc_id, round(CAST(oovt AS DOUBLE) / n_toks, 6) AS oov_rate
+        FROM oov),
+      ranked AS (SELECT tf_total,
+          row_number() OVER (ORDER BY tf_total DESC, tok) AS rnk FROM v),
+      pts AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(tf_total AS DOUBLE)) AS y
+        FROM ranked WHERE rnk <= 50),
+      zs AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+          sum(x*y) AS sxy, sum(x*x) AS sxx FROM pts),
+      zipf AS (SELECT round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+          round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept
+        FROM zs),
+      base AS (SELECT doc_id, source,
+          CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+          $QualityScoreSql AS quality
+        FROM documents),
+      per AS (SELECT b.doc_id, b.source, b.n_tokens, b.quality,
+          CASE WHEN d.id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+          nv.novelty, o.oov_rate
+        FROM base b LEFT JOIN dup_ids d ON b.doc_id = d.id
+        LEFT JOIN novelty nv ON nv.doc_id = b.doc_id
+        LEFT JOIN oovr o ON o.doc_id = b.doc_id),
+      rolled AS (SELECT source,
+          count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+          round(avg(quality), 6) AS mean_quality,
+          round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS near_dup_share,
+          round(avg(novelty), 6) AS mean_novelty,
+          round(avg(oov_rate), 6) AS mean_oov_rate,
+          CAST(GROUPING(source) AS INTEGER) AS is_corpus_row
+        FROM per GROUP BY ROLLUP(source))
+      SELECT r.source, r.n_docs, r.total_tokens, r.mean_quality,
+        r.near_dup_share, r.mean_novelty, r.mean_oov_rate, r.is_corpus_row,
+        CASE WHEN r.is_corpus_row = 1 THEN z.slope END AS zipf_slope,
+        CASE WHEN r.is_corpus_row = 1 THEN z.intercept END AS zipf_intercept
+      FROM rolled r CROSS JOIN zipf z
+      ORDER BY r.is_corpus_row, r.source"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2054,5 +2123,5 @@ object QueryCatalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
 }
