@@ -26,8 +26,9 @@ class CacheHygieneSpec extends SparkSpec {
       "q66_boilerplate_strip", "q68_semantic_dedup", "q69_quality_gate",
       "q57_dedup_clusters", "q71_quality_keepers",
       // containment (q75) and novelty (q77) persist the same shingle
-      // inverted index q21 does — same release contract
-      "q75_containment_pairs", "q77_novelty_rate")
+      // inverted index q21 does — same release contract; the composed
+      // report (q80) stacks three persisting operators in one query
+      "q75_containment_pairs", "q77_novelty_rate", "q80_corpus_report")
     for (name <- names) {
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       assert(n >= 0)

@@ -236,6 +236,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"sampling must stay narrow:\n$p")
   }
 
+  test("q80 corpus report: one rollup expand, zipf rides as a literal — no loop joins") {
+    val p = planOf("q80_corpus_report")
+    assert(p.contains("Expand"), s"rollup not planned as Expand:\n$p")
+    // the corpus-row zipf stitch must NOT be a join (it's a driver literal)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"corpus-row stitch planned as a loop join:\n$p")
+  }
+
   test("epochMix is shuffle-free: explode + case chain, no exchange") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = ScaleOpsAccess.epochMix(docs)
