@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ArrayDot, CharBigramCounts, HilbertIndex, MinhashSig, SegmentHashes, ShingleHashes, SimhashSig, TokenCounts, WordShingles}
+import graft.functions.{ArrayDot, CharBigramCounts, CompressionRatio, HilbertIndex, MinhashSig, SegmentHashes, ShingleHashes, SimhashSig, TokenCounts, WordShingles}
 
 /** Engine extensions registered through the sanctioned
   * `SparkSessionExtensions` hook (`spark.sql.extensions=graft.core.
@@ -88,6 +88,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text, Literal(b: Int, _)) => SimhashSig(text, b)
         case _ => throw new IllegalArgumentException(
           "simhash_sig(text[, bits]) — bits an integer literal in [1, 60]")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("compression_ratio"),
+      new ExpressionInfo(classOf[CompressionRatio].getName, "compression_ratio"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => CompressionRatio(text)
+        case _ => throw new IllegalArgumentException("compression_ratio(text)")
       }))
   }
 }

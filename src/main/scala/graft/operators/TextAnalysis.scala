@@ -313,6 +313,13 @@ object TextAnalysis {
         round(col("top_cnt").cast("double") / col("n_tokens"), 6)
           .as("top_token_share"))
 
+  /** Compressibility quality signal ([[graft.functions.CompressionRatio]]):
+    * deflate-bytes / utf8-bytes. Low = templated/looping text; the
+    * MassiveText cut keeps roughly 0.25–1.0. Spec-verified (no DuckDB
+    * deflate — the catalog's one deliberate non-oracle signal). */
+  def compressionRatio(text: Column): Column =
+    graft.functions.CompressionRatio(text)
+
   /** Zipf-law fit over the top-`k` vocabulary: least-squares slope and
     * intercept of ln(tf) against ln(rank). Healthy natural-language corpora
     * sit near slope ≈ −1; a much flatter slope flags templated/synthetic

@@ -456,6 +456,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.zipfSlope(flat, "text", k = 4).collect().head.getDouble(1) == 0.0)
   }
 
+  test("compressionRatio: loops compress far below prose; empty defined; SQL-reachable; codegen'd") {
+    import spark.implicits._
+    val spam = ("spam " * 200).trim
+    val prose = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(concat_ws(" ", collect_list(col("text"))).as("text"))
+      .head().getString(0).take(1000)
+    val df = Seq((1L, spam), (2L, prose), (3L, "")).toDF("id", "text")
+      .select(col("id"), TextAnalysis.compressionRatio(col("text")).as("r"))
+    val r = df.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) < 0.05, s"looping text must crush: ${r(1L)}")   // 'spam '×200
+    assert(r(2L) > 0.3 && r(2L) < 1.0, s"prose mid-range: ${r(2L)}")
+    assert(r(3L) == 0.0) // empty defined, not NaN
+    assert(r(1L) < r(2L))
+    // SQL face plans the same expression
+    val viaSql = spark.sql(s"SELECT compression_ratio('${"ab " * 50}')")
+      .head().getDouble(0)
+    assert(viaSql > 0 && viaSql < 0.5)
+    // stays inside whole-stage codegen on a file-backed scan
+    val plan = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(TextAnalysis.compressionRatio(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan.take(300))
+  }
+
   test("fingerprint is order-sensitive (anagram docs differ)") {
     val a = one("alpha beta gamma").select(TextAnalysis.fingerprint(col("text"))).head().getLong(0)
     val b = one("gamma beta alpha").select(TextAnalysis.fingerprint(col("text"))).head().getLong(0)
