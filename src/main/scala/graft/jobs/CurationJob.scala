@@ -35,6 +35,11 @@ object CurationJob {
       // Gopher-style repetition cut: drop docs whose most frequent token
       // exceeds this share (one-token spam). Per-row, no shuffle.
       maxTopTokenShare: Option[Double] = None,
+      // MassiveText compressibility cut: keep docs whose deflate ratio
+      // ([[TextAnalysis.compressionRatio]]) falls inside [lo, hi] — below
+      // lo = templated/looping text, above hi = high-entropy noise.
+      // Per-row, no shuffle.
+      compressionBounds: Option[(Double, Double)] = None,
       // char-bigram LM cut: drop docs whose avg log-prob under the corpus's
       // own bigram model falls below this (mojibake/codepoint soup). One
       // broadcast-join pass (TextAnalysis.charLmScore).
@@ -95,9 +100,13 @@ object CurationJob {
       case None => TextAnalysis.qualityScore(col("text")) >= cfg.minQuality
       case Some(_) => lit(true)
     }
-    val rowGate = cfg.maxTopTokenShare.foldLeft(
+    val rowGate0 = cfg.maxTopTokenShare.foldLeft(
         TextAnalysis.langIdGuess(col("text")) === cfg.lang && absFloor) {
       (acc, cap) => acc && TextAnalysis.topTokenShare(col("text")) <= cap
+    }
+    val rowGate = cfg.compressionBounds.foldLeft(rowGate0) {
+      case (acc, (lo, hi)) =>
+        acc && TextAnalysis.compressionRatio(col("text")).between(lo, hi)
     }
     val rowGated0 = boilerGated.where(rowGate)
     val rowGated = cfg.keepTopQualityFrac match {

@@ -443,19 +443,24 @@ object Dedup {
     bandedHammingPairs(simhashSigs(df, idCol, textCol, "sig"), idCol, "sig",
       maxHamming, bands, joinHint)
 
-  /** Band-bucket candidate pairs over ANY precomputed 64-bit signature
-    * column (simhash over text, perceptual aHash over images, …): split the
-    * signature into `bands` equal bit-bands, equi-join on (band index, band
-    * value), keep pairs within `maxHamming`. Pigeonhole-exact recall when
-    * `maxHamming < bands` (a pair within the cap must agree on at least one
-    * whole band). The signature frame shuffles as (id, long) only. */
+  /** Band-bucket candidate pairs over ANY precomputed `bits`-wide signature
+    * column (32-bit simhash over text, 64-bit perceptual aHash over
+    * images, …): split the signature into `bands` equal bit-bands, equi-join
+    * on (band index, band value), keep pairs within `maxHamming`.
+    * Pigeonhole-exact recall when `maxHamming < bands` (a pair within the
+    * cap must agree on at least one whole band). `bits` must match the
+    * signature's real width — banding fewer bits keeps recall (diffs in
+    * unbanded bits can't hide a close pair from the banded ones) but lets
+    * pairs agreeing only on the banded prefix flood the candidate set.
+    * The signature frame shuffles as (id, long) only. */
   def bandedHammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int, bands: Int,
-      joinHint: Option[String] = Some("shuffle_hash")): DataFrame = {
-    require(SimhashBits % bands == 0, "bands must divide SimhashBits")
+      joinHint: Option[String] = Some("shuffle_hash"),
+      bits: Int = SimhashBits): DataFrame = {
+    require(bits % bands == 0, "bands must divide the signature width")
     require(maxHamming < bands,
       s"recall guarantee needs maxHamming < bands (got $maxHamming, $bands)")
-    val width = SimhashBits / bands
+    val width = bits / bands
     val mask = (1L << width) - 1
     // persist: feeds both sides of the band self-join (recompute trap).
     // CacheScope-registered so a session running many queries over the same

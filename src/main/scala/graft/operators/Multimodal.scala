@@ -233,7 +233,7 @@ object Multimodal {
         (r.media_id, averageHash64(codec.grid8(r.payload)))))
       .toDF("media_id", "sig")
     Dedup.bandedHammingPairs(sigs, "media_id", "sig", maxHamming, bands,
-      joinHint)
+      joinHint, bits = 64)
   }
 
   /** Build a media table from the `documents` fixture (text bytes as payload) —

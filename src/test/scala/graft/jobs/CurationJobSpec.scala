@@ -34,6 +34,21 @@ class CurationJobSpec extends SparkSpec {
     assert(c1 == en)
   }
 
+  test("compression bounds drop looping text, spare prose") {
+    import spark.implicits._
+    val prose = "the quick brown fox jumps over the lazy dog and it is a " +
+      "fine day for running through the field with good cheer in the sun"
+    val docs = Seq(
+      (1L, prose, "en"),
+      (2L, ("the and is it to " * 60).trim, "en")) // loops → ratio ≈ 0.03
+      .toDF("doc_id", "text", "lang")
+    val (_, off) = CurationJob.run(docs, CurationJob.Config(minQuality = 0.0))
+    assert(off.afterQuality == 2)
+    val (_, on) = CurationJob.run(docs, CurationJob.Config(minQuality = 0.0,
+      compressionBounds = Some((0.25, 1.0))))
+    assert(on.afterQuality == 1)
+  }
+
   test("containment pass drops the quoted doc but not its container") {
     import spark.implicits._
     val quote = "the quick brown fox jumps over the lazy dog tonight in the field"
