@@ -1,0 +1,34 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+/** Catalog-wide physical-plan invariant: NO query plans a cartesian product
+  * or nested-loop join except the ones designed that way — q09's
+  * reference-verbatim coalesce-key full join (J-10, bounded to
+  * channel-month grain by construction) and q22's brute-force ANN (the
+  * deliberate exhaustive baseline: tiny broadcast query side × corpus,
+  * the plan the indexed variants q29/q33 exist to replace). A new query
+  * that accidentally plans a loop join fails here by name. */
+class CatalogPlanSweepSpec extends SparkSpec {
+
+  private val designedLoopJoins = Set(
+    "q09_join_full_coalesce", // J-10: BNLJ on coalesce keys, reference-verbatim
+    "q22_ann_bruteforce",     // exhaustive baseline: broadcast queries × corpus
+    "q23_embedding_neardup",  // threshold all-pairs twin of q22 (same contract)
+    "q33_ann_ivf",            // centroid assignment: corpus × broadcast(nlist) —
+    "q68_semantic_dedup",     //   the IVF build step, bounded by nlist per row
+    "q58_tfidf_keywords")     // ln(N) scalar: 1-row corpus-count broadcast
+
+  test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
+    val offenders = QueryCatalog.all.flatMap { spec =>
+      val df = spec.run(spark, sfDir)
+      val out = new ByteArrayOutputStream()
+      Console.withOut(out) { df.explain() }
+      graft.core.CacheScope.drain()
+      val p = out.toString
+      val loopy = p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+      if (loopy && !designedLoopJoins.contains(spec.name)) Some(spec.name) else None
+    }
+    assert(offenders.isEmpty, s"undesigned loop joins in: ${offenders.mkString(", ")}")
+  }
+}
