@@ -2113,6 +2113,34 @@ object QueryCatalog {
       FROM rolled r CROSS JOIN zipf z
       ORDER BY r.is_corpus_row, r.source"""))
 
+  /** Self-trained word-bigram LM score ([[TextAnalysis.wordLmScore]]) —
+    * q61's token-level sibling (the CCNet filter): same arithmetic
+    * contract (integer counts → one double division → ln → weighted avg →
+    * round), bigrams from [[graft.functions.NgramCounts]] (WordShingles
+    * semantics: a doc of ≤ 2 tokens is its own single "bigram"). */
+  private val q81 = QuerySpec(
+    "q81_word_lm_score",
+    (s, dir) => TextAnalysis.wordLmScore(t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS arr FROM documents),
+      bg0 AS (SELECT doc_id, unnest(CASE WHEN len(arr) <= 2
+            THEN [array_to_string(arr, ' ')]
+            ELSE list_transform(range(1, len(arr)),
+              i -> array_to_string(list_slice(arr, i, i + 1), ' ')) END) AS bg
+        FROM t),
+      bgc AS (SELECT doc_id, bg, count(*) AS n FROM bg0 GROUP BY 1, 2),
+      cab AS (SELECT bg, CAST(sum(n) AS BIGINT) AS cab FROM bgc GROUP BY 1),
+      ca AS (SELECT split_part(bg, ' ', 1) AS pfx, CAST(sum(cab) AS BIGINT) AS ca
+        FROM cab GROUP BY 1),
+      model AS (SELECT bg, cab, ca FROM cab JOIN ca
+        ON split_part(cab.bg, ' ', 1) = ca.pfx)
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        round(sum(n * ln(CAST(cab AS DOUBLE) / ca)) / CAST(sum(n) AS DOUBLE), 6)
+          AS lm_score
+      FROM bgc JOIN model USING (bg)
+      GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2123,5 +2151,5 @@ object QueryCatalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81)
 }

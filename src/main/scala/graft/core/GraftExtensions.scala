@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ArrayDot, CharBigramCounts, CompressionRatio, HilbertIndex, MinhashSig, SegmentHashes, ShingleHashes, SimhashSig, TokenCounts, WordShingles}
+import graft.functions.{ArrayDot, CharBigramCounts, CompressionRatio, HilbertIndex, MinhashSig, NgramCounts, SegmentHashes, ShingleHashes, SimhashSig, TokenCounts, WordShingles}
 
 /** Engine extensions registered through the sanctioned
   * `SparkSessionExtensions` hook (`spark.sql.extensions=graft.core.
@@ -95,6 +95,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(text) => CompressionRatio(text)
         case _ => throw new IllegalArgumentException("compression_ratio(text)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_counts"),
+      new ExpressionInfo(classOf[NgramCounts].getName, "ngram_counts"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, Literal(n: Int, _)) if n >= 1 => NgramCounts(text, n)
+        case Seq(text) => NgramCounts(text, 2)
+        case _ => throw new IllegalArgumentException(
+          "ngram_counts(text[, n]) — n must be an integer literal >= 1")
       }))
   }
 }

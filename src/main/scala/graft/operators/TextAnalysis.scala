@@ -313,6 +313,36 @@ object TextAnalysis {
         round(col("top_cnt").cast("double") / col("n_tokens"), 6)
           .as("top_token_share"))
 
+  /** Self-trained WORD-bigram LM score — the CCNet-style perplexity filter
+    * at token level (the word sibling of [[charLmScore]]): avg log
+    * P(w_i | w_{i-1}) under the corpus's own bigram table. Low scores =
+    * improbable word sequences (shuffled text, keyword stuffing) that
+    * char-level statistics miss. Per-row bigram counts come fused from
+    * [[graft.functions.NgramCounts]] (no occurrence-level shuffle); the
+    * model is two bigram-keyed aggregates + a broadcast scoring join —
+    * the same engine-portable arithmetic contract as q61, so the oracle
+    * value-checks it. */
+  def wordLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // persist: feeds the model aggregates AND the scoring join
+    val bg = graft.core.CacheScope.persist(
+      df.select(col(idCol).as("id"),
+          explode(graft.functions.NgramCounts(col(textCol), 2)).as("bc"))
+        .select(col("id"), col("bc.tok").as("bg"), col("bc.tf").as("n")))
+    val cab = bg.groupBy("bg").agg(sum("n").as("cab"))
+    val ca = cab.groupBy(substring_index(col("bg"), " ", 1).as("pfx"))
+      .agg(sum("cab").as("ca"))
+    val model = cab.join(ca, substring_index(col("bg"), " ", 1) === col("pfx"))
+      .select(col("bg"), col("cab"), col("ca"))
+    bg.join(broadcast(model), "bg")
+      .groupBy("id")
+      .agg(
+        sum("n").as("n_bigrams"),
+        round(
+          sum(col("n") * log(col("cab").cast("double") / col("ca"))) /
+            sum(col("n")).cast("double"),
+          6).as("lm_score"))
+  }
+
   /** Compressibility quality signal ([[graft.functions.CompressionRatio]]):
     * deflate-bytes / utf8-bytes. Low = templated/looping text; the
     * MassiveText cut keeps roughly 0.25–1.0. Spec-verified (no DuckDB

@@ -456,6 +456,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.zipfSlope(flat, "text", k = 4).collect().head.getDouble(1) == 0.0)
   }
 
+  test("NgramCounts = explode+groupBy twin on real corpus text; n=1 equals TokenCounts") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+      .select(col("doc_id"), col("text"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val fused = canon(docs.select(col("doc_id"),
+        explode(graft.functions.NgramCounts(col("text"), 2)).as("g"))
+      .select(col("doc_id"), col("g.tok"), col("g.tf")))
+    val slow = canon(docs.select(col("doc_id"),
+        explode(graft.operators.Dedup.shingles(col("text"), 2)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    assert(fused == slow)
+    val asTok = canon(docs.select(col("doc_id"),
+        explode(graft.functions.NgramCounts(col("text"), 1)).as("g"))
+      .select(col("doc_id"), col("g.tok"), col("g.tf")))
+    val tok = canon(docs.select(col("doc_id"),
+        explode(graft.functions.TokenCounts(col("text"))).as("g"))
+      .select(col("doc_id"), col("g.tok"), col("g.tf")))
+    assert(asTok == tok)
+    // short-doc edge: ≤ n tokens → one "gram" = the whole text
+    val tiny = Seq((1L, "solo"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val t = canon(tiny.select(col("doc_id"),
+        explode(graft.functions.NgramCounts(col("text"), 2)).as("g"))
+      .select(col("doc_id"), col("g.tok"), col("g.tf")))
+    assert(t == Set((1L, "solo", 1L), (2L, "a b", 1L), (3L, "", 1L)))
+  }
+
+  test("wordLmScore: natural phrase repetition outranks shuffled word soup") {
+    import spark.implicits._
+    // docs 1-3 share phrase structure ("the quick fox" patterns repeat →
+    // high P(w|prev)); doc 4 uses the SAME words in unrepeated orders
+    val docs = Seq(
+      (1L, "the quick fox runs and the quick fox sleeps"),
+      (2L, "the quick fox runs and the quick fox eats"),
+      (3L, "the quick fox runs and the quick fox hides"),
+      (4L, "fox the and quick runs sleeps eats hides the")).toDF("doc_id", "text")
+    val scores = TextAnalysis.wordLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) > scores(4L),
+      s"phrase-structured doc must outrank soup: $scores")
+  }
+
   test("compressionRatio: loops compress far below prose; empty defined; SQL-reachable; codegen'd") {
     import spark.implicits._
     val spam = ("spam " * 200).trim
