@@ -57,6 +57,34 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("bandedHammingPairs: pigeonhole recall is exact on random 64-bit signatures") {
+    import spark.implicits._
+    for (seed <- Seq(21, 22, 23)) {
+      val rnd = new scala.util.Random(seed)
+      // random base sigs + planted near-dups at controlled hamming distances
+      val base = (1L to 40L).map(id => id -> rnd.nextLong())
+      val planted = base.take(10).zipWithIndex.map { case ((id, sig), i) =>
+        val flips = i % 4 // 0..3 bit flips, all within maxHamming = 3
+        val mutated = (0 until flips).foldLeft(sig)((s, _) =>
+          s ^ (1L << rnd.nextInt(64)))
+        (id + 1000L) -> mutated
+      }
+      val all = base ++ planted
+      val (maxH, bands) = (3, 8)
+      val expect = (for {
+        (a, sa) <- all; (b, sb) <- all if a < b
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+      } yield (a, b, h)).toSet
+      val got = Dedup.bandedHammingPairs(all.toDF("id", "sig"), "id", "sig",
+          maxHamming = maxH, bands = bands, bits = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // recall must be EXACT (maxHamming < bands pigeonholes a clean band);
+      // precision is exact too — every emitted pair re-checks full hamming
+      assert(got == expect, s"seed $seed: got ${got.size}, expect ${expect.size}")
+      graft.core.CacheScope.drain()
+    }
+  }
+
   test("noveltyRates == driver brute force on random corpora") {
     import spark.implicits._
     for (seed <- Seq(11, 12, 13, 14, 15)) {
