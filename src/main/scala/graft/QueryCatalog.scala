@@ -2141,6 +2141,29 @@ object QueryCatalog {
       FROM bgc JOIN model USING (bg)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Heavy-hitter tokens via the mergeable Misra-Gries sketch
+    * ([[graft.operators.ScaleOps.frequentItemsChecked]]): tokens with ≥ 1%
+    * of total occurrences, per-partition sketches merged on the driver,
+    * exact-verified over the guaranteed candidate superset — the q32
+    * pattern (sketch internally, engine-portable exact values + a provable
+    * bound flag outward) applied to frequencies. */
+  private val q82 = QuerySpec(
+    "q82_frequent_tokens",
+    (s, dir) => graft.operators.ScaleOps.frequentItemsChecked(
+        t(s, dir, "documents")
+          .select(explode(graft.functions.TokenCounts(col("text"))).as("tc"))
+          .select(col("tc.tok").as("tok"), col("tc.tf").as("tf")),
+        "tok", weightCol = Some("tf"), minShare = 0.01)
+      .orderBy(col("tok")),
+    Some("""WITH toks AS (SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+      c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY 1),
+      t AS (SELECT CAST(sum(n_exact) AS BIGINT) AS total FROM c)
+      SELECT tok, n_exact, TRUE AS within_bound
+      FROM c, t
+      WHERE n_exact >= greatest(
+        CAST(floor(CAST(0.01 AS DOUBLE) * total) AS BIGINT), 1)
+      ORDER BY tok"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2151,5 +2174,5 @@ object QueryCatalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
 }

@@ -317,6 +317,66 @@ object ScaleOps {
               col(s"exact_distinct_$valueCol") <= 3 * rsd))
       .drop("est")
 
+  /** Heavy-hitter keys via a mergeable Misra-Gries sketch
+    * (datasketches `ItemsSketch`) — "which tokens/domains/keys exceed
+    * `minShare` of the stream" WITHOUT shuffling the full key set: each
+    * partition builds one bounded sketch (`maxMapSize` entries), the ≤
+    * #partitions sketches merge on the driver (the mergeability that makes
+    * this a 1000-executor pattern), and the sketch's NO_FALSE_NEGATIVES
+    * read yields a candidate superset guaranteed to contain every truly
+    * frequent item. An exact count pass over ONLY the candidates (broadcast
+    * semi-join — candidate count is bounded by maxMapSize, not vocabulary
+    * size) then makes the final set deterministic and engine-portable:
+    * output = exactly the items with true weight ≥ floor(minShare · total),
+    * each carrying its exact count and the sketch's bound check
+    * (provably TRUE — which is what lets a cross-engine value oracle gate
+    * a sketch-backed operator, same pattern as [[approxDistinctChecked]]).
+    * At corpus scale the exact pass is the optional audit; production reads
+    * the sketch's estimates directly. */
+  def frequentItemsChecked(df: DataFrame, keyCol: String,
+      weightCol: Option[String], minShare: Double,
+      maxMapSize: Int = 1024): DataFrame = {
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+    import df.sparkSession.implicits._
+    val pairs = (weightCol match {
+      case Some(w) => df.select(col(keyCol).cast("string"), col(w).cast("long"))
+      case None => df.select(col(keyCol).cast("string"), lit(1L))
+    }).as[(String, Long)]
+    val partSketches = pairs.mapPartitions { it =>
+      val sk = new ItemsSketch[String](maxMapSize)
+      it.foreach { case (k, w) => sk.update(k, w) }
+      Iterator(sk.toByteArray(new ArrayOfStringsSerDe()))
+    }.collect()
+    val merged = partSketches.foldLeft(new ItemsSketch[String](maxMapSize)) {
+      (acc, bytes) => acc.merge(ItemsSketch.getInstance(
+        org.apache.datasketches.memory.Memory.wrap(bytes),
+        new ArrayOfStringsSerDe()))
+    }
+    // floor over DOUBLE in both engines (the q69 decimal-vs-IEEE lesson)
+    val threshold = math.max(
+      math.floor(minShare * merged.getStreamLength).toLong, 1L)
+    // the no-false-negative guarantee only covers items above the sketch's
+    // error bound (≈ streamWeight / mapCapacity): below it, a truly
+    // frequent item can have been EVICTED and silently missed. Fail loudly
+    // with the sizing fix instead of under-reporting — maxMapSize must
+    // exceed ~1/minShare (power of 2).
+    require(threshold > merged.getMaximumError,
+      s"maxMapSize=$maxMapSize cannot guarantee shares down to $minShare " +
+        s"(error bound ${merged.getMaximumError} >= threshold $threshold); " +
+        s"raise maxMapSize above ~${math.ceil(1 / minShare).toLong * 2}")
+    val cand = merged.getFrequentItems(threshold, ErrorType.NO_FALSE_NEGATIVES)
+      .map(r => (r.getItem, r.getLowerBound, r.getUpperBound)).toSeq
+    val candDf = cand.toDF("tok", "lb", "ub")
+    pairs.toDF("tok", "w")
+      .join(broadcast(candDf), Seq("tok"))
+      .groupBy("tok", "lb", "ub").agg(sum("w").as("n_exact"))
+      .where(col("n_exact") >= threshold)
+      .select(col("tok"), col("n_exact"),
+        (col("lb") <= col("n_exact") && col("n_exact") <= col("ub"))
+          .as("within_bound"))
+  }
+
   /** Bloom-filter pre-filtered semi-join: keep the `fact` rows whose
     * `factKey` appears in `dim.dimKey` — result-identical to a plain
     * `left_semi` join, physically a two-stage runtime filter:

@@ -245,6 +245,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(hi.size > 180 && hi.size < 320, s"kept ${hi.size} of 500")
   }
 
+  test("frequentItemsChecked == exact threshold set, even under forced sketch eviction") {
+    import spark.implicits._
+    // zipf-ish stream: key k_i appears 2000/i times, i in 1..80 → wide
+    // enough that maxMapSize = 8 forces real Misra-Gries eviction
+    val rows = (1 to 80).flatMap(i => Seq.fill(2000 / i)(s"k$i")).toDF("k")
+    val exact = rows.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    // 128 forces real eviction (80 distinct keys > ~96 slots under churn)
+    // while keeping the error bound below the threshold — the guarantee's
+    // working regime
+    for (mapSize <- Seq(1024, 128)) {
+      val got = ScaleOps.frequentItemsChecked(rows, "k", None,
+          minShare = 0.02, maxMapSize = mapSize)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      val threshold = math.max(math.floor(0.02 * total).toLong, 1L)
+      val want = exact.filter(_._2 >= threshold)
+      assert(got.map(_._1).toSet == want.keySet, s"mapSize $mapSize")
+      got.foreach { case (k, n, within) =>
+        assert(n == want(k), s"mapSize $mapSize key $k")
+        assert(within, s"mapSize $mapSize bound violated for $k")
+      }
+    }
+    // an undersized sketch must refuse, not silently under-report
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.frequentItemsChecked(rows, "k", None,
+        minShare = 0.02, maxMapSize = 8).collect()
+    }
+    assert(e.getMessage.contains("raise maxMapSize"))
+  }
+
   test("bloomSemiJoin == plain left_semi join (row-level, real tables)") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val dim = spark.read.parquet(s"$sfDir/orders.parquet")
