@@ -29,5 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] means 32 executor threads share this one heap: unified
+  // memory (execution + MEMORY_AND_DISK storage) is 0.6·(Xmx−300M), so at
+  // 8g the 32 tasks get ~140 MB each and the exploded-index operators
+  // (q21/q72/q75) spill + GC-thrash. 48g on the 128 GiB box gives each
+  // task the ~900 MB a real executor core would have.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

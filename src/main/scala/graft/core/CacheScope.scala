@@ -62,12 +62,17 @@ object CacheScope {
 
   private def release(s: Scope): Unit = {
     var df = s.live.poll()
-    while (df != null) { df.unpersist(blocking = false); df = s.live.poll() }
+    // blocking: the drain happens BETWEEN queries (session hygiene, outside
+    // any timed region), and an async unpersist leaks its block-removal work
+    // into the NEXT query's execution — under load the async cleanup thread
+    // falls behind and storage memory fills with dead blocks exactly when
+    // the next operator needs it
+    while (df != null) { df.unpersist(blocking = true); df = s.live.poll() }
     var f = s.cleanups.poll()
     while (f != null) { f(); f = s.cleanups.poll() }
   }
 
-  /** Unpersist every frame registered by the CALLING thread (non-blocking),
+  /** Unpersist every frame registered by the CALLING thread (blocking),
     * run its registered cleanups, and empty its scope. Call after the
     * terminal action of the query that caused the persists. A plain-persisted
     * result consumed later recomputes (correct, just uncached); a

@@ -46,7 +46,14 @@ object ChannelJobs {
         cfg.outputFiles)
       val v = hist.snapshot(persisted) // max(version)+1 append (S1:208-222)
       TableWrite(table, n, v)
-    } finally persisted.unpersist()
+    } finally {
+      persisted.unpersist()
+      // materialize runs the job's terminal actions, so it is the session
+      // owner in the CacheScope contract: release operator-internal persists
+      // (NvsPipeline's allHcp union) here, or a rerun re-persisting the
+      // identical plan trips CacheManager's "already cached" plan-match
+      graft.core.CacheScope.drain()
+    }
   }
 
   /** `nvs_tam` (S1:93-225). */

@@ -461,7 +461,11 @@ object Dedup {
     require(maxHamming < bands,
       s"recall guarantee needs maxHamming < bands (got $maxHamming, $bands)")
     val width = bits / bands
-    val mask = (1L << width) - 1
+    // width == 64 (bits=64, bands=1, maxHamming=0 — legal above): Scala's
+    // shift is mod 64, so (1L << 64) - 1 would be 0 and every row would land
+    // in band_val 0 — a full cross-product self-join (correct via the
+    // hamming recheck, quadratically wrong as a plan)
+    val mask = if (width == 64) -1L else (1L << width) - 1
     // persist: feeds both sides of the band self-join (recompute trap).
     // CacheScope-registered so a session running many queries over the same
     // corpus doesn't pin one signature cache per call forever.

@@ -158,22 +158,6 @@ object ScaleOps {
       % 1000 < rate)
   }
 
-  /** Epoch-weighted corpus mixing — the UP-sampling half of mixture
-    * construction ([[stratifiedHashSample]] is the down-sampling half):
-    * a stratum with weight 2.5 contributes every doc twice plus a
-    * deterministic half of them a third time ("2.5 epochs of books, 0.6
-    * epochs of web" — the standard pretraining-mix recipe). Each doc emits
-    * `floor(w)` copies, plus one more iff its md5-derived hash lands under
-    * `round(frac(w)·1000)` permille — same hash family as [[hashSample]],
-    * so the fractional-epoch subset is reproducible across runs/engines
-    * and consistent with every other hash-keyed decision on the same key.
-    * Returns the input keyed rows exploded with `copy_idx` (0-based).
-    *
-    * Scale shape: the weight lookup is a codegen'd CASE chain and the copy
-    * fan-out is a per-row explode of a tiny sequence — narrow, no shuffle,
-    * no randomness; output size is Σ n_s·w_s by construction. Weights are
-    * quantized to permille in the DRIVER so the plan carries integer
-    * literals (engine-portable, no float-boundary ambiguity). */
   /** Deterministic IMPORTANCE sampling: keep each row with probability
     * proportional to its (per-row, continuous) `scoreCol` — the
     * quality-weighted downsample between a hard quality gate (keep/drop at a
@@ -191,6 +175,22 @@ object ScaleOps {
       % 1000 < permille)
   }
 
+  /** Epoch-weighted corpus mixing — the UP-sampling half of mixture
+    * construction ([[stratifiedHashSample]] is the down-sampling half):
+    * a stratum with weight 2.5 contributes every doc twice plus a
+    * deterministic half of them a third time ("2.5 epochs of books, 0.6
+    * epochs of web" — the standard pretraining-mix recipe). Each doc emits
+    * `floor(w)` copies, plus one more iff its md5-derived hash lands under
+    * `round(frac(w)·1000)` permille — same hash family as [[hashSample]],
+    * so the fractional-epoch subset is reproducible across runs/engines
+    * and consistent with every other hash-keyed decision on the same key.
+    * Returns the input keyed rows exploded with `copy_idx` (0-based).
+    *
+    * Scale shape: the weight lookup is a codegen'd CASE chain and the copy
+    * fan-out is a per-row explode of a tiny sequence — narrow, no shuffle,
+    * no randomness; output size is Σ n_s·w_s by construction. Weights are
+    * quantized to permille in the DRIVER so the plan carries integer
+    * literals (engine-portable, no float-boundary ambiguity). */
   def epochMix(df: DataFrame, stratumCol: String, keyCol: String,
       weightsByStratum: Map[String, Double],
       defaultWeight: Double = 0.0): DataFrame = {
@@ -402,6 +402,21 @@ object ScaleOps {
       dim: DataFrame, dimKey: String,
       expectedDistinct: Long, fpp: Double = 0.01,
       joinHint: Option[String] = None): DataFrame = {
+    // the "no false negatives" contract holds only if the filter build and
+    // the probe see the SAME representation: stat.bloomFilter inserts the
+    // dim column's native value (a string column inserts string items) while
+    // the probe casts to long — a string key would probe as null, every row
+    // would drop, and the operator would silently return an empty (wrong)
+    // result. Fail loudly instead: require integral keys on both sides.
+    def requireIntegral(df: DataFrame, key: String): Unit = {
+      val dt = df.schema(key).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"bloomSemiJoin requires an integral key; '$key' is ${dt.typeName} — " +
+          "pre-hash non-integral keys to 64 bits (e.g. graft.functions." +
+          "Hashing.stableHash) on BOTH sides before calling")
+    }
+    requireIntegral(fact, factKey)
+    requireIntegral(dim, dimKey)
     val bloom = fact.sparkSession.sparkContext.broadcast(
       dim.stat.bloomFilter(dimKey, expectedDistinct, fpp))
     // joinHint pins the residual join's strategy ("merge"/"shuffle_hash") —

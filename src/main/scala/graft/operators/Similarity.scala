@@ -131,7 +131,11 @@ object Similarity {
     // hash scatters them across the corpus rather than taking one id range)
     var cent = graft.core.CacheScope.persist(
       sampled.orderBy(col("_h"), col("neighbor_id")).limit(nlist)
-        .select((row_number().over(Window.orderBy(col("_h"), col("neighbor_id"))) - 1)
+        // partitionBy(lit(0)): nlist-row bounded input — a literal partition
+        // key states that intent without tripping WindowExec's
+        // "No Partition Defined" warning (see TextAnalysis.vocabTopK)
+        .select((row_number().over(Window.partitionBy(lit(0))
+            .orderBy(col("_h"), col("neighbor_id"))) - 1)
           .as("cid"), col("c_vec").as("cent_vec")))
     val train = graft.core.CacheScope.persist(sampled.drop("_h"))
     for (_ <- 1 to iters) {

@@ -182,17 +182,15 @@ object TextAnalysis {
     * charm of char-grams vs word-grams); scoring is a broadcast join + one
     * id-keyed aggregate that collapses map-side. */
   def charLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // persist: feeds the model aggregates AND the scoring join
+    // persist: feeds the model aggregate AND the scoring join
     val bg = graft.core.CacheScope.persist(
       df.select(col(idCol).as("id"),
           explode(graft.functions.CharBigramCounts(col(textCol))).as("bc"))
         .select(col("id"), col("bc.bg").as("bg"), col("bc.n").as("n")))
-    val cab = bg.groupBy("bg").agg(sum("n").as("cab"))
-    val ca = cab.groupBy(substring(col("bg"), 1, 1).as("pfx"))
-      .agg(sum("cab").as("ca"))
-    val model = cab.join(ca, substring(col("bg"), 1, 1) === col("pfx"))
-      .select(col("bg"), col("cab"), col("ca"))
-    bg.join(broadcast(model), "bg")
+    // broadcast is SAFE here and only here: the char-bigram vocab is bounded
+    // by charset² at any corpus size (the word sibling must not assume this —
+    // see [[wordLmScore]])
+    bg.join(broadcast(lmModel(bg, substring(col("bg"), 1, 1))), "bg")
       .groupBy("id")
       .agg(
         sum("n").as("n_bigrams"),
@@ -201,6 +199,17 @@ object TextAnalysis {
             sum(col("n")).cast("double"),
           6).as("lm_score"))
   }
+
+  /** Bigram LM model table (bg, cab, ca) from an exploded (id, bg, n) frame,
+    * in ONE exchange over the bigram key: cab = Σn per distinct bigram
+    * (groupBy with map-side combine), ca = Σcab per prefix via a whole-frame
+    * window over the ALREADY-AGGREGATED table — one row per distinct bigram,
+    * so the window repartition moves vocab-sized data, never occurrence-sized,
+    * and no join back is needed (the old cab⋈ca-on-prefix plan re-aggregated
+    * bg twice and shuffled the vocab a third time for the join). */
+  private def lmModel(bg: DataFrame, pfx: Column): DataFrame =
+    bg.groupBy("bg").agg(sum("n").as("cab"))
+      .withColumn("ca", sum("cab").over(Window.partitionBy(pfx)))
 
   /** Corpus vocabulary, top `k` by global term frequency — the first pass of
     * tokenizer/vocab construction and the Zipf sanity check on a crawl.
@@ -220,8 +229,13 @@ object TextAnalysis {
       .agg(sum("tc.tf").as("tf_total"), count(lit(1)).as("df"))
       .orderBy(col("tf_total").desc, col("tok"))
       .limit(k)
+    // partitionBy(lit(0)): the K-row input makes a single-partition window
+    // correct by design, but an EMPTY partition spec trips WindowExec's
+    // corpus-scale "No Partition Defined" warning on every run — a literal
+    // key states the bounded-input intent and keeps real warnings visible
     v.withColumn("rnk",
-      row_number().over(Window.orderBy(col("tf_total").desc, col("tok")))
+      row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("tf_total").desc, col("tok")))
         .cast("long"))
   }
 
@@ -270,9 +284,10 @@ object TextAnalysis {
       df.select(col(idCol).as("id"), qualityScore(col(textCol)).as("score")))
     val n = scored.count()
     val target = math.floor(keepFrac * n).toLong
+    // partitionBy(lit(0)) on the bounded histogram cumsum — see [[vocabTopK]]
     val hist = scored.groupBy("score").agg(count(lit(1)).as("cnt"))
       .withColumn("cum",
-        sum("cnt").over(Window.orderBy(col("score").desc)
+        sum("cnt").over(Window.partitionBy(lit(0)).orderBy(col("score").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val boundary = hist.where(col("cum") >= target)
       .orderBy(col("score").desc).limit(1)
@@ -322,18 +337,21 @@ object TextAnalysis {
     * model is two bigram-keyed aggregates + a broadcast scoring join —
     * the same engine-portable arithmetic contract as q61, so the oracle
     * value-checks it. */
-  def wordLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // persist: feeds the model aggregates AND the scoring join
+  def wordLmScore(df: DataFrame, idCol: String, textCol: String,
+      modelJoinHint: Option[String] = None): DataFrame = {
+    // persist: feeds the model aggregate AND the scoring join
     val bg = graft.core.CacheScope.persist(
       df.select(col(idCol).as("id"),
           explode(graft.functions.NgramCounts(col(textCol), 2)).as("bc"))
         .select(col("id"), col("bc.tok").as("bg"), col("bc.tf").as("n")))
-    val cab = bg.groupBy("bg").agg(sum("n").as("cab"))
-    val ca = cab.groupBy(substring_index(col("bg"), " ", 1).as("pfx"))
-      .agg(sum("cab").as("ca"))
-    val model = cab.join(ca, substring_index(col("bg"), " ", 1) === col("pfx"))
-      .select(col("bg"), col("cab"), col("ca"))
-    bg.join(broadcast(model), "bg")
+    // NO forced broadcast, unlike [[charLmScore]]: the word-bigram vocab
+    // grows with the corpus (billions of distinct bigrams on real web text),
+    // so shipping the model as a broadcast relation is a driver-OOM at the
+    // scales this operator targets. Default None lets AQE broadcast only
+    // when the measured model size fits; pass "shuffle_hash"/"merge" to pin
+    // the partitioned-join shape for known-huge vocabularies.
+    val model = lmModel(bg, substring_index(col("bg"), " ", 1))
+    bg.join(modelJoinHint.fold(model)(model.hint(_)), "bg")
       .groupBy("id")
       .agg(
         sum("n").as("n_bigrams"),

@@ -499,6 +499,25 @@ class TextAnalysisSpec extends SparkSpec {
       s"phrase-structured doc must outrank soup: $scores")
   }
 
+  test("wordLmScore: modelJoinHint pins a partitioned scoring join, same values") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick fox runs and the quick fox sleeps"),
+      (2L, "fox the and quick runs sleeps eats hides the")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val default = TextAnalysis.wordLmScore(docs, "doc_id", "text")
+    val pinned = TextAnalysis.wordLmScore(docs, "doc_id", "text",
+      modelJoinHint = Some("shuffle_hash"))
+    // identical values under either strategy (the hint is physical-only)
+    assert(rows(default) == rows(pinned))
+    // the pinned plan must NOT broadcast the (unbounded-vocab) model —
+    // that is the whole point of the hint at web-corpus scale
+    val plan = pinned.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.take(500))
+    graft.core.CacheScope.drain()
+  }
+
   test("compressionRatio: loops compress far below prose; empty defined; SQL-reachable; codegen'd") {
     import spark.implicits._
     val spam = ("spam " * 200).trim
