@@ -2164,6 +2164,59 @@ object QueryCatalog {
         CAST(floor(CAST(0.01 AS DOUBLE) * total) AS BIGINT), 1)
       ORDER BY tok"""))
 
+  /** OR-amplified multi-table LSH ANN ([[Similarity.lshTopKMulti]]) — q29
+    * with recall made tunable: `numTables` independent sign-LSH signatures
+    * (disjoint hyperplane ranges of the same md5 family), a candidate on ANY
+    * collision, id-only pair dedup before the exact re-rank. The oracle
+    * replays every table's signature from the identical md5 plane weights,
+    * so the approximate result still value-matches exactly. */
+  private val q83 = {
+    val (tables, planes) = (2, 6)
+    QuerySpec(
+      "q83_ann_lsh_multi",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopKMulti(emb, emb.where(col("vec_id") < 16), k = 5,
+            numTables = tables, numPlanes = planes)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH sig AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+          list_transform(range(0, $tables), t ->
+            list_reduce(list_transform(range(0, $planes), p ->
+              CASE WHEN list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+                  embedding[i]::DOUBLE *
+                    ((('0x' || substr(md5((t * $planes + p)::VARCHAR || '_' ||
+                        (i - 1)::VARCHAR), 1, 15))::BIGINT
+                      % 2147483647)::DOUBLE / 2147483647.0 - 0.5)),
+                (x, y) -> x + y) >= 0 THEN 1 << p ELSE 0 END),
+              (x, y) -> x + y)) AS buckets
+        FROM embeddings),
+      tb AS (SELECT vec_id, t.t AS t, buckets[t.t + 1] AS bucket
+        FROM sig, range(0, $tables) AS t(t)),
+      cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM (SELECT * FROM tb WHERE vec_id < 16) q
+        JOIN tb c USING (t, bucket)
+        WHERE q.vec_id <> c.vec_id),
+      scored AS (SELECT query_id, neighbor_id,
+          list_reduce(list_transform(range(1, len(qs.v) + 1), i -> qs.v[i] * cs.v[i]),
+            (x, y) -> x + y) /
+          (sqrt(list_reduce(list_transform(range(1, len(qs.v) + 1), i -> qs.v[i] * qs.v[i]),
+            (x, y) -> x + y)) *
+           sqrt(list_reduce(list_transform(range(1, len(cs.v) + 1), i -> cs.v[i] * cs.v[i]),
+            (x, y) -> x + y))) AS cosine
+        FROM cand
+        JOIN sig qs ON qs.vec_id = query_id
+        JOIN sig cs ON cs.vec_id = neighbor_id),
+      ranked AS (SELECT query_id, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+  }
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2174,5 +2227,5 @@ object QueryCatalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
 }

@@ -44,10 +44,14 @@ object Vectors {
     * hyperplane, packed into a long. Weights are precomputed on the driver and
     * shipped as literal arrays (numPlanes × dims doubles — a few KB in the
     * plan), NOT per-row hash expressions: at corpus scale that saves
-    * rows × dims × planes md5 evaluations. */
-  def lshSignBits(v: Column, numPlanes: Int, dims: Int): Column = {
+    * rows × dims × planes md5 evaluations. `planeOffset` selects a disjoint
+    * plane range from the same md5 family — table t of an OR-amplified
+    * multi-table index uses offset t·numPlanes, so every table's hyperplanes
+    * are independent yet exactly reconstructable in the oracle. */
+  def lshSignBits(v: Column, numPlanes: Int, dims: Int,
+      planeOffset: Int = 0): Column = {
     val bits = (0 until numPlanes).map { p =>
-      val w = typedLit((0 until dims).map(i => planeWeight(p, i)))
+      val w = typedLit((0 until dims).map(i => planeWeight(planeOffset + p, i)))
       val proj = ArrayDot(v, w)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }

@@ -33,6 +33,40 @@ object Dedup {
       broadcastHot: Boolean): DataFrame =
     index.join(if (broadcastHot) broadcast(hot) else hot, Seq("sh"), "left_anti")
 
+  /** Count co-occurrences per candidate pair from a shingle-keyed self-join:
+    * `(id_a, id_b, shared)` with `id_a < id_b`. The pair aggregate is the
+    * dominant cost of the inverted-index pipelines (the join's output barely
+    * collapses — most pairs share ~1 shingle, so partial aggregation can't
+    * shrink the shuffle), and hashing/shuffling ONE packed long beats a
+    * two-long composite key measurably. `packIds = true` (default) packs
+    * `id_a << 32 | id_b` with a codegen'd range guard that raises instead of
+    * silently corrupting — valid whenever ids fit [0, 2^31), i.e. any dense
+    * doc numbering; pass false for 64-bit id spaces (content-hash ids) to
+    * keep the composite-key aggregate. */
+  private def sharedCounts(filtered: DataFrame, joinHint: Option[String],
+      packIds: Boolean): DataFrame = {
+    val joined = hinted(filtered.as("a"), joinHint)
+      .join(hinted(filtered.as("b"), joinHint), "sh")
+      .where(col("a.id") < col("b.id"))
+    if (packIds) {
+      def guarded(c: Column): Column =
+        when(c.between(0L, Int.MaxValue.toLong), c)
+          .otherwise(raise_error(lit(
+            "packIds pair aggregation needs ids in [0, 2^31); " +
+              "pass packIds = false for wider id spaces")))
+      joined
+        .select(shiftleft(guarded(col("a.id")), 32)
+          .bitwiseOR(guarded(col("b.id"))).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("shared"))
+        .select(shiftright(col("pk"), 32).as("id_a"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"), col("shared"))
+    } else {
+      joined
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+    }
+  }
+
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word n-gram shingles (a doc shorter than n yields its full token string
@@ -311,7 +345,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5, maxDocFreq: Long = 100,
       broadcastHot: Boolean = true,
-      joinHint: Option[String] = Some("shuffle_hash")): DataFrame = {
+      joinHint: Option[String] = Some("shuffle_hash"),
+      packIds: Boolean = true): DataFrame = {
     // persist the exploded inverted index ONCE: the hot-shingle aggregate,
     // the per-doc size aggregate, and both self-join sides all read it, and
     // each would otherwise re-run the full scan+shingle explode.
@@ -345,12 +380,9 @@ object Dedup {
     // shingle bucket join. The df-cut is what bounds a bucket's in-memory
     // hash build; running with a huge maxDocFreq (or pathological residual
     // skew) is what joinHint = None (AQE skew-split) or Some("merge")
-    // (spillable sort-merge) is for.
-    val pairs = hinted(filtered.as("a"), joinHint)
-      .join(hinted(filtered.as("b"), joinHint), "sh")
-      .where(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
+    // (spillable sort-merge) is for. The pair aggregate itself goes through
+    // [[sharedCounts]] (packed single-long key by default).
+    val pairs = sharedCounts(filtered, joinHint, packIds)
     pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -548,7 +580,8 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minContainment: Double = 0.8, minShared: Long = 2,
       maxDocFreq: Long = 100, broadcastHot: Boolean = true,
-      joinHint: Option[String] = Some("shuffle_hash")): DataFrame = {
+      joinHint: Option[String] = Some("shuffle_hash"),
+      packIds: Boolean = true): DataFrame = {
     // one persisted explode feeds the hot-set aggregate, the sizes
     // aggregate, and both self-join sides (see ngramJaccardPairs for why
     // groupBy-hot beats a count window, and why the index carries 8-byte
@@ -560,11 +593,7 @@ object Dedup {
       .where(col("df") > maxDocFreq).select("sh")
     val filtered = cullHot(sh, hot, broadcastHot)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val pairs = hinted(filtered.as("a"), joinHint)
-      .join(hinted(filtered.as("b"), joinHint), "sh")
-      .where(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
+    val pairs = sharedCounts(filtered, joinHint, packIds)
       .where(col("shared") >= minShared)
     pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")

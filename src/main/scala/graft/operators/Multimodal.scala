@@ -46,6 +46,9 @@ object Multimodal {
       * behind the perceptual average-hash. Real codecs average pixel blocks;
       * the stub derives cells from payload byte positions. */
     def grid8(payload: Array[Byte]): Array[Float]
+    /** Resample the payload to `targetW`×`targetH`, returning a re-encoded
+      * payload of the same media kind. */
+    def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte]
   }
 
   /** The deterministic fake (default; what the q27 oracle replays). */
@@ -64,6 +67,8 @@ object Multimodal {
       }
       Array.tabulate(64)(c => if (counts(c) == 0) 0f else sums(c) / counts(c))
     }
+    def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] =
+      resizeStub(payload, targetW, targetH)
   }
 
   /** REAL image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP — no extra
@@ -125,6 +130,25 @@ object Multimodal {
       }
       Array.tabulate(64)(c => if (counts(c) == 0) 0f else sums(c) / counts(c))
     }
+    /** REAL resample: decode → `Graphics2D` bilinear scale → PNG re-encode.
+      * PNG (lossless) keeps the round-trip deterministic — the same payload
+      * and target always produce identical bytes, which downstream
+      * content-hash dedup depends on. */
+    def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      require(targetW >= 1 && targetH >= 1, "target dims >= 1")
+      val img = read(payload)
+      val scaled = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(scaled, "png", bos)
+      bos.toByteArray
+    }
   }
 
   /** Deterministic fake feature extraction: a tiny byte histogram (8 buckets),
@@ -161,11 +185,14 @@ object Multimodal {
     else Array.tabulate(n)(i => payload((i.toLong * payload.length / n).toInt))
   }
 
-  /** Batch resize: same per-partition narrow shape as [[decode]]. */
-  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+  /** Batch resize: same per-partition narrow shape as [[decode]]. Pass
+    * [[ImageIoCodec]] for a real bilinear resample of PNG/JPEG payloads;
+    * the default stub keeps the oracle fixtures (text-as-bytes) resizable. */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int,
+      codec: Codec = StubCodec): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r =>
-      r.copy(payload = resizeStub(r.payload, targetW, targetH))))
+      r.copy(payload = codec.resize(r.payload, targetW, targetH))))
   }
 
   /** Frame sampling for video-like payloads: split the byte stream into

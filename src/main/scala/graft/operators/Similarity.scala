@@ -244,4 +244,46 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** OR-amplified multi-table LSH: `numTables` independent sign-LSH
+    * signatures (disjoint hyperplane ranges from the same md5 family), a
+    * pair is a candidate if it collides in ANY table — recall becomes
+    * tunable in `numTables` the way IVF's recall is tunable in nprobe
+    * (P[miss] = (1 - p^planes)^tables, monotone → 0), where single-table
+    * [[lshTopK]] is stuck at its fixed plane count.
+    *
+    * Scale shape: candidate generation is id-only — each side explodes to
+    * (table_idx, bucket, id), numTables narrow rows per vector, and the
+    * bucket join shuffles those small keys, never the vectors; the pair set
+    * dedups BEFORE the exact re-rank, so each survivor's cosine is computed
+    * once, after two id-keyed joins pull the vectors back. Candidate volume
+    * scales linearly in numTables (the recall-vs-cost dial, exactly like
+    * nprobe). */
+  def lshTopKMulti(corpus: DataFrame, queries: DataFrame, k: Int,
+      numTables: Int = 4, numPlanes: Int = 12, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(numTables >= 1, "numTables >= 1")
+    def buckets(df: DataFrame, outId: String) = df.select(
+      col(idCol).as(outId),
+      posexplode(array((0 until numTables).map(t =>
+        graft.functions.Vectors.lshSignBits(col(vecCol), numPlanes, dims,
+          planeOffset = t * numPlanes)): _*)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+    val cand = buckets(corpus, "neighbor_id")
+      .join(buckets(queries, "query_id"), Seq("t", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      Vectors.l2Norm(col(vecCol)).as("c_norm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      Vectors.l2Norm(col(vecCol)).as("q_norm"))
+    val scored = cand.join(c, "neighbor_id").join(q, "query_id")
+      .withColumn("cosine",
+        Vectors.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
 }

@@ -229,6 +229,44 @@ class SimilaritySpec extends SparkSpec {
     assert(!res.exists(r => r.getLong(2) == 2L))
   }
 
+  test("lshTopKMulti: recall@5 is monotone in table count and beats one table") {
+    // pseudo-random directionless corpus (the hard case for sign-LSH: no
+    // cluster structure to get lucky on) — recall must come from
+    // OR-amplification, not data shape. In-engine stableHash generation,
+    // exactly reproducible.
+    def pseudo(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      Hashing.stableHash31(s).cast("double") / lit(Hashing.P.toDouble) - 0.5
+    val emb = spark.range(3000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), d =>
+        pseudo(concat_ws("_", col("id"), d)).cast("float")).as("embedding"))
+    val queries = emb.where(col("vec_id") < 12)
+    val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallAt(tables: Int): Double = {
+      val got = Similarity.lshTopKMulti(emb, queries, k = 5,
+          numTables = tables, numPlanes = 10, dims = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val r = Seq(1, 2, 4, 8).map(t => t -> recallAt(t)).toMap
+    assert(r(1) <= r(2) && r(2) <= r(4) && r(4) <= r(8),
+      s"recall must be monotone in numTables: $r")
+    assert(r(8) > r(1), s"8 tables must beat 1 (the amplification point): $r")
+    // directionless random data is the LSH worst case (true neighbors are
+    // barely closer than noise), so the absolute bar is modest — the claim
+    // under test is amplification, not single-table quality
+    assert(r(8) >= 0.35, s"8x10-plane recall unusably low: $r")
+    // table 0 of the multi-table index uses plane offset 0 == the single
+    // table's planes, so 1-table multi must equal plain lshTopK exactly
+    val single = Similarity.lshTopK(emb, queries, k = 5,
+        numPlanes = 10, dims = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val multi1 = Similarity.lshTopKMulti(emb, queries, k = 5, numTables = 1,
+        numPlanes = 10, dims = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(single == multi1)
+  }
+
   test("ivfTopK: probing all cells recovers the exact brute-force ranking") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 4)
@@ -639,6 +677,49 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decode(bad, Multimodal.ImageIoCodec).collect()
     }
     assert(e.getMessage != null)
+  }
+
+  test("ImageIoCodec.resize: real bilinear downscale keeps dims, determinism, and aHash") {
+    import spark.implicits._
+    // block-structured scene (same recipe as the perceptual test): relative
+    // block brightness — what aHash fingerprints — must survive a downscale
+    def scenePng(seed: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val block = Array.fill(8, 8)(r.nextInt(256))
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = block(y / 8)(x / 8)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val media = Seq(Multimodal.MediaRow(1L, "image", scenePng(7))).toDS()
+    val resized = Multimodal.resize(media, 32, 24, Multimodal.ImageIoCodec)
+    val decoded = Multimodal.decode(resized, Multimodal.ImageIoCodec)
+      .collect().head
+    assert((decoded.width, decoded.height) == (32, 24),
+      s"real resample must land on target dims: $decoded")
+    // deterministic: same payload + target → identical bytes (content-hash
+    // dedup downstream depends on this)
+    val b1 = resized.collect().head.payload
+    val b2 = Multimodal.resize(media, 32, 24, Multimodal.ImageIoCodec)
+      .collect().head.payload
+    assert(java.util.Arrays.equals(b1, b2))
+    // perceptual identity: the original's aHash and the downscaled aHash
+    // stay within 4 bits — resizing must not move the image across the
+    // near-dup threshold perceptualDedup uses
+    def hash(p: Array[Byte]) =
+      Multimodal.averageHash64(Multimodal.ImageIoCodec.grid8(p))
+    val dist = java.lang.Long.bitCount(hash(scenePng(7)) ^ hash(b1))
+    assert(dist <= 4, s"aHash moved $dist bits across a resize")
+    // the stub path still drives the same plumbing on non-image bytes
+    val stub = Multimodal.resize(
+      Seq(Multimodal.MediaRow(2L, "raw", Array.tabulate[Byte](100)(_.toByte))).toDS(),
+      8, 4).collect().head
+    assert(stub.payload.length == 32)
   }
 
   test("perceptualDedup: re-encoded and lightly-edited images pair, distinct scenes don't") {
