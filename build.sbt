@@ -35,4 +35,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (q21/q72/q75) spill + GC-thrash. 48g on the 128 GiB box gives each
   // task the ~900 MB a real executor core would have.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split(" "))

@@ -215,19 +215,61 @@ object Multimodal {
   def batchEncodeStub(batch: Seq[MediaRow], dims: Int): Seq[(Long, Array[Float])] =
     batch.map(r => r.media_id -> featureStub(r.payload, dims))
 
+  /** REAL batch encoder: deterministic random-projection embedding over the
+    * codec's perceptual 8×8 luminance grid — grid (64 dims) × a
+    * `dims`-row projection matrix whose weights come from the same
+    * md5-derived family as the LSH hyperplanes
+    * ([[graft.functions.Vectors.planeWeight]], offset 10_000 so encoder and
+    * index planes never alias). Random projection is a real embedding
+    * (Johnson–Lindenstrauss: pairwise distances preserved in expectation),
+    * not a fake: visually close images (close grids) land close in the
+    * embedding, distinct scenes don't — with zero external model artifact
+    * and exact cross-run determinism. The matrix multiply runs once per
+    * BATCH (the weights stay hot in cache across the batch's rows) — the
+    * compute shape a GPU/model-server call has, on real math. */
+  final class ProjectionEncoder(codec: Codec = StubCodec, dims: Int = 16)
+      extends Serializable {
+    // built lazily PER EXECUTOR (not serialized with the closure): 64·dims
+    // doubles derived from md5, identical on every executor by construction
+    @transient private lazy val w: Array[Array[Float]] =
+      Array.tabulate(dims, 64)((o, i) =>
+        graft.functions.Vectors.planeWeight(10000 + o, i).toFloat)
+    def encode(batch: Seq[MediaRow]): Seq[(Long, Array[Float])] = {
+      val m = w
+      batch.map { r =>
+        val g = codec.grid8(r.payload)
+        val out = new Array[Float](dims)
+        var o = 0
+        while (o < dims) {
+          val row = m(o); var i = 0; var acc = 0f
+          while (i < 64) { acc += row(i) * g(i); i += 1 }
+          out(o) = acc; o += 1
+        }
+        r.media_id -> out
+      }
+    }
+  }
+
   /** Batched embedding: the model-inference shape — the partition iterator is
     * regrouped into fixed-size batches (what a GPU / inference server wants:
     * enough rows to fill the device, few enough to bound memory), the batch
     * call runs once per group, results flatten back to rows. `grouped` keeps
     * the iterator lazy: only `batchSize` payloads are resident per task at a
     * time, so batch size bounds task memory independently of partition size.
-    * Same contract as `mapInPandas` with a batched model call in the lambda. */
+    * Same contract as `mapInPandas` with a batched model call in the lambda.
+    * The default encoder is the deterministic stub (what the oracle
+    * fixtures replay); for a real random-projection embedding of real
+    * images pass `{ val e = new ProjectionEncoder(ImageIoCodec, k)
+    * ; (b, _) => e.encode(b) }` (the encoder's width is fixed at
+    * construction, so the per-call dims is ignored). */
   def embedBatched(media: Dataset[MediaRow], batchSize: Int = 64,
-      dims: Int = 8): DataFrame = {
+      dims: Int = 8,
+      encoder: (Seq[MediaRow], Int) => Seq[(Long, Array[Float])] = batchEncodeStub)
+      : DataFrame = {
     require(batchSize >= 1, "batchSize >= 1")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap(batch => batchEncodeStub(batch, dims))
+      rows.grouped(batchSize).flatMap(batch => encoder(batch, dims))
     }.toDF("media_id", "embedding")
   }
 

@@ -643,6 +643,48 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.embedBatched(media, 0))
   }
 
+  test("ProjectionEncoder: real JL embedding — deterministic, batch-invariant, distance-preserving") {
+    import spark.implicits._
+    // real PNGs: two near-identical block scenes + one distinct scene
+    def scenePng(seed: Int, brighten: Boolean): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val block = Array.fill(8, 8)(r.nextInt(256))
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v0 = block(y / 8)(x / 8)
+        val v = if (brighten && y < 8 && x < 8) math.min(255, v0 + 30) else v0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", scenePng(1, brighten = false)),
+      Multimodal.MediaRow(2L, "image", scenePng(1, brighten = true)),  // near-dup
+      Multimodal.MediaRow(3L, "image", scenePng(9, brighten = false))  // distinct
+    ).toDS()
+    val enc = new Multimodal.ProjectionEncoder(Multimodal.ImageIoCodec, dims = 16)
+    def run(bs: Int) = Multimodal.embedBatched(media, batchSize = bs, dims = 16,
+        encoder = (b, _) => enc.encode(b))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val e = run(2)
+    // batch-size invariance + determinism (cross-run hashes depend on it)
+    assert(run(1).view.mapValues(_.toSeq).toMap == e.view.mapValues(_.toSeq).toMap)
+    assert(e(1L).length == 16)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    // distance preservation (the JL point): a one-block edit stays close,
+    // a different scene lands far — so embedding-cosine dedup works on it
+    assert(cos(e(1L), e(2L)) > cos(e(1L), e(3L)),
+      s"near-dup must embed closer than distinct scene: ${cos(e(1L), e(2L))} vs ${cos(e(1L), e(3L))}")
+    assert(cos(e(1L), e(2L)) > 0.98, s"one-block edit moved too far: ${cos(e(1L), e(2L))}")
+  }
+
   test("fromDocuments: binary payload round-trips through the decode path") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(10)
     val decoded = Multimodal.decode(Multimodal.fromDocuments(spark, docs)).collect()
