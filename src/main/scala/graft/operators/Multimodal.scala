@@ -151,6 +151,113 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV / PCM — no
+    * extra dependency), the audio sibling of [[ImageIoCodec]]. Conventions
+    * for the shared [[MediaMeta]] shape: `kind = "audio"`, `width` carries
+    * the sample rate (Hz), `height` the channel count. Features are the
+    * `dims`-window RMS energy envelope (L1-normalized) over the decoded
+    * samples — the crudest real audio fingerprint; [[Codec.grid8]] is the
+    * 64-window envelope, so the SAME banded-aHash dedup pipeline that
+    * catches re-encoded images ([[perceptualDedup]]) catches re-encoded
+    * audio. `resize(w, h)` linearly resamples to w·h samples and re-encodes
+    * 16-bit mono WAV (deterministic bytes). Supports 8/16-bit signed PCM,
+    * any channel count (averaged to mono); anything else throws — fail the
+    * row loudly rather than emit fake metadata for real media. */
+  object WavCodec extends Codec {
+    private def decode(payload: Array[Byte]): (Array[Double], Float, Int) = {
+      val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"payload (${payload.length} bytes) is not a decodable audio stream", e)
+      }
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      require(enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        (fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8),
+        s"WavCodec handles 8/16-bit signed PCM; got $enc ${fmt.getSampleSizeInBits}-bit")
+      val bytes = in.readAllBytes()
+      val ch = fmt.getChannels
+      val bytesPerSample = fmt.getSampleSizeInBits / 8
+      val n = bytes.length / (bytesPerSample * ch)
+      val mono = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val off = (i * ch + c) * bytesPerSample
+          val s =
+            if (bytesPerSample == 1) bytes(off).toDouble / 128.0
+            else {
+              val (b0, b1) =
+                if (fmt.isBigEndian) (bytes(off + 1), bytes(off))
+                else (bytes(off), bytes(off + 1))
+              (((b1 << 8) | (b0 & 0xff)).toShort).toDouble / 32768.0
+            }
+          acc += s; c += 1
+        }
+        mono(i) = acc / ch; i += 1
+      }
+      (mono, fmt.getSampleRate, ch)
+    }
+
+    /** RMS energy per window, `cells` windows, L1-normalized. */
+    private def envelope(s: Array[Double], cells: Int): Array[Float] = {
+      val out = new Array[Float](cells)
+      if (s.isEmpty) return out
+      var c = 0
+      while (c < cells) {
+        val lo = (c.toLong * s.length / cells).toInt
+        val hi = math.max(((c + 1).toLong * s.length / cells).toInt, lo + 1)
+        var acc = 0.0; var i = lo
+        while (i < hi && i < s.length) { acc += s(i) * s(i); i += 1 }
+        out(c) = math.sqrt(acc / math.max(hi - lo, 1)).toFloat
+        c += 1
+      }
+      val total = math.max(out.sum, 1e-12f)
+      out.map(_ / total)
+    }
+
+    def meta(payload: Array[Byte]): MediaMeta = {
+      val (_, rate, ch) = decode(payload)
+      MediaMeta("audio", rate.toInt, ch, payload.length.toLong)
+    }
+    def feature(payload: Array[Byte], dims: Int): Array[Float] =
+      envelope(decode(payload)._1, dims)
+    def grid8(payload: Array[Byte]): Array[Float] =
+      envelope(decode(payload)._1, 64)
+    def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      require(targetW >= 1 && targetH >= 1, "target dims >= 1")
+      val (s, rate, _) = decode(payload)
+      val n = targetW * targetH
+      val out = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        // linear interpolation at fractional source position
+        val pos = if (n == 1) 0.0 else i.toDouble * (s.length - 1) / (n - 1)
+        val lo = math.min(pos.toInt, math.max(s.length - 1, 0))
+        val frac = pos - lo
+        val v =
+          if (s.isEmpty) 0.0
+          else if (lo + 1 < s.length) s(lo) * (1 - frac) + s(lo + 1) * frac
+          else s(lo)
+        val q = math.max(-32768, math.min(32767, math.round(v * 32767).toInt))
+        out(2 * i) = (q & 0xff).toByte
+        out(2 * i + 1) = ((q >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(out), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
   /** Deterministic fake feature extraction: a tiny byte histogram (8 buckets),
     * L1-normalized — the shape a real embedding/feature UDF would produce. */
   def featureStub(payload: Array[Byte], dims: Int = 8): Array[Float] = {

@@ -643,6 +643,61 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.embedBatched(media, 0))
   }
 
+  test("WavCodec: real WAV decode — meta, energy envelope, perceptual dedup, resample") {
+    import spark.implicits._
+    // render a REAL 16-bit mono WAV in memory: `freq` Hz sine for the first
+    // half, silence for the second
+    def wav(freq: Double, rate: Float = 8000f, nSamples: Int = 8000): Array[Byte] = {
+      val pcm = new Array[Byte](nSamples * 2)
+      for (i <- 0 until nSamples) {
+        val v = if (i < nSamples / 2)
+          (math.sin(2 * math.Pi * freq * i / rate) * 12000).toInt else 0
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav(440)),
+      Multimodal.MediaRow(2L, "audio", wav(440)),  // same tone, re-rendered
+      Multimodal.MediaRow(3L, "audio", wav(261)),  // different pitch, same envelope
+      Multimodal.MediaRow(4L, "audio", wav(440).reverse) // not decodable audio
+    ).toDS()
+    // meta through the distributed decode path: sample rate in width,
+    // channels in height (the documented audio convention)
+    val out = Multimodal.decode(media.where(col("media_id") <= 2), Multimodal.WavCodec)
+      .collect().sortBy(_.media_id)
+    assert(out.map(r => (r.width, r.height)).toSeq == Seq((8000, 1), (8000, 1)))
+    // energy envelope localizes: first half (tone) carries ~all the mass
+    val f = out.head.feature
+    assert(f.take(4).sum > 0.95f && f.drop(4).sum < 0.05f,
+      s"tone-then-silence must localize energy: ${f.toSeq}")
+    // the SAME banded-aHash pipeline as images: identical tone pairs at
+    // distance 0; pitch change with the same on/off envelope also pairs
+    // (energy envelope is pitch-blind by design — it fingerprints shape)
+    val pairs = Multimodal.perceptualDedup(media.where(col("media_id") <= 3),
+        Multimodal.WavCodec, maxHamming = 4, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0), s"re-rendered tone must pair: $pairs")
+    // resample: target sample count, deterministic bytes, envelope preserved
+    val r1 = Multimodal.WavCodec.resize(wav(440), 40, 50) // 2000 samples
+    assert(java.util.Arrays.equals(r1, Multimodal.WavCodec.resize(wav(440), 40, 50)))
+    val (meta2, f2) = (Multimodal.WavCodec.meta(r1), Multimodal.WavCodec.feature(r1, 8))
+    assert(meta2.width == 8000 && meta2.height == 1)
+    assert(f2.take(4).sum > 0.9f, s"resample must preserve the envelope: ${f2.toSeq}")
+    // non-audio bytes fail loudly through the distributed path
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decode(media.where(col("media_id") === 4), Multimodal.WavCodec).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("ProjectionEncoder: real JL embedding — deterministic, batch-invariant, distance-preserving") {
     import spark.implicits._
     // real PNGs: two near-identical block scenes + one distinct scene
