@@ -153,7 +153,10 @@ object StressGen {
   * dedup on a designed contained/container replica corpus (df-cut under a
   * boilerplate-heavy shingle distribution).
   * `runMain graft.jobs.StressMain novelty [replicas]` — per-doc novelty +
-  * per-batch rollup on a re-crawl-heavy batch corpus. */
+  * per-batch rollup on a re-crawl-heavy batch corpus.
+  * `runMain graft.jobs.StressMain annlsh [vectors]` — multi-table LSH
+  * recall@10 vs brute-force truth at volume; asserts recall monotone in
+  * table count. */
 object StressMain {
   def main(args: Array[String]): Unit = {
     val s = graft.core.Sessions.local(32)
@@ -403,6 +406,50 @@ object StressMain {
         println(s"STRESS dropped near-dups: $nDropped (expect ~${n / 2})")
         nDropped
       })
+      graft.core.CacheScope.drain()
+    } else if (args.headOption.contains("annlsh")) {
+      // OR-amplified multi-table LSH at volume: recall@10 vs brute-force
+      // truth must be MONOTONE in table count on a 200k-vector corpus with
+      // planted near-neighbors (even/odd ids share a seed with small
+      // jitter — every query has one designed close neighbor plus the
+      // random-cloud tail). Cost scales linearly in tables (the dial).
+      val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+      val dims = 64
+      import graft.operators.Similarity
+      val vec = s.range(n)
+        .select(col("id").as("vec_id"), (col("id") - col("id") % 2).as("seed"))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dims - 1)),
+            d => ((pmod(xxhash64(col("seed"), d), lit(1000))
+                .cast("double") / 1000.0) +
+              (pmod(xxhash64(col("vec_id"), d, lit(7)), lit(100))
+                .cast("double") / 1000.0)).cast("float")))
+        .select("vec_id", "embedding")
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"materialize $n vectors x $dims")(vec.count())
+      val queries = vec.where(col("vec_id") < 40)
+      var truth: Set[(Long, Long)] = null
+      time("bruteForceTopK truth (k=10)")({
+        truth = Similarity.bruteForceTopK(vec, queries, k = 10)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        truth.size.toLong
+      })
+      var last = -1.0
+      Seq(1, 2, 4, 8).foreach { tables =>
+        var rec = 0.0
+        time(s"lshTopKMulti tables=$tables (12 planes)")({
+          val got = Similarity.lshTopKMulti(vec, queries, k = 10,
+              numTables = tables, numPlanes = 12, dims = dims)
+            .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+          rec = got.intersect(truth).size.toDouble / truth.size
+          got.size.toLong
+        })
+        println(f"STRESS recall@10 tables=$tables: $rec%.3f")
+        require(rec >= last - 0.02, // monotone modulo top-k tie noise
+          s"recall regressed with more tables: $rec < $last")
+        last = rec
+      }
       graft.core.CacheScope.drain()
     } else if (args.headOption.contains("asof")) {
       val factor = args.lift(1).map(_.toInt).getOrElse(100)

@@ -229,6 +229,27 @@ class SimilaritySpec extends SparkSpec {
     assert(!res.exists(r => r.getLong(2) == 2L))
   }
 
+  test("LshSigs = per-table lshSignBits on real embeddings (fused codegen twin)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
+    val (tables, planes, dims) = (4, 10, 64)
+    val fused = emb.select(col("vec_id"),
+        graft.functions.LshSigs(col("embedding"), tables, planes, dims).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val perTable = emb.select(col("vec_id") +: (0 until tables).map(t =>
+        Vectors.lshSignBits(col("embedding"), planes, dims,
+          planeOffset = t * planes).as(s"t$t")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to tables).map(r.getLong(_))).toMap
+    assert(fused.keySet == perTable.keySet)
+    fused.foreach { case (id, s) =>
+      assert(s == perTable(id), s"vec $id: fused $s != declarative ${perTable(id)}")
+    }
+    // stays inside whole-stage codegen on a file-backed scan
+    val plan = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(graft.functions.LshSigs(col("embedding"), tables, planes, dims))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan.take(300))
+  }
+
   test("lshTopKMulti: recall@5 is monotone in table count and beats one table") {
     // pseudo-random directionless corpus (the hard case for sign-LSH: no
     // cluster structure to get lucky on) — recall must come from
