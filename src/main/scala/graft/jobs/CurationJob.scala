@@ -205,6 +205,13 @@ object CurationJob {
       else sampled.count()
     exact.unpersist()
 
+    // the job ran its terminal actions (the funnel counts), so it owns the
+    // CacheScope drain — composed operators' persists release here, and a
+    // rerun re-persisting identical plans no longer trips CacheManager's
+    // "already cached" plan-match. The returned frame stays valid: a later
+    // consumer just recomputes the released intermediates.
+    graft.core.CacheScope.drain()
+
     (sampled, Stats(input, afterQuality, afterExact, afterNearDup, chunks,
       nSampled, decontaminated = nDecon))
   }

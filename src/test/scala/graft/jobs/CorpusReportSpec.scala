@@ -36,6 +36,9 @@ class CorpusReportSpec extends SparkSpec {
   test("metrics agree with their source operators (quality, novelty)") {
     val rep = CorpusReport.run(docs)
       .where(col("is_corpus_row") === 1).head()
+    // the report's internal persists are live until drained; the direct
+    // operator calls below re-persist the same sub-plans
+    graft.core.CacheScope.drain()
     val directQuality = docs.agg(
       round(avg(TextAnalysis.qualityScore(col("text"))), 6)).head().getDouble(0)
     assert(math.abs(rep.getDouble(rep.fieldIndex("mean_quality")) - directQuality) < 1e-5)

@@ -166,10 +166,14 @@ class NvsPipelineSpec extends SparkSpec {
   test("combined: 6-way positional union, month coerced to string") {
     init
     val c = NvsPipeline.combined(spark)
+    val total = c.count()
+    // combined's allHcp persist is live; hcpAllChannels below re-builds the
+    // identical sub-plan — release first
+    graft.core.CacheScope.drain()
     val six = Seq(NvsPipeline.dtcDisplay(spark), NvsPipeline.dtcPaidSearch(spark),
       NvsPipeline.dtcPoc(spark), NvsPipeline.dtcPaidSocial(spark),
       NvsPipeline.hcpPaidSearch(spark), NvsPipeline.hcpAllChannels(spark))
-    assert(c.count() == six.map(_.count()).sum)
+    assert(total == six.map(_.count()).sum)
     assert(c.schema("month").dataType.typeName == "string")
   }
 }
