@@ -2217,6 +2217,60 @@ object QueryCatalog {
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
   }
 
+  /** Shared DuckDB CTE chain replaying [[Dedup.cdcChunks]]' boundary rule:
+    * rolling window fold (acc·257 + stableHash31(token)) mod P over the last
+    * `w` tokens, boundary where ≡ 0 mod `d`, final position always cut. */
+  private def cdcCtes(w: Int, d: Int): String =
+    s"""t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+      h AS (SELECT doc_id, toks, len(toks) AS n, list_transform(toks, s ->
+          ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs FROM t),
+      b AS (SELECT doc_id, toks, n,
+          list_filter(range(${w}::BIGINT, n + 1), i ->
+            list_reduce(list_prepend(0::BIGINT, list_slice(hs, i - $w + 1, i)),
+              (acc, x) -> (acc * 257 + x) % 2147483647) % $d = 0) AS bpos
+        FROM h),
+      e AS (SELECT doc_id, toks,
+          CASE WHEN len(bpos) > 0 AND bpos[len(bpos)] = n THEN bpos
+               ELSE list_append(bpos, n) END AS ends FROM b),
+      ks AS (SELECT doc_id, toks, ends,
+          unnest(range(1, len(ends) + 1)) AS k FROM e),
+      chunks AS (SELECT doc_id, k - 1 AS chunk_idx,
+          CASE WHEN k = 1 THEN 1::BIGINT ELSE ends[(k - 1)::INT] + 1 END AS start_tok,
+          ends[k::INT] AS end_tok,
+          ('0x' || substr(md5(array_to_string(
+              list_slice(toks, (CASE WHEN k = 1 THEN 1::BIGINT
+                ELSE ends[(k - 1)::INT] + 1 END)::INT, ends[k::INT]::INT), ' ')),
+            1, 15))::BIGINT % 2147483647 AS chunk_hash
+        FROM ks)"""
+
+  /** Content-defined chunking ([[Dedup.cdcChunks]] — fused O(n) rolling
+    * window in one codegen pass): one row per chunk with its 1-based token
+    * range and content hash. Boundaries depend only on local content, so
+    * shifted/embedded passages re-chunk identically — what fixed-width
+    * segmenting (q66) structurally misses. */
+  private val q84 = QuerySpec(
+    "q84_cdc_chunks",
+    (s, dir) => Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+        window = 8, divisor = 16)
+      .orderBy(col("id"), col("chunk_idx")),
+    Some(s"""WITH ${cdcCtes(8, 16)}
+      SELECT doc_id AS id, chunk_idx, start_tok, end_tok, chunk_hash
+      FROM chunks ORDER BY id, chunk_idx"""))
+
+  /** Duplicated CDC chunks across documents ([[Dedup.cdcDupChunks]]) — the
+    * chunk-grain dup report: embedded quotes, shifted boilerplate, licensed
+    * passages. One chunk_hash-keyed aggregate over the narrow chunk table. */
+  private val q85 = QuerySpec(
+    "q85_cdc_dup_chunks",
+    (s, dir) => Dedup.cdcDupChunks(t(s, dir, "documents"), "doc_id", "text",
+        window = 8, divisor = 16, minDocs = 2)
+      .orderBy(col("chunk_hash")),
+    Some(s"""WITH ${cdcCtes(8, 16)}
+      SELECT chunk_hash, count(*) AS n_occurrences,
+        count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+      FROM chunks GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+      ORDER BY chunk_hash"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2227,5 +2281,6 @@ object QueryCatalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
+    q84, q85)
 }

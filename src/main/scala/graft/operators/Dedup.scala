@@ -610,6 +610,78 @@ object Dedup {
       .select("id_a", "id_b", "shared", "containment", "contained_id")
   }
 
+  /** Content-defined chunking ([[graft.functions.CdcChunks]]): one row per
+    * chunk — (id, chunk_idx, start_tok, end_tok, chunk_hash) with 1-based
+    * inclusive token ranges. Boundaries come from a rolling window hash of
+    * the CONTENT, so a passage shifted by an edit elsewhere re-chunks (and
+    * re-hashes) identically — the shifted/embedded duplication that
+    * fixed-width segmenting ([[boilerplateStrip]]'s 8-word segments)
+    * structurally misses.
+    *
+    * Scale shape: chunking is a NARROW per-row map (one fused codegen pass,
+    * zero shuffle); the explode emits tokens/expected-chunk-length rows per
+    * doc carrying three longs each. Everything downstream (dup-chunk
+    * detection, chunk-level decontamination) is a chunk_hash-keyed groupBy
+    * with map-side combine. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 16): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(graft.functions.CdcChunks(col(textCol), window, divisor)))
+      .select(col("id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.start_tok").as("start_tok"), col("col.end_tok").as("end_tok"),
+        col("col.chunk_hash").as("chunk_hash"))
+
+  /** The same chunking expressed with built-in higher-order functions — the
+    * O(n·window) interpreted twin [[cdcChunks]] must always agree with
+    * (property-tested); kept as the semantic oracle and the
+    * no-extension-point fallback shape. */
+  def cdcChunksDeclarative(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 16): DataFrame = {
+    import Hashing.P
+    val B = 257L
+    val toks = tokens(col("_text"))
+    val hs = transform(toks, t => Hashing.stableHash31(t))
+    // fold over the w-token window ending at 1-based position i
+    def roll(i: Column) = aggregate(
+      slice(hs, (i - window + 1).cast("int"), lit(window)), lit(0L),
+      (acc, h) => (acc * B + h) % P)
+    // guard: Spark's sequence(a, b) runs DESCENDING when b < a (DuckDB's
+    // range is empty) — a doc shorter than the window has no boundary slots
+    val positions = when(size(toks) >= window,
+      sequence(lit(window.toLong), size(toks).cast("long")))
+      .otherwise(array().cast("array<long>"))
+    val bpos = filter(positions, i => roll(i) % divisor === 0)
+    val ends = when(
+      coalesce(element_at(bpos, -1), lit(-1L)) === size(toks).cast("long"),
+      bpos).otherwise(concat(bpos, array(size(toks).cast("long"))))
+    df.select(col(idCol).as("id"), col(textCol).as("_text"))
+      .withColumn("_ends", ends)
+      .select(col("id"), col("_text"),
+        posexplode(transform(col("_ends"), (e, k) => struct(
+          when(k === 0, lit(1L))
+            .otherwise(element_at(col("_ends"), k) + 1).as("start_tok"),
+          e.as("end_tok")))))
+      .select(col("id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.start_tok").as("start_tok"), col("col.end_tok").as("end_tok"),
+        Hashing.stableHash31(concat_ws(" ",
+          slice(tokens(col("_text")), col("col.start_tok").cast("int"),
+            (col("col.end_tok") - col("col.start_tok") + 1).cast("int"))))
+          .as("chunk_hash"))
+  }
+
+  /** Chunks appearing in more than one DISTINCT document — the dup-chunk
+    * report CDC exists for (embedded quotes, shifted boilerplate, licensed
+    * passages): (chunk_hash, n_occurrences, n_docs, first_doc). One
+    * chunk_hash-keyed aggregate over the narrow chunk table. */
+  def cdcDupChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 16, minDocs: Long = 2): DataFrame =
+    cdcChunks(df, idCol, textCol, window, divisor)
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("id")).as("n_docs"),
+        min("id").as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+
   /** Per-document n-gram NOVELTY: the fraction of a doc's distinct shingles
     * whose global first appearance (min id over the corpus) is the doc
     * itself. The crawl-health metric behind "is batch N still adding

@@ -157,6 +157,46 @@ class DedupSpec extends SparkSpec {
       minContainment = 0.2, minShared = 1, maxDocFreq = 100).count() == 1)
   }
 
+  test("cdcChunks: fused == declarative twin on corpus text; boundaries are content-local") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet").limit(150)
+      .select(col("doc_id"), col("text"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val fused = canon(Dedup.cdcChunks(corpus, "doc_id", "text"))
+    val slow = canon(Dedup.cdcChunksDeclarative(corpus, "doc_id", "text"))
+    assert(fused == slow)
+    assert(fused.nonEmpty)
+    // chunks tile each doc exactly: starts = 1, prev_end + 1; final end = n
+    val byDoc = fused.groupBy(_._1)
+    byDoc.foreach { case (id, cs) =>
+      val sorted = cs.toSeq.sortBy(_._2)
+      assert(sorted.head._3 == 1L, s"doc $id first chunk must start at 1")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 == a._4 + 1, s"doc $id gap: $a -> $b")
+        case _ =>
+      }
+    }
+    // the CDC point: the SAME passage re-chunks identically after a prefix
+    // shift — its chunk hashes survive, where fixed-width segments all move
+    import spark.implicits._
+    val passage = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu one two three four five six " +
+      "seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen")
+    val pair = Seq((1L, passage), (2L, s"shift $passage")).toDF("doc_id", "text")
+    val hashes = Dedup.cdcChunks(pair, "doc_id", "text", window = 4, divisor = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(4))
+    val h1 = hashes.collect { case (1L, h) => h }.toSet
+    val h2 = hashes.collect { case (2L, h) => h }.toSet
+    assert(h1.intersect(h2).nonEmpty,
+      s"shifted passage must share chunk hashes: $h1 vs $h2")
+    // empty + short docs: one whole-doc chunk, no crash
+    val edge = Dedup.cdcChunks(Seq((9L, ""), (10L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(edge.toSet == Set((9L, 1L), (10L, 2L)))
+  }
+
   test("noveltyRates: repeat of an earlier doc scores 0, fresh content 1, overlap in between") {
     val d = docs(
       1L -> "a b c d e",   // 3 distinct shingles, all first seen here → 1.0
