@@ -156,7 +156,10 @@ object StressGen {
   * per-batch rollup on a re-crawl-heavy batch corpus.
   * `runMain graft.jobs.StressMain annlsh [vectors]` — multi-table LSH
   * recall@10 vs brute-force truth at volume; asserts recall monotone in
-  * table count. */
+  * table count.
+  * `runMain graft.jobs.StressMain cdc [replicas]` — content-defined
+  * chunking on prefix-shifted replicas; asserts chunks survive every shift
+  * where fixed-width segments structurally cannot. */
 object StressMain {
   def main(args: Array[String]): Unit = {
     val s = graft.core.Sessions.local(32)
@@ -406,6 +409,45 @@ object StressMain {
         println(s"STRESS dropped near-dups: $nDropped (expect ~${n / 2})")
         nDropped
       })
+      graft.core.CacheScope.drain()
+    } else if (args.headOption.contains("cdc")) {
+      // shift-invariance at volume: every replica r prepends r fresh tokens
+      // to the same base doc, so NO fixed-width segment survives across
+      // replicas (every 8-token frame moves) while CDC chunks re-cut from
+      // content and re-hash identically. Measures the chunk pass (narrow,
+      // one fused codegen scan) + the dup-chunk aggregate at volume, and
+      // checks the recall story the operator exists for.
+      val replicas = args.lift(1).map(_.toInt).getOrElse(100)
+      import graft.operators.Dedup
+      val docs = s.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val pad = concat_ws(" ", transform(sequence(lit(1), col("rep")),
+        i => concat(lit("pad"), col("rep"), lit("x"), i)))
+      val big = docs.crossJoin(s.range(replicas).select(col("id").as("rep")))
+        .select((col("rep") * 1000000 + col("doc_id")).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(concat(pad, lit(" "), col("text"))).as("text"))
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"materialize ${replicas}x shifted docs")(big.count())
+      time("cdcChunks (fused rolling pass)")(
+        Dedup.cdcChunks(big, "doc_id", "text").count())
+      time("cdcDupChunks (chunk_hash aggregate)")({
+        val dup = Dedup.cdcDupChunks(big, "doc_id", "text",
+          minDocs = replicas.toLong) // chunks surviving EVERY shift
+        val n = dup.count()
+        println(s"STRESS chunks shared across all $replicas shifts: $n")
+        require(n > 0, "CDC must carry shared chunks across shifted replicas")
+        n
+      })
+      // the fixed-width comparison: identical segments across shifted
+      // replicas (boilerplateStrip's 8-token frames) — structurally ~zero
+      val seg = big.select(col("doc_id"),
+          explode(graft.functions.SegmentHashes(col("text"), 8)).as("h"))
+        .groupBy("h").agg(count_distinct(col("doc_id") % 1000000).as("nd"),
+          count_distinct(col("doc_id")).as("docs"))
+        .where(col("docs") >= replicas)
+      val segN = seg.count()
+      println(s"STRESS fixed segments shared across all $replicas shifts: $segN")
       graft.core.CacheScope.drain()
     } else if (args.headOption.contains("annlsh")) {
       // OR-amplified multi-table LSH at volume: recall@10 vs brute-force
