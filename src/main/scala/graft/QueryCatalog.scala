@@ -2271,6 +2271,29 @@ object QueryCatalog {
       FROM chunks GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
       ORDER BY chunk_hash"""))
 
+  /** Chunk-grain decontamination ([[Dedup.contaminatedIdsByChunk]]) — q51's
+    * n-gram leak guard at CDC-chunk grain: flags only long verbatim spans
+    * (chunk hashes collide on whole content-defined passages, not topical
+    * 3-gram overlap), and catches reference text EMBEDDED at any offset.
+    * Same q51 reference split (doc_id % 97). */
+  private val q86 = QuerySpec(
+    "q86_decontaminate_chunks",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminatedIdsByChunk(
+          docs.where(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          docs.where(col("doc_id") % 97 === 0), "text",
+          window = 8, divisor = 8, minShared = 1)
+        .select(col("id").as("doc_id"), col("shared_chunks"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${cdcCtes(8, 8)},
+      c AS (SELECT DISTINCT doc_id, chunk_hash FROM chunks WHERE doc_id % 97 <> 0),
+      r AS (SELECT DISTINCT chunk_hash FROM chunks WHERE doc_id % 97 = 0)
+      SELECT doc_id, count(*) AS shared_chunks
+      FROM c JOIN r USING (chunk_hash)
+      GROUP BY 1 HAVING count(*) >= 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2282,5 +2305,5 @@ object QueryCatalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85)
+    q84, q85, q86)
 }

@@ -682,6 +682,33 @@ object Dedup {
         min("id").as("first_doc"))
       .where(col("n_docs") >= minDocs)
 
+  /** Chunk-grain decontamination — the CDC companion of [[contaminatedIds]]:
+    * corpus docs sharing at least `minShared` DISTINCT chunk hashes with ANY
+    * reference (benchmark/eval) document are flagged. Where n-gram
+    * decontamination scores short overlaps, chunk hashes only collide on
+    * entire content-defined spans — long verbatim passages — so this pass
+    * has near-zero false-positive rate on topical overlap and survives the
+    * reference text being EMBEDDED at any offset (the chunk boundaries
+    * travel with the content). Returns (id, shared_chunks).
+    *
+    * Scale shape: both sides chunk in a narrow fused pass; the reference
+    * side collapses to DISTINCT hashes (its doc identity is irrelevant), so
+    * the join output is bounded by corpus-chunk × ref-chunk-set overlap,
+    * never by reference size; the shuffle key is the 31-bit chunk hash. */
+  def contaminatedIdsByChunk(corpus: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+      window: Int = 8, divisor: Int = 16, minShared: Long = 1): DataFrame = {
+    val c = cdcChunks(corpus, idCol, textCol, window, divisor)
+      .select(col("id"), col("chunk_hash")).distinct()
+    // the reference needs no id column — only its distinct chunk hashes
+    val r = cdcChunks(reference.select(lit(0L).as("_rid"), col(refTextCol)),
+        "_rid", refTextCol, window, divisor)
+      .select("chunk_hash").distinct()
+    c.join(r, "chunk_hash")
+      .groupBy("id").agg(count(lit(1)).as("shared_chunks"))
+      .where(col("shared_chunks") >= minShared)
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a doc's distinct shingles
     * whose global first appearance (min id over the corpus) is the doc
     * itself. The crawl-health metric behind "is batch N still adding

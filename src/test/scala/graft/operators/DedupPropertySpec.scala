@@ -57,6 +57,43 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks == driver brute force on random corpora (incl. space edges)") {
+    import spark.implicits._
+    val P = 2147483647L
+    // driver mirror of the boundary rule over Java-split tokens
+    def hash31(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16) % P
+    }
+    def chunksOf(text: String, w: Int, div: Int): Seq[(Long, Long, Long)] = {
+      val toks = text.split(" ") match { case a if a.isEmpty => Array("") case a => a }
+      val hs = toks.map(hash31)
+      val cuts = (w to toks.length).filter { i =>
+        hs.slice(i - w, i).foldLeft(0L)((acc, h) => (acc * 257 + h) % P) % div == 0
+      }
+      val ends = if (cuts.nonEmpty && cuts.last == toks.length) cuts
+                 else cuts :+ toks.length
+      ends.zipWithIndex.map { case (e, k) =>
+        val st = if (k == 0) 1 else ends(k - 1) + 1
+        (st.toLong, e.toLong, hash31(toks.slice(st - 1, e).mkString(" ")))
+      }
+    }
+    for (seed <- Seq(11, 12, 13)) {
+      val corpus = randomCorpus(seed)
+      val (w, div) = (3, 4)
+      val expect = corpus.flatMap { case (id, t) =>
+        chunksOf(t, w, div).zipWithIndex.map { case (c, k) => (id, k.toLong, c) }
+      }.toSet
+      val got = Dedup.cdcChunks(corpus.toDF("doc_id", "text"), "doc_id", "text",
+          window = w, divisor = div)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), (r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toSet
+      assert(got == expect, s"seed $seed: ${got.diff(expect)} vs ${expect.diff(got)}")
+    }
+  }
+
   test("bandedHammingPairs: pigeonhole recall is exact on random 64-bit signatures") {
     import spark.implicits._
     for (seed <- Seq(21, 22, 23)) {
