@@ -49,6 +49,13 @@ object CurationJob {
       // ([[Dedup.containmentPairs]], shared/min(|A|,|B|) >= this) — catches
       // quote-expansion dups whose Jaccard sits below nearDupJaccard.
       containmentThreshold: Option[Double] = None,
+      // third dedup axis, chunk-grain ([[Dedup.cdcChunks]]): drop docs whose
+      // share of content-defined chunks duplicated in OTHER surviving docs
+      // exceeds this — the RefinedWeb-style "mostly duplicated lines" cut,
+      // shift-proof because CDC boundaries travel with content. Catches
+      // heavy passage-level duplication in docs whose whole-doc Jaccard and
+      // containment both sit below their thresholds.
+      maxDupChunkShare: Option[Double] = None,
       chunkTokens: Int = 50,
       chunkOverlap: Int = 10,
       samplePermille: Int = 1000, // 1000 = keep everything
@@ -172,13 +179,35 @@ object CurationJob {
     // 3b. containment pass (optional) — over the near-dup SURVIVORS (the
     // contained side of a pair the minhash stage already dropped needs no
     // second look); drops each contained doc, keeps its container
-    val unique = cfg.containmentThreshold match {
+    val unique1 = cfg.containmentThreshold match {
       case None => unique0
       case Some(thr) =>
         val contained = Dedup.containmentPairs(unique0, "doc_id", "text",
             minContainment = thr)
           .select(col("contained_id").as("doc_id")).distinct()
         unique0.join(contained, Seq("doc_id"), "left_anti")
+    }
+
+    // 3c. chunk-grain duplication gate (optional) — CDC chunks over the
+    // surviving docs, then drop docs whose duplicated-chunk share exceeds
+    // the cap. The chunk table is narrow (three longs per chunk) and feeds
+    // both the dup set and the per-doc share in one persisted pass.
+    val unique = cfg.maxDupChunkShare match {
+      case None => unique1
+      case Some(cap) =>
+        val ch = graft.core.CacheScope.persist(
+          Dedup.cdcChunks(unique1, "doc_id", "text"))
+        val dup = ch.groupBy("chunk_hash")
+          .agg(count_distinct(col("id")).as("nd"))
+          .where(col("nd") >= 2).select("chunk_hash")
+        val heavy = ch
+          .join(dup.withColumn("is_dup", lit(1)), Seq("chunk_hash"), "left")
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_chunks"),
+            coalesce(sum(col("is_dup")), lit(0L)).as("n_dup"))
+          .where(col("n_dup").cast("double") / col("n_chunks") > cap)
+          .select(col("id").as("doc_id"))
+        unique1.join(heavy, Seq("doc_id"), "left_anti")
     }
     val afterNearDup = unique.count()
 

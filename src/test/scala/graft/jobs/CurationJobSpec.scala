@@ -71,6 +71,33 @@ class CurationJobSpec extends SparkSpec {
     assert(ids == Set(2L, 3L))
   }
 
+  test("dup-chunk gate drops passage-heavy docs that whole-doc dedup misses") {
+    import spark.implicits._
+    // a long shared passage dominating two docs whose FRAMING differs enough
+    // that whole-doc jaccard and containment both stay below their bars
+    val passage = Seq.tabulate(10)(r =>
+      s"alpha bravo charlie delta echo foxtrot golf hotel india row$r " +
+        s"juliet kilo lima mike november oscar papa quebec romeo sierra " +
+        s"tango uniform victor whiskey xray yankee zulu extra$r")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, s"this is the opening that frames it for us so $passage", "en"),
+      (2L, s"here is another way in which it was framed for the record $passage", "en"),
+      (3L, "a completely different english document about the sea and the " +
+        "sky that is in every way distinct for this test", "en"))
+      .toDF("doc_id", "text", "lang")
+    val base = CurationJob.Config(minQuality = 0.0, nearDupJaccard = 0.95,
+      containmentThreshold = Some(0.95))
+    val (_, off) = CurationJob.run(docs, base)
+    assert(off.afterNearDup == 3, s"gate off must keep all three: $off")
+    val (out, on) = CurationJob.run(docs,
+      base.copy(maxDupChunkShare = Some(0.5)))
+    // both passage-heavy docs exceed the 50% duplicated-chunk share; the
+    // distinct doc carries no duplicated chunk at all
+    assert(on.afterNearDup == 1, s"gate on must keep only the distinct doc: $on")
+    assert(out.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("importance sampling: deterministic across runs, keeps more than uniform at same mean rate only via scores") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .withColumn("lang", lit("en"))
