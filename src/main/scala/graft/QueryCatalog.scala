@@ -2294,6 +2294,34 @@ object QueryCatalog {
       FROM c JOIN r USING (chunk_hash)
       GROUP BY 1 HAVING count(*) >= 1 ORDER BY 1"""))
 
+  /** Multi-pattern policy/blocklist stats ([[TextAnalysis.policyHits]] —
+    * one fused Aho–Corasick pass per document, cost independent of
+    * pattern count). The operator counts ALL occurrences (overlapping
+    * included); every oracle pattern below is border-free (no proper
+    * prefix that is also a suffix), so DuckDB's greedy replace-count
+    * equals the all-occurrences count exactly — the overlap semantics
+    * themselves are pinned by the brute-force property spec. "table"
+    * nested inside "big table" exercises cross-pattern containment. */
+  private val q87 = {
+    val pats = Seq("slow filter", "big table", "table", "hash join",
+      "vector scan")
+    val patList = pats.map(p => s"'$p'").mkString("[", ",", "]")
+    QuerySpec(
+      "q87_policy_hits",
+      (s, dir) => TextAnalysis.policyHits(t(s, dir, "documents"),
+          "doc_id", "text", pats)
+        .where(col("n_hits") > 0)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH pats AS (SELECT unnest($patList) AS p),
+        occ AS (SELECT d.doc_id,
+            (len(d.text) - len(replace(d.text, pats.p, ''))) // len(pats.p) AS c
+          FROM documents d CROSS JOIN pats)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_hits,
+          CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_patterns_hit
+        FROM occ GROUP BY 1 HAVING sum(c) > 0 ORDER BY 1"""))
+  }
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2305,5 +2333,5 @@ object QueryCatalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86)
+    q84, q85, q86, q87)
 }

@@ -368,6 +368,30 @@ object TextAnalysis {
   def compressionRatio(text: Column): Column =
     graft.functions.CompressionRatio(text)
 
+  /** Per-document policy/blocklist hit stats ([[graft.functions.PolicyHits]]
+    * — byte-level Aho–Corasick DFA): one row per input doc with the total
+    * occurrence count over every pattern (overlapping occurrences included)
+    * and the number of distinct patterns present. The C4-style badwords
+    * gate, at the only cost shape that survives a real blocklist: ONE pass
+    * over each document regardless of pattern count, vs one
+    * `regexp_count`/`replace` scan PER pattern declaratively. The automaton
+    * ships as its pattern strings and is built once per executor JVM
+    * (cached across tasks), never per row. */
+  def policyHits(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.PolicyHits(col(textCol), patterns).as("ph"))
+      .select(col("id"), col("ph.n_hits").as("n_hits"),
+        col("ph.n_patterns_hit").as("n_patterns_hit"))
+
+  /** The gate built on [[policyHits]]: keep rows whose total policy-pattern
+    * occurrence count is at most `maxHits` (0 = the strict C4 drop-any-hit
+    * rule). Pure per-row predicate — survives pushdown, no shuffle. */
+  def policyFilter(df: DataFrame, textCol: String, patterns: Seq[String],
+      maxHits: Long = 0L): DataFrame =
+    df.where(graft.functions.PolicyHits(col(textCol), patterns)
+      .getField("n_hits") <= maxHits)
+
   /** Zipf-law fit over the top-`k` vocabulary: least-squares slope and
     * intercept of ln(tf) against ln(rank). Healthy natural-language corpora
     * sit near slope ≈ −1; a much flatter slope flags templated/synthetic
