@@ -244,6 +244,32 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus-row stitch planned as a loop join:\n$p")
   }
 
+  test("single-partition stages appear ONLY in plans with bounded funnels") {
+    // The WindowExecBase "No Partition Defined" WARN is muted engine-wide
+    // (src/main/resources/log4j2.properties) because Spark 4's
+    // EliminateWindowPartitions strips our lit(0) keys; THIS whitelist is
+    // the replacement diagnostic. Every catalog plan that funnels through
+    // Exchange SinglePartition must be one whose funnel input is bounded
+    // by construction — a new name landing here means a corpus-sized sort
+    // or window snuck onto one task, which at 100 TB is an outage, not a
+    // log line.
+    val bounded = Set(
+      "q67_vocab_topk",      // rank over the k TakeOrdered survivors
+      "q76_zipf_slope",      // ln-ln fit over the k TakeOrdered survivors
+      "q80_corpus_report",   // same vocab/zipf cut feeding the report
+      "q69_quality_gate",    // cumsum over the ~1e4-bin score histogram
+      "q33_ann_ivf",         // centroid seeding: nlist rows
+      "q68_semantic_dedup",  // same centroid seeding path
+      "q86_decontaminate_chunks", // 1-row corpus-total stitch
+      "q58_tfidf_keywords"   // n_docs global count: 1 partial row/partition
+    )
+    val offenders = QueryCatalog.all.map(_.name).filter { n =>
+      planOf(n).contains("Exchange SinglePartition")
+    }.toSet
+    assert(offenders.subsetOf(bounded),
+      s"unbounded single-partition funnel in: ${(offenders -- bounded).toSeq.sorted}")
+  }
+
   test("epochMix is shuffle-free: explode + case chain, no exchange") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = ScaleOpsAccess.epochMix(docs)
