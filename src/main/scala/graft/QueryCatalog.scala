@@ -2322,6 +2322,42 @@ object QueryCatalog {
         FROM occ GROUP BY 1 HAVING sum(c) > 0 ORDER BY 1"""))
   }
 
+  /** BM25 top-k lexical retrieval ([[graft.operators.Retrieval.bm25TopK]]) —
+    * postings filtered to the query terms in the scan stage, per-term scores
+    * fixed to micro-units before the per-doc sum (order-free integer Σ), and
+    * the oracle SQL mirrors the Spark expression's parenthesization token for
+    * token so every double matches bit-for-bit. `(1.2 + 1.0)` stays a SUM in
+    * the SQL: the Scala side computes `lit(k1 + 1.0)` in double arithmetic,
+    * and parsing the pre-added literal "2.2" yields a DIFFERENT double. */
+  private val q88 = {
+    val terms = Seq("hash", "stream", "vector", "big")
+    val termList = terms.map(p => s"'$p'").mkString("(", ",", ")")
+    QuerySpec(
+      "q88_bm25_topk",
+      (s, dir) => graft.operators.Retrieval.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text", terms, k = 20)
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""WITH docs AS (SELECT doc_id,
+          len(str_split(text, ' ')) AS dl, str_split(text, ' ') AS toks
+          FROM documents),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+        tf AS (SELECT doc_id, any_value(dl) AS dl, tok, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM docs)
+          WHERE tok IN $termList GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        term_scores AS (SELECT doc_id,
+            CAST(round(ln(((n_docs - df) + 0.5) / (df + 0.5) + 1.0) *
+              ((tf * (1.2 + 1.0)) /
+               (tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                 (CAST(dl AS DOUBLE) / avgdl)))) * 1000000.0, 0) AS BIGINT)
+              AS micro
+          FROM tf JOIN dfreq USING (tok) CROSS JOIN stats)
+        SELECT doc_id, CAST(sum(micro) AS BIGINT) AS score_micro,
+          count(*) AS n_terms
+        FROM term_scores GROUP BY 1
+        ORDER BY score_micro DESC, doc_id LIMIT 20"""))
+  }
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2333,5 +2369,5 @@ object QueryCatalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87)
+    q84, q85, q86, q87, q88)
 }

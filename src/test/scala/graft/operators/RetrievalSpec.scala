@@ -1,0 +1,79 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** BM25 must agree with a direct in-memory scorer on the real corpus, and
+  * its plan must be the inverted-index shape (postings filtered before any
+  * shuffle; stats broadcast; top-k a heap, not a global sort). */
+class RetrievalSpec extends SparkSpec {
+
+  private val terms = Seq("hash", "stream", "vector", "big")
+
+  /** Plain-Scala BM25 over (id, text), micro-unit contract included. */
+  private def brute(docs: Seq[(Long, String)], q: Seq[String], k: Int)
+      : Seq[(Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val n = docs.size.toLong
+    val avgdl = toks.map(_._2.size.toLong).sum.toDouble / n
+    val dfm = q.map(t => t -> toks.count(_._2.contains(t)).toLong).toMap
+    val scored = toks.flatMap { case (id, tk) =>
+      val dl = tk.size.toLong
+      val micros = q.flatMap { t =>
+        val tf = tk.count(_ == t).toLong
+        if (tf == 0 || dfm(t) == 0) None
+        else {
+          val idf = math.log(((n - dfm(t)) + 0.5) / (dfm(t) + 0.5) + 1.0)
+          val s = idf * ((tf * (1.2 + 1.0)) /
+            (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.toDouble / avgdl))))
+          Some(math.round(s * 1e6))
+        }
+      }
+      if (micros.isEmpty) None
+      else Some((id, micros.sum, micros.size.toLong))
+    }
+    scored.sortBy { case (id, s, _) => (-s, id) }.take(k)
+  }
+
+  test("matches the brute-force scorer on the real corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == brute(raw, terms, 25))
+  }
+
+  test("a term absent from the corpus contributes nothing; all-miss query is empty") {
+    import spark.implicits._
+    val df = Seq((1L, "hash join"), (2L, "sort merge")).toDF("id", "text")
+    val withGhost = Retrieval.bm25TopK(df, "id", "text",
+      Seq("hash", "zzz_never"), k = 10).collect()
+    assert(withGhost.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(withGhost.head.getLong(2) == 1L) // ghost term not counted
+    assert(Retrieval.bm25TopK(df, "id", "text", Seq("zzz"), k = 5).isEmpty)
+  }
+
+  test("duplicate query terms are rejected") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(df, "id", "text", Seq("a", "a"), k = 1)
+    }
+  }
+
+  test("plan: top-k is a TakeOrdered heap and the stats/df joins broadcast") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 20)
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out) { df.explain() }
+    val p = out.toString
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats join shuffled the postings:\n$p")
+    // the isin postings cut must sit under the explode, before any exchange
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"postings shuffled more than score-agg needs:\n$p")
+  }
+}
