@@ -2358,6 +2358,58 @@ object QueryCatalog {
         ORDER BY score_micro DESC, doc_id LIMIT 20"""))
   }
 
+  /** Exact repeated-substring spans at 8-gram grain
+    * ([[Dedup.repeatedSpans]]) — the exact-substring dedup cut: maximal
+    * token ranges whose every 8-token window occurs ≥2 times corpus-wide.
+    * Window identity travels as the stable 60-bit hash in BOTH engines, so
+    * even a collision collapses identically. */
+  private val q89 = QuerySpec(
+    "q89_repeated_spans",
+    (s, dir) => Dedup.repeatedSpans(t(s, dir, "documents"),
+        "doc_id", "text", n = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("span_start")),
+    Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t
+        FROM documents),
+      grams AS (SELECT doc_id, i - 1 AS pos,
+          ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+            % 2147483647 AS h
+        FROM toks, LATERAL unnest(range(1, greatest(len(t) - 8 + 1, 1) + 1))
+          AS u(i)),
+      rep AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+      hits AS (SELECT doc_id, pos FROM grams JOIN rep USING (h)),
+      marked AS (SELECT doc_id, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+            THEN 0 ELSE 1 END AS brk
+        FROM hits),
+      spans AS (SELECT doc_id, pos,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+        FROM marked)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        CAST(max(pos) + 8 - 1 AS BIGINT) AS span_end,
+        count(*) AS n_windows
+      FROM spans GROUP BY doc_id, span ORDER BY doc_id, span_start"""))
+
+  /** Token-budget gate ([[TextAnalysis.tokenBudgetGate]]) — "the best
+    * 30k-token subset": greedy prefix in (quality desc, id) order, Σ tokens
+    * ≤ budget. The oracle's corpus-wide cumsum window IS the global sort the
+    * operator's histogram construction avoids. */
+  private val q90 = QuerySpec(
+    "q90_token_budget_gate",
+    (s, dir) => TextAnalysis.tokenBudgetGate(t(s, dir, "documents"),
+        "doc_id", "text", budgetTokens = 30000L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH scored AS (SELECT doc_id, $QualityScoreSql AS score,
+        CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      ordered AS (SELECT doc_id, score, n_tokens,
+          sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM scored)
+      SELECT doc_id, score, n_tokens, cum <= 30000 AS keep
+      FROM ordered ORDER BY doc_id"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2369,5 +2421,5 @@ object QueryCatalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88)
+    q84, q85, q86, q87, q88, q89, q90)
 }

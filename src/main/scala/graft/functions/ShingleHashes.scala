@@ -50,8 +50,60 @@ final case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Positional variant of [[ShingleHashes]]: `positional_shingle_hashes(text,
+  * n)` → `array<long>` where element i is the hash of the shingle STARTING at
+  * token position i — no sort, no dedup. The exact-substring span detector
+  * ([[graft.operators.Dedup.repeatedSpans]]) needs every occurrence at its
+  * position: dedup would erase in-document repeats, and sorting would erase
+  * the positions the span merge runs on. Same hash family as
+  * [[ShingleHashes]], so the two are joinable and share the oracle SQL twin.
+  */
+final case class PositionalShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
+      s"positional_shingle_hashes requires a string input, got ${child.dataType}")
+    else if (n < 1) TypeCheckResult.TypeCheckFailure(
+      s"positional_shingle_hashes(text, n) — n must be >= 1, got $n")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "positional_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.posHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashes.posHashes($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PositionalShingleHashes =
+    copy(child = newChild)
+}
+
+object PositionalShingleHashes {
+  /** Column-API entry point. */
+  def apply(text: Column, n: Int): Column =
+    Bridge.column(PositionalShingleHashes(Bridge.expression(text), n))
+}
+
 object ShingleHashes {
   import Hashing.P
+
+  /** Static helper for [[PositionalShingleHashes]]: hash each shingle in
+    * position order, every occurrence kept. */
+  def posHashes(s: UTF8String, n: Int): ArrayData = {
+    val shingles = WordShingles.shingle(s, n)
+    val m = shingles.numElements()
+    val hs = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = MinhashSig.stableHash60(shingles.getUTF8String(i)) % P
+      i += 1
+    }
+    new GenericArrayData(hs)
+  }
 
   /** Static helper the generated code calls: shingle, hash, sort, dedup. */
   def hashes(s: UTF8String, n: Int): ArrayData = {

@@ -736,4 +736,61 @@ object Dedup {
       .withColumn("novelty",
         round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6))
   }
+
+  /** EXACT repeated-substring spans, at n-gram grain: for every document,
+    * the maximal token ranges `[span_start, span_end]` in which EVERY
+    * length-`n` token window occurs at least `minCount` times corpus-wide
+    * (in-document repeats included). This is the exact-substring dedup cut
+    * from the dedup literature — the pass that removes verbatim licenses,
+    * headers, and templated passages that document-level MinHash can't see
+    * because the surrounding text differs — restricted to n-token
+    * resolution: a repeated substring of length L ≥ n tokens is reported
+    * exactly (as the span of its L−n+1 constituent windows); repeats
+    * shorter than n tokens are invisible by design.
+    *
+    * Scale shape (why this is NOT a suffix array): the classic construction
+    * is a corpus-wide suffix sort — a global order no shuffle key
+    * decomposes. At n-gram grain the same cut becomes embarrassingly
+    * key-partitioned: one fused scan emits positional window hashes
+    * ([[graft.functions.PositionalShingleHashes]] — 8-byte keys, no shingle
+    * strings), a hash-keyed groupBy counts occurrences (map-side combine;
+    * one row per DISTINCT window survives), a semi-join marks the repeated
+    * positions, and the span merge is a per-document window — partitioned
+    * by id, skew-free. Every stage keys on hash or id; nothing global.
+    * Hot-window skew mirrors [[ngramJaccardPairs]]'s: a semi-join probe
+    * costs rows ∝ frequency (not frequency²), so no df-cut is needed.
+    *
+    * Returns (id, span_start, span_end, n_windows): token positions,
+    * 0-based, `span_end` = start of the span's LAST window + n − 1 =
+    * inclusive end of the repeated text itself. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Long = 2,
+      joinHint: Option[String] = Some("shuffle_hash")): DataFrame = {
+    // persisted: the occurrence count and the position mark both read it,
+    // and each would otherwise re-run the scan + window-hash explode
+    // (CacheScope-registered; the session owner drains after the action)
+    val grams = graft.core.CacheScope.persist(
+      df.select(col(idCol).as("id"),
+        posexplode(graft.functions.PositionalShingleHashes(col(textCol), n))
+          .as(Seq("pos", "h"))))
+    val repeated = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount).select("h")
+    val hits = hinted(grams, joinHint)
+      .join(hinted(repeated, joinHint), Seq("h"), "left_semi")
+    // merge adjacent repeated positions into maximal spans: a gap in `pos`
+    // starts a new span (standard gaps-and-islands, both windows id-local)
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1, -2).over(byPos) === 1, 0L).otherwise(1L))
+      .withColumn("span",
+        sum("brk").over(byPos.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("id", "span")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + lit(n) - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("span")
+  }
 }

@@ -308,6 +308,51 @@ object TextAnalysis {
     }
   }
 
+  /** Token-budget gate: keep the highest-quality documents whose CUMULATIVE
+    * token count fits `budgetTokens` — "give me the best N-billion-token
+    * subset" — walking docs in (score desc, id) order and keeping the
+    * maximal prefix with Σ n_tokens ≤ budget. The training-data shape of
+    * [[qualityGate]]: budgets are set in tokens, not document counts,
+    * because tokens are what the training run consumes.
+    *
+    * Same no-global-sort construction as [[qualityGate]], weighted: the
+    * cumulative scan runs over the bounded (score → Σtokens) histogram;
+    * docs strictly above the boundary score are kept outright; only the ONE
+    * boundary group needs a within-group running sum (window partitioned by
+    * score over that group's rows). Returns (id, score, n_tokens, keep). */
+  def tokenBudgetGate(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    val scored = graft.core.CacheScope.persist(
+      df.select(col(idCol).as("id"), qualityScore(col(textCol)).as("score"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens")))
+    // bounded histogram cumsum (see [[vocabTopK]] on the lit(0) partition)
+    val hist = scored.groupBy("score").agg(sum("n_tokens").as("toks"))
+      .withColumn("cum",
+        sum("toks").over(Window.partitionBy(lit(0)).orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // first group (score desc) whose cumulative tokens overflow the budget;
+    // groups above it are kept whole, groups below dropped whole
+    val boundary = hist.where(col("cum") > budgetTokens)
+      .orderBy(col("score").desc).limit(1)
+      .select(col("score"), (col("cum") - col("toks")).as("toks_above"))
+      .collect().headOption
+    boundary match {
+      case None => // the whole corpus fits
+        scored.select(col("id"), col("score"), col("n_tokens"),
+          lit(true).as("keep"))
+      case Some(row) =>
+        val (cutoff, tokensAbove) = (row.getDouble(0), row.getLong(1))
+        val inGroup = Window.partitionBy("score").orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        scored
+          .withColumn("keep",
+            col("score") > cutoff ||
+              (col("score") === cutoff &&
+                sum("n_tokens").over(inGroup) <= lit(budgetTokens - tokensAbove)))
+          .select(col("id"), col("score"), col("n_tokens"), col("keep"))
+    }
+  }
+
   /** Intra-document repetition stats — the Gopher-style quality cut for
     * degenerate/templated text: `distinct_ratio` (unique tokens / tokens;
     * low = loops, keyword stuffing) and `top_token_share` (most frequent

@@ -182,6 +182,40 @@ class CurationOpsSpec extends SparkSpec {
       .where(col("keep")).count() == 3)
   }
 
+  // ------------------------------------------------- tokenBudgetGate
+
+  test("tokenBudgetGate == global cumsum prefix (histogram path is exact)") {
+    val budget = 30000L
+    val out = TextAnalysis.tokenBudgetGate(docs, "doc_id", "text", budget)
+    val expectKeep = docs.select(col("doc_id").as("id"),
+        TextAnalysis.qualityScore(col("text")).as("score"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(
+        Window.orderBy(col("score").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cum") <= budget)
+      .collect().map(_.getLong(0)).toSet
+    val got = out.where(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(got == expectKeep)
+    assert(out.count() == docs.count(), "gate returns a verdict per doc")
+    // the kept set actually fits the budget, and is maximal as a prefix:
+    // adding the best-scored dropped doc must overflow
+    val keptTokens = out.where(col("keep"))
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(keptTokens <= budget)
+  }
+
+  test("tokenBudgetGate: zero budget keeps nothing, huge budget keeps all") {
+    import spark.implicits._
+    val tiny = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.tokenBudgetGate(tiny, "doc_id", "text", 0L)
+      .where(col("keep")).count() == 0)
+    graft.core.CacheScope.drain() // same scored plan re-persists below
+    assert(TextAnalysis.tokenBudgetGate(tiny, "doc_id", "text", 1000000L)
+      .where(col("keep")).count() == 2)
+  }
+
   // ------------------------------------------------------- epochMix
 
   test("epochMix: copy counts match quantized weights, copy_idx is dense") {

@@ -57,6 +57,50 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("repeatedSpans == driver brute force on random corpora") {
+    import spark.implicits._
+    // positional grams, short-doc whole-text rule included
+    def grams(text: String, n: Int): Seq[String] = {
+      val toks = text.split(" ", -1)
+      if (toks.length <= n) Seq(text)
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    for (seed <- Seq(11, 12, 13, 14, 15)) {
+      val corpus = randomCorpus(seed)
+      val (n, minCount) = (3, 2L)
+      val counts = corpus.flatMap { case (_, t) => grams(t, n) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expect = corpus.flatMap { case (id, t) =>
+        val hit = grams(t, n).zipWithIndex
+          .collect { case (g, p) if counts(g) >= minCount => p }
+        // merge adjacent positions into maximal runs
+        val spans = hit.foldLeft(List.empty[(Int, Int, Long)]) {
+          case ((s, e, c) :: rest, p) if p == e + 1 => (s, p, c + 1) :: rest
+          case (acc, p) => (p, p, 1L) :: acc
+        }.reverse
+        spans.map { case (s, e, c) => (id, s.toLong, (e + n - 1).toLong, c) }
+      }.toSet
+      val got = Dedup.repeatedSpans(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", n = n, minCount = minCount)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expect, s"seed $seed spans differ")
+      graft.core.CacheScope.drain()
+    }
+  }
+
+  test("repeatedSpans: an exact doc-level dup yields one whole-doc span each") {
+    import spark.implicits._
+    val text = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, text), (2L, text), (3L, "unique words only here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(df, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 20 tokens, n=8 → windows 0..12, span end = 12 + 7 = 19 (whole doc)
+    assert(got == Set((1L, 0L, 19L), (2L, 0L, 19L)))
+  }
+
   test("cdcChunks == driver brute force on random corpora (incl. space edges)") {
     import spark.implicits._
     val P = 2147483647L
