@@ -17,7 +17,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "q23_embedding_neardup",  // threshold all-pairs twin of q22 (same contract)
     "q33_ann_ivf",            // centroid assignment: corpus × broadcast(nlist) —
     "q68_semantic_dedup",     //   the IVF build step, bounded by nlist per row
-    "q58_tfidf_keywords")     // ln(N) scalar: 1-row corpus-count broadcast
+    "q58_tfidf_keywords",     // ln(N) scalar: 1-row corpus-count broadcast
+    "q88_bm25_topk")          // (N, avgdl) scalars: same 1-row broadcast
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>
