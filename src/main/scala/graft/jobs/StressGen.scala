@@ -159,7 +159,12 @@ object StressGen {
   * table count.
   * `runMain graft.jobs.StressMain cdc [replicas]` — content-defined
   * chunking on prefix-shifted replicas; asserts chunks survive every shift
-  * where fixed-width segments structurally cannot. */
+  * where fixed-width segments structurally cannot.
+  * `runMain graft.jobs.StressMain spans [replicas]` — exact
+  * repeated-substring spans on uniquely-wrapped replicas; asserts
+  * near-universal one-span-per-doc coverage at linear cost.
+  * `runMain graft.jobs.StressMain policy [_]` — Aho–Corasick policy scan at
+  * 10/100/992 patterns (flat cost) vs the per-pattern declarative twin. */
 object StressMain {
   def main(args: Array[String]): Unit = {
     val s = graft.core.Sessions.local(32)
@@ -492,6 +497,83 @@ object StressMain {
           s"recall regressed with more tables: $rec < $last")
         last = rec
       }
+      graft.core.CacheScope.drain()
+    } else if (args.headOption.contains("spans")) {
+      // exact repeated-substring spans at volume: replica r wraps the base
+      // text in replica-unique 3-token intro/outro, so every 8-token window
+      // fully inside the base text repeats across ALL replicas while the
+      // boundary-crossing windows stay unique — the designed outcome is ONE
+      // maximal span per (long-enough) doc per replica, and the stage costs
+      // (positional-gram explode ~ one row per token, hash-keyed count,
+      // per-doc span merge) must stay linear in the replica factor.
+      val replicas = args.lift(1).map(_.toInt).getOrElse(50)
+      import graft.operators.Dedup
+      val docs = s.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val r = col("rep").cast("string")
+      val big = docs.crossJoin(s.range(replicas).select(col("id").as("rep")))
+        .select((col("rep") * 1000000 + col("doc_id")).as("doc_id"),
+          concat(lit("u"), r, lit("a u"), r, lit("b u"), r, lit("c "),
+            col("text"),
+            lit(" v"), r, lit("x v"), r, lit("y v"), r, lit("z")).as("text"))
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"materialize ${replicas}x wrapped docs")(big.count())
+      val base = docs.count()
+      time("repeatedSpans (n=8)")({
+        val spans = Dedup.repeatedSpans(big, "doc_id", "text", n = 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = spans.count()
+        val docsWithSpan = spans.select("id").distinct().count()
+        println(s"STRESS spans: $n across $docsWithSpan docs " +
+          s"(designed ~${replicas * base} one-per-doc)")
+        // every replica doc whose base text is >= 8 tokens carries the
+        // shared interior — near-universal coverage, linear row count
+        require(docsWithSpan >= (replicas * base * 9) / 10,
+          s"span coverage collapsed: $docsWithSpan of ${replicas * base}")
+        spans.unpersist()
+        n
+      })
+      graft.core.CacheScope.drain()
+    } else if (args.headOption.contains("policy")) {
+      // Aho–Corasick pattern-count independence at volume: the SAME corpus
+      // scanned with 10 / 100 / 1000 two-token patterns must cost ~the same
+      // through [[TextAnalysis.policyHits]] (one DFA walk per byte), while
+      // the declarative twin (one regexp_count column per pattern) pays one
+      // full text scan PER pattern — measured here at 10/100 before it gets
+      // silly. Patterns are vocabulary bigrams, so plenty genuinely hit.
+      val toks = Vector("the", "fast", "key", "order", "sort", "table",
+        "scan", "merge", "part", "window", "small", "hash", "join", "batch",
+        "stream", "spark", "dup", "group", "query", "row", "data", "slow",
+        "filter", "customer", "line", "value", "agg", "column", "big",
+        "vector", "dim", "fact")
+      def pats(p: Int): Seq[String] = (for {
+        a <- toks; b <- toks if a != b
+      } yield s"$a $b").take(p)
+      import graft.operators.TextAnalysis
+      val docs = s.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select("doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("materialize docs")(docs.count())
+      Seq(10, 100, 992).foreach { p =>
+        time(s"policyHits (automaton, $p patterns)")({
+          val agg = TextAnalysis.policyHits(docs, "doc_id", "text", pats(p))
+            .agg(sum("n_hits"), sum("n_patterns_hit")).head()
+          println(s"STRESS hits($p): ${agg.getLong(0)} occurrences, " +
+            s"${agg.getLong(1)} doc-pattern pairs")
+          agg.getLong(0)
+        })
+      }
+      Seq(10, 100).foreach { p =>
+        time(s"declarative twin (regexp_count x $p)")({
+          // two-token patterns of distinct words can't self-overlap, so
+          // non-overlapping regexp_count == the automaton's count here
+          val total = pats(p).map(q =>
+              regexp_count(col("text"), lit(java.util.regex.Pattern.quote(q))))
+            .reduce(_ + _)
+          docs.agg(sum(total.cast("long"))).head().getLong(0)
+        })
+      }
+      docs.unpersist()
       graft.core.CacheScope.drain()
     } else if (args.headOption.contains("asof")) {
       val factor = args.lift(1).map(_.toInt).getOrElse(100)
