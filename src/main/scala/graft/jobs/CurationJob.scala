@@ -44,6 +44,12 @@ object CurationJob {
       // own bigram model falls below this (mojibake/codepoint soup). One
       // broadcast-join pass (TextAnalysis.charLmScore).
       minLmScore: Option[Double] = None,
+      // C4-style blocklist gate ([[TextAnalysis.policyFilter]], fused
+      // Aho–Corasick): drop docs with more than maxPolicyHits total
+      // occurrences across ALL patterns (0 = drop on any hit). Per-row,
+      // codegen'd scan-side, ONE text pass regardless of list size.
+      blockedPatterns: Seq[String] = Nil,
+      maxPolicyHits: Long = 0L,
       nearDupJaccard: Double = 0.8,
       // second dedup axis: drop docs CONTAINED in a surviving doc
       // ([[Dedup.containmentPairs]], shared/min(|A|,|B|) >= this) — catches
@@ -56,6 +62,12 @@ object CurationJob {
       // heavy passage-level duplication in docs whose whole-doc Jaccard and
       // containment both sit below their thresholds.
       maxDupChunkShare: Option[Double] = None,
+      // token-budget cut ([[TextAnalysis.tokenBudgetGate]]): after all
+      // dedup axes, keep only the highest-quality surviving docs whose
+      // cumulative token count fits the budget — "the best N tokens of
+      // this corpus", applied where it's cheapest (dedup already paid for
+      // docs that would have been cut anyway is avoided by running LAST).
+      tokenBudget: Option[Long] = None,
       chunkTokens: Int = 50,
       chunkOverlap: Int = 10,
       samplePermille: Int = 1000, // 1000 = keep everything
@@ -111,10 +123,15 @@ object CurationJob {
         TextAnalysis.langIdGuess(col("text")) === cfg.lang && absFloor) {
       (acc, cap) => acc && TextAnalysis.topTokenShare(col("text")) <= cap
     }
-    val rowGate = cfg.compressionBounds.foldLeft(rowGate0) {
+    val rowGate1 = cfg.compressionBounds.foldLeft(rowGate0) {
       case (acc, (lo, hi)) =>
         acc && TextAnalysis.compressionRatio(col("text")).between(lo, hi)
     }
+    val rowGate =
+      if (cfg.blockedPatterns.isEmpty) rowGate1
+      else rowGate1 &&
+        graft.functions.PolicyHits(col("text"), cfg.blockedPatterns)
+          .getField("n_hits") <= cfg.maxPolicyHits
     val rowGated0 = boilerGated.where(rowGate)
     val rowGated = cfg.keepTopQualityFrac match {
       case None => rowGated0
@@ -211,8 +228,19 @@ object CurationJob {
     }
     val afterNearDup = unique.count()
 
+    // 3d. token-budget cut (optional) — the best-N-tokens subset of the
+    // dedup survivors (histogram threshold, no global sort); last because
+    // budget spent on docs a dedup axis would drop is budget wasted
+    val budgeted = cfg.tokenBudget match {
+      case None => unique
+      case Some(budget) =>
+        val keep = TextAnalysis.tokenBudgetGate(unique, "doc_id", "text", budget)
+          .where(col("keep")).select(col("id").as("doc_id"))
+        unique.join(keep, Seq("doc_id"), "left_semi")
+    }
+
     // 4. chunking — one row per context window
-    val chunked = unique.select(col("doc_id"),
+    val chunked = budgeted.select(col("doc_id"),
         posexplode(TextAnalysis.chunk(col("text"), cfg.chunkTokens, cfg.chunkOverlap)))
       .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("chunk"))
     val chunks = chunked.count()

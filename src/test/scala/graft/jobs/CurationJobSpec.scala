@@ -34,6 +34,32 @@ class CurationJobSpec extends SparkSpec {
     assert(c1 == en)
   }
 
+  test("policy blocklist gate drops hit docs; budget keeps best docs that fit") {
+    import spark.implicits._
+    val clean = "the quick brown fox jumps over the lazy dog and it is a " +
+      "fine day for running through the field with good cheer in the sun"
+    val hit = clean + " now buy cheap pills today"
+    val short = "a tidy little english sentence about the calm blue sea today"
+    val docs = Seq(
+      (1L, clean, "en"), (2L, hit, "en"), (3L, short, "en"))
+      .toDF("doc_id", "text", "lang")
+    // blocklist: doc 2 carries one forbidden phrase → dropped at the row gate
+    val (_, s1) = CurationJob.run(docs, CurationJob.Config(minQuality = 0.1,
+      blockedPatterns = Seq("buy cheap pills", "crypto giveaway")))
+    assert(s1.afterQuality == 2)
+    // token budget: doc 1 (26 tokens, higher quality than 11-token doc 3)
+    // fits a 30-token budget alone; doc 3 would then overflow it
+    val pair = docs.where(col("doc_id") =!= 2)
+    val q = pair.orderBy("doc_id")
+      .select(TextAnalysis.qualityScore(col("text"))).collect()
+    assert(q(0).getDouble(0) > q(1).getDouble(0), "fixture: doc1 outscores doc3")
+    val (out2, s2) = CurationJob.run(pair, CurationJob.Config(minQuality = 0.1,
+      tokenBudget = Some(30L)))
+    assert(s2.afterNearDup == 2, "budget must cut AFTER dedup counting")
+    val kept = out2.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("compression bounds drop looping text, spare prose") {
     import spark.implicits._
     val prose = "the quick brown fox jumps over the lazy dog and it is a " +
