@@ -2410,6 +2410,118 @@ object QueryCatalog {
       SELECT doc_id, score, n_tokens, cum <= 30000 AS keep
       FROM ordered ORDER BY doc_id"""))
 
+  /** BPE first-merge pair table ([[TextAnalysis.bpePairStats]]) — adjacent
+    * char-pair frequencies weighted by word frequency, computed over the
+    * collapsed VOCABULARY (never the corpus tokens). */
+  private val q91 = QuerySpec(
+    "q91_bpe_pair_stats",
+    (s, dir) => TextAnalysis.bpePairStats(t(s, dir, "documents"), "text",
+        k = 30)
+      .orderBy(col("rnk")),
+    Some("""WITH toks AS (SELECT unnest(str_split(text, ' ')) AS tok
+        FROM documents),
+      vocab AS (SELECT tok, count(*) AS freq FROM toks
+        WHERE len(tok) >= 2 GROUP BY 1),
+      pairs AS (SELECT substr(tok, i, 1) AS a, substr(tok, i + 1, 1) AS b,
+          tok, freq
+        FROM vocab, LATERAL unnest(range(1, len(tok))) AS u(i)),
+      agg AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count,
+          count(DISTINCT tok) AS n_words FROM pairs GROUP BY 1, 2),
+      ranked AS (SELECT a, b, pair_count, n_words,
+          row_number() OVER (ORDER BY pair_count DESC, a, b) AS rnk FROM agg)
+      SELECT a, b, pair_count, n_words, rnk FROM ranked WHERE rnk <= 30
+      ORDER BY rnk"""))
+
+  /** Cluster-balanced downsample ([[Similarity.cellBalancedSample]]):
+    * ≤ cap vectors per IVF cell (seed centroids, the q33 scheme),
+    * md5-hash-ranked survivors — the diversity-preserving coreset cut. */
+  private val q92 = {
+    val (nlist, cap) = (8, 12)
+    val cosSql = (a: String, b: String) =>
+      s"""list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]),
+          (x, y) -> x + y) /
+        (sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]),
+          (x, y) -> x + y)) *
+         sqrt(list_reduce(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]),
+          (x, y) -> x + y)))"""
+    QuerySpec(
+      "q92_cluster_balanced_sample",
+      (s, dir) => Similarity.cellBalancedSample(
+          t(s, dir, "embeddings"), nlist = nlist, cap = cap)
+        .orderBy(col("cid"), col("vec_id")),
+      Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cent_vec
+          FROM embeddings WHERE vec_id < $nlist),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+        assigned AS (SELECT neighbor_id, cid FROM (
+            SELECT neighbor_id, cid,
+              row_number() OVER (PARTITION BY neighbor_id
+                ORDER BY ${cosSql("cv", "cent_vec")} DESC, cid) AS rn
+            FROM c CROSS JOIN cent) WHERE rn = 1),
+        capped AS (SELECT neighbor_id AS vec_id, cid, row_number() OVER (
+            PARTITION BY cid
+            ORDER BY ('0x' || substr(md5(CAST(neighbor_id AS VARCHAR)), 1, 15))::BIGINT
+              % 2147483647, neighbor_id) AS rn
+          FROM assigned)
+        SELECT vec_id, cid FROM capped WHERE rn <= $cap
+        ORDER BY cid, vec_id"""))
+  }
+
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): top-5 most-similar
+    * DIFFERENT-label vectors per query — contrastive-training prep. */
+  private val q93 = {
+    val cosSql = (a: String, b: String) =>
+      s"""list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]),
+          (x, y) -> x + y) /
+        (sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]),
+          (x, y) -> x + y)) *
+         sqrt(list_reduce(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]),
+          (x, y) -> x + y)))"""
+    QuerySpec(
+      "q93_hard_negatives",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.hardNegatives(emb, emb.where(col("vec_id") < 8), k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("neighbor_label"), round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+          embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+          embedding::DOUBLE[] AS cv FROM embeddings),
+        scored AS (SELECT query_id, neighbor_id, neighbor_label,
+            ${cosSql("qv", "cv")} AS cosine
+          FROM c, q WHERE q_label <> neighbor_label),
+        ranked AS (SELECT query_id, neighbor_id, neighbor_label, cosine,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id, neighbor_label,
+          round(cosine, 6) AS cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+  }
+
+  /** Temperature-scaled source mix ([[ScaleOps.temperatureWeights]], α=0.5):
+    * per-source sampling weights `(n_s/N)^α` normalized in integer
+    * micro-units so the doubles match DuckDB bit-for-bit. */
+  private val q94 = QuerySpec(
+    "q94_temperature_mix",
+    (s, dir) => graft.operators.ScaleOps.temperatureWeights(
+        t(s, dir, "documents"), "source", alpha = 0.5)
+      .orderBy(col("source")),
+    Some("""WITH counts AS (SELECT source, count(*) AS n_rows
+        FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM counts),
+      scored AS (SELECT source, n_rows,
+          CAST(round(pow(CAST(n_rows AS DOUBLE) / n_total, 0.5) * 1000000.0, 0)
+            AS BIGINT) AS p_micro
+        FROM counts CROSS JOIN tot),
+      denom AS (SELECT CAST(sum(p_micro) AS BIGINT) AS micro_total FROM scored)
+      SELECT source, n_rows, p_micro,
+        round(CAST(p_micro AS DOUBLE) / micro_total, 6) AS weight
+      FROM scored CROSS JOIN denom ORDER BY source"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2421,5 +2533,5 @@ object QueryCatalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90)
+    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
 }

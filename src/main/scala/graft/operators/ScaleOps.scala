@@ -215,6 +215,40 @@ object ScaleOps {
       .drop("_copies")
   }
 
+  /** Temperature-scaled sampling weights per stratum — the multilingual /
+    * multi-source mix rule `w_s ∝ (n_s/N)^α` (α=1 mirrors the corpus, α→0
+    * approaches uniform; the public mBERT/XLM-R exponent-smoothing scheme)
+    * that upsamples rare sources before an [[epochMix]]. Returns one row per
+    * stratum: (stratum, n_rows, p_micro, weight) with `weight` the
+    * normalized share rounded to 6dp.
+    *
+    * Engine-portable doubles: the normalizer is a sum of DOUBLES whose fold
+    * order Spark does not pin, so `(n_s/N)^α` is quantized to integer
+    * micro-units FIRST (p_micro) and the normalizing sum runs over longs —
+    * order-free, so the final division is bit-identical in any engine.
+    *
+    * Scale shape: per-stratum counts aggregate with map-side combine; both
+    * totals are 1-row aggregates broadcast back over the (tiny) stratum
+    * table — the corpus is read once, nothing corpus-sized shuffles. */
+  def temperatureWeights(df: DataFrame, stratumCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    // persist: the stratum table (tiny) feeds both totals and the final
+    // select — without it each consumer would re-scan the corpus
+    val counts = graft.core.CacheScope.persist(
+      df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_rows")))
+    val total = counts.agg(sum("n_rows").as("n_total"))
+    val scored = counts.join(broadcast(total), lit(true))
+      .withColumn("p_micro",
+        round(pow(col("n_rows").cast("double") / col("n_total"), lit(alpha))
+          * 1000000.0, 0).cast("long"))
+    val denom = scored.agg(sum("p_micro").as("micro_total"))
+    scored.join(broadcast(denom), lit(true))
+      .select(col(stratumCol), col("n_rows"), col("p_micro"),
+        round(col("p_micro").cast("double") / col("micro_total"), 6)
+          .as("weight"))
+  }
+
   /** Deterministic per-key row cap — the "at most N docs per domain/source"
     * quota every web-corpus mix applies. Survivors are chosen by the
     * md5-derived hash of `idCol` (reproducible across runs/engines/

@@ -54,6 +54,37 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-`k`
+    * most-cosine-similar corpus vectors carrying a DIFFERENT `labelCol` —
+    * "looks like me but isn't my class", the negatives that actually move a
+    * retrieval/embedding model. Returns (query_id, rank, neighbor_id,
+    * neighbor_label, cosine).
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — queries broadcast, the
+    * corpus streams map-side with one fused dot-product per pair, the label
+    * inequality rides the broadcast-join condition (rows die before the
+    * window), and only the scored survivors shuffle on query_id for the
+    * per-query heap. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"), col(vecCol).as("q_vec"),
+      Vectors.l2Norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"), col(vecCol).as("c_vec"),
+      Vectors.l2Norm(col(vecCol)).as("c_norm"))
+    val scored = c.join(broadcast(q),
+        col("q_label") =!= col("neighbor_label"))
+      .withColumn("cosine",
+        Vectors.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "neighbor_label", "cosine")
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into `nlist` cells by
     * nearest centroid; a query probes only its `nprobe` nearest cells, so the
     * scored candidate set shrinks ~nlist/nprobe-fold vs brute force. Centroid
@@ -222,6 +253,27 @@ object Similarity {
     assigned.select(col("neighbor_id").as("vec_id"), col("cid"))
       .join(dropped.withColumn("is_dup", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"), col("is_dup").isNull.as("keep"))
+  }
+
+  /** Cluster-balanced sampling: cap the corpus at `cap` vectors per IVF
+    * cell — the diversity-preserving downsample (DeepCore/coreset style)
+    * that keeps rare clusters intact while shaving dominant ones, instead
+    * of the uniform sample that mirrors the corpus's imbalance. Survivors
+    * per cell are chosen by the engine-portable md5 hash rank
+    * ([[ScaleOps.capPerKey]]), so the sample is reproducible across runs
+    * and engines. Returns (vec_id, cid).
+    *
+    * Scale shape: cell assignment is [[ivfIndex]]'s broadcast-centroid
+    * map-side pass; the cap is a WindowGroupLimit on cid — each map task
+    * forwards at most `cap` rows per cell, so the shuffle carries
+    * nlist×cap rows, not the corpus. */
+  def cellBalancedSample(corpus: DataFrame, nlist: Int, cap: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val assigned = ivfIndex(corpus, nlist, idCol, vecCol, centroids).assigned
+      .select(col("cid"), col("neighbor_id").as(idCol))
+    ScaleOps.capPerKey(assigned, "cid", idCol, cap)
+      .select(col(idCol), col("cid"))
   }
 
   /** Scale path: bucket corpus and queries by sign-LSH signature, join on the

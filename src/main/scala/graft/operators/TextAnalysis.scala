@@ -265,6 +265,44 @@ object TextAnalysis {
           .as("oov_rate"))
   }
 
+  /** BPE merge-step statistics: frequency of every ADJACENT CHARACTER PAIR
+    * across the corpus, weighted by word frequency — the pair table whose
+    * argmax is byte-pair-encoding's first merge (Sennrich et al. 2016,
+    * public algorithm). Returns the top-`k` rows
+    * (a, b, pair_count, n_words, rnk): `pair_count` = Σ word-frequency over
+    * every occurrence of the pair (a word like "aaa" counts "aa" twice),
+    * `n_words` = distinct vocabulary words containing it.
+    *
+    * Scale shape: the corpus collapses to its VOCABULARY first (token-keyed
+    * aggregate with map-side combine — [[graft.functions.TokenCounts]] makes
+    * per-doc counts row-local), so the pair explode runs over |vocab|
+    * distinct words × (len-1) pairs, never over corpus tokens; the pair
+    * aggregate is keyed by a two-char tuple (bounded by charset²) and the
+    * top-k cut is TakeOrderedAndProject. An iterated BPE trainer would
+    * loop this plan with a merge table folded into the tokenizer. */
+  def bpePairStats(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val vocab = df
+      .select(explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .groupBy(col("tc.tok").as("tok"))
+      .agg(sum("tc.tf").as("freq"))
+      .where(length(col("tok")) >= 2)
+    val pairs = vocab.select(col("tok"), col("freq"),
+      explode(transform(sequence(lit(1), length(col("tok")) - 1),
+        i => struct(col("tok").substr(i, lit(1)).as("a"),
+          col("tok").substr(i + lit(1), lit(1)).as("b")))).as("p"))
+    val agg = pairs
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("freq").as("pair_count"),
+        countDistinct(col("tok")).as("n_words"))
+      .orderBy(col("pair_count").desc, col("a"), col("b"))
+      .limit(k)
+    // partitionBy(lit(0)): K-row input; see vocabTopK for why the literal key
+    agg.withColumn("rnk",
+      row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("pair_count").desc, col("a"), col("b")))
+        .cast("long"))
+  }
+
   /** Quality-quantile gate: keep the top `keepFrac` of the corpus by
     * [[qualityScore]], exactly — equivalent to
     * `row_number() OVER (ORDER BY score DESC, id) <= floor(keepFrac·N)`

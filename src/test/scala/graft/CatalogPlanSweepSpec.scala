@@ -18,7 +18,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "q33_ann_ivf",            // centroid assignment: corpus × broadcast(nlist) —
     "q68_semantic_dedup",     //   the IVF build step, bounded by nlist per row
     "q58_tfidf_keywords",     // ln(N) scalar: 1-row corpus-count broadcast
-    "q88_bm25_topk")          // (N, avgdl) scalars: same 1-row broadcast
+    "q88_bm25_topk",          // (N, avgdl) scalars: same 1-row broadcast
+    "q92_cluster_balanced_sample", // IVF cell assignment: corpus × broadcast(nlist)
+    "q93_hard_negatives",     // exhaustive baseline (q22 contract) + label inequality
+    "q94_temperature_mix")    // (N, Σmicro) scalars: two 1-row broadcasts
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

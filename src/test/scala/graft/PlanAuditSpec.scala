@@ -262,7 +262,9 @@ class PlanAuditSpec extends SparkSpec {
       "q68_semantic_dedup",  // same centroid seeding path
       "q86_decontaminate_chunks", // 1-row corpus-total stitch
       "q58_tfidf_keywords",  // n_docs global count: 1 partial row/partition
-      "q88_bm25_topk"        // (N, avgdl) corpus stats: same 1-row agg
+      "q88_bm25_topk",       // (N, avgdl) corpus stats: same 1-row agg
+      "q94_temperature_mix"  // (N, Σmicro) totals over the stratum table:
+                             //   1 partial row/partition, never corpus rows
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")

@@ -390,6 +390,42 @@ class SimilaritySpec extends SparkSpec {
     val fromDriver = Seq((0, 0), (0, 1), (5, 63)).map { case (p, d) => Vectors.planeWeight(p, d) }
     assert(fromSql.toSeq == fromDriver)
   }
+
+  test("hardNegatives: never returns the query's own label; ranking is by cosine") {
+    import spark.implicits._
+    // query (1,0) label 0; same-label near-twin (must be excluded even at
+    // cosine 1.0), different-label candidates at decreasing cosine
+    val v = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0.9f, 0.1f), 1), (3L, Seq(0f, 1f), 2), (4L, Seq(-1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(v, v.where(col("vec_id") === 0), k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getInt(3))).toList
+    assert(got.map(_._2) == List(2L, 3L, 4L)) // by descending cosine
+    assert(got.forall(_._3 != 0)) // own label never mined
+  }
+
+  test("cellBalancedSample: per-cell cap holds, output is a subset, deterministic") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (nlist, cap) = (8, 7)
+    val s1 = Similarity.cellBalancedSample(emb, nlist, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(s1.groupBy(_._2).values.forall(_.length <= cap))
+    val ids = emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(s1.map(_._1).toSet.subsetOf(ids))
+    // every non-empty cell contributes (the balance property): cells holding
+    // >= cap members must contribute exactly cap
+    val cells = Similarity.ivfIndex(emb, nlist).assigned
+      .groupBy(col("cid")).count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byCell = s1.groupBy(_._2).map { case (c, xs) => (c, xs.length.toLong) }
+    cells.foreach { case (c, n) =>
+      assert(byCell.getOrElse(c, 0L) == math.min(n, cap.toLong),
+        s"cell $c: ${byCell.getOrElse(c, 0L)} of $n (cap $cap)")
+    }
+    val s2 = Similarity.cellBalancedSample(emb, nlist, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(s1.sorted.toSeq == s2.sorted.toSeq)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
@@ -653,6 +689,23 @@ class TextAnalysisSpec extends SparkSpec {
     val b = one("gamma beta alpha").select(TextAnalysis.fingerprint(col("text"))).head().getLong(0)
     val a2 = one("alpha beta gamma").select(TextAnalysis.fingerprint(col("text"))).head().getLong(0)
     assert(a != b && a == a2)
+  }
+
+  test("bpePairStats: hand-computed pair counts on a tiny vocabulary") {
+    import spark.implicits._
+    // vocab: "aab"×3 (docs repeat it), "ab"×1, "x"×1 (len<2 → ignored).
+    // pairs: aa ← aab(3); ab ← aab(3) + ab(1) = 4 over 2 words
+    val df = Seq("aab ab aab", "aab x").toDF("text")
+    val got = TextAnalysis.bpePairStats(df, "text", k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("a", "b")) == ((4L, 2L, 1L))) // top pair, rank 1
+    assert(got(("a", "a")) == ((3L, 1L, 2L)))
+    assert(got.size == 2)
+    // repeated pair inside ONE word counts per occurrence: "aaa" has aa twice
+    val rep = TextAnalysis.bpePairStats(Seq("aaa").toDF("text"), "text", k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rep.toList == List(("a", "a", 2L)))
   }
 }
 

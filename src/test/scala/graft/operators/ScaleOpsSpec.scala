@@ -307,4 +307,24 @@ class ScaleOpsSpec extends SparkSpec {
     // (the scan stage) — before any exchange
     assert(plan.contains("*(1) Filter bloom_might_contain"), plan.take(500))
   }
+
+  test("temperatureWeights: α=1 mirrors the corpus, α<1 upweights rare strata") {
+    import spark.implicits._
+    // 90/9/1 split — the skew temperature sampling exists to soften
+    val df = ((1 to 90).map(i => (s"r$i", "big")) ++
+      (1 to 9).map(i => (s"s$i", "mid")) ++ Seq(("t1", "rare")))
+      .toDF("id", "src")
+    def w(alpha: Double): Map[String, (Long, Double)] =
+      ScaleOps.temperatureWeights(df, "src", alpha)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val mirror = w(1.0)
+    assert(mirror("big")._1 == 90L && math.abs(mirror("big")._2 - 0.9) < 1e-6)
+    assert(math.abs(mirror.values.map(_._2).sum - 1.0) < 1e-5)
+    val soft = w(0.5)
+    // rare stratum gains share, dominant loses; ordering preserved
+    assert(soft("rare")._2 > mirror("rare")._2)
+    assert(soft("big")._2 < mirror("big")._2)
+    assert(soft("big")._2 > soft("mid")._2 && soft("mid")._2 > soft("rare")._2)
+    assert(math.abs(soft.values.map(_._2).sum - 1.0) < 1e-5)
+  }
 }
