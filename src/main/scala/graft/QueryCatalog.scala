@@ -2522,6 +2522,72 @@ object QueryCatalog {
         round(CAST(p_micro AS DOUBLE) / micro_total, 6) AS weight
       FROM scored CROSS JOIN denom ORDER BY source"""))
 
+  /** Label-noise screen ([[Similarity.labelOutliers]]): bottom-5 cosine to
+    * the own-class mean-embedding prototype, per label — mislabel suspects.
+    * Prototype means are micro-quantized integer sums (order-free) so the
+    * doubles match DuckDB bit-for-bit. */
+  private val q95 = {
+    val cosSql = (a: String, b: String) =>
+      s"""list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]),
+          (x, y) -> x + y) /
+        (sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]),
+          (x, y) -> x + y)) *
+         sqrt(list_reduce(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]),
+          (x, y) -> x + y)))"""
+    QuerySpec(
+      "q95_label_outliers",
+      (s, dir) => Similarity.labelOutliers(t(s, dir, "embeddings"), k = 5)
+        .select(col("vec_id"), col("label"),
+          round(col("proto_cosine"), 6).as("proto_cosine"), col("rnk"))
+        .orderBy(col("label"), col("rnk")),
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        dims AS (SELECT label, i AS pos,
+            CAST(round(v[i] * 1000000.0, 0) AS BIGINT) AS micro
+          FROM e, LATERAL unnest(range(1, len(v) + 1)) AS u(i)),
+        proto AS (SELECT label, pos, CAST(sum(micro) AS BIGINT) AS s_micro,
+            count(*) AS n
+          FROM dims GROUP BY 1, 2),
+        pvec AS (SELECT label, list(CAST(s_micro AS DOUBLE) / n ORDER BY pos)
+            AS p FROM proto GROUP BY 1),
+        scored AS (SELECT e.vec_id, e.label, ${cosSql("v", "p")} AS c
+          FROM e JOIN pvec USING (label)),
+        ranked AS (SELECT vec_id, label, c, row_number() OVER (
+            PARTITION BY label ORDER BY c ASC, vec_id) AS rnk FROM scored)
+        SELECT vec_id, label, round(c, 6) AS proto_cosine, rnk
+        FROM ranked WHERE rnk <= 5 ORDER BY label, rnk"""))
+  }
+
+  /** Leakage-free split ([[graft.operators.Components.componentSplit]]):
+    * near-dup clusters (simhash pairs → connected components) hash-split as
+    * UNITS, so no eval doc has a training-side near-duplicate. */
+  private val q96 = QuerySpec(
+    "q96_leakfree_split",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 1, bands = 2)
+      graft.operators.Components.componentSplit(docs, "doc_id", edges,
+          "id_a", "id_b", Seq("train" -> 800, "val" -> 100, "test" -> 100))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE ${simhashPairsSql(maxHamming = 1, bands = 2)},
+      und AS (SELECT id_a AS a, id_b AS b FROM close_pairs
+        UNION SELECT id_b, id_a FROM close_pairs),
+      walk(id, comp) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.a, w.comp FROM und u JOIN walk w ON w.id = u.b),
+      comp AS (SELECT id, min(comp) AS component FROM walk GROUP BY 1),
+      lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+      b AS (SELECT doc_id, component,
+          ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT
+            % 2147483647 % 1000 AS bucket FROM lab)
+      SELECT doc_id, component, CASE WHEN bucket < 800 THEN 'train'
+        WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
+      FROM b ORDER BY doc_id"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2533,5 +2599,5 @@ object QueryCatalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
+    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
 }

@@ -186,6 +186,31 @@ object Components {
       .select(col("id"), col("comp"), col("score"), col("is_keeper"))
   }
 
+  /** Leakage-free train/val/test split: hash-split at the DUPLICATE-CLUSTER
+    * grain, not the document grain — both sides of every near-dup pair land
+    * in the SAME split, so eval sets can't leak paraphrases of training
+    * docs (the contamination mode a per-doc [[ScaleOps.splitByHash]]
+    * cannot prevent). Takes the full corpus plus a near-dup edge list
+    * (e.g. [[Dedup.simhashPairs]]); documents outside any pair are their
+    * own singleton cluster. Returns (id, component, split).
+    *
+    * Scale shape: [[connectedComponents]] bounds the graph work by the
+    * EDGE set (near-dup pairs, corpus-sparse); the membership map joins
+    * back id-keyed (only docs that appear in a pair), and the split label
+    * is the same narrow codegen'd CASE chain as splitByHash — no
+    * corpus-sized shuffle beyond the one id-keyed join. */
+  def componentSplit(all: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String,
+      permilles: Seq[(String, Int)]): DataFrame = {
+    val comp = connectedComponents(edges, srcCol, dstCol)
+    val labeled = all.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("comp"), col(idCol).cast("long")).as("component"))
+    graft.operators.ScaleOps.splitByHash(labeled, "component", "split",
+      permilles)
+  }
+
   /** Fixed-iteration PageRank over a directed edge list — graph-centrality
     * weighting for corpus curation (link-graph importance is a standard
     * quality signal for web-crawl training data; over a near-dup similarity

@@ -255,6 +255,49 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("is_dup").isNull.as("keep"))
   }
 
+  /** Label-noise detection via class prototypes: each label's prototype is
+    * the per-dimension MEAN embedding; members least-cosine-similar to their
+    * own prototype (bottom `k` per label) are the mislabel suspects —
+    * the classic confident-learning-style screen run before training on
+    * weakly-labeled data. Returns (vec_id, label, proto_cosine, rnk).
+    *
+    * Engine-portable doubles: a per-dim mean is a SUM OF DOUBLES whose fold
+    * order Spark does not pin, so each component is quantized to integer
+    * micro-units first — the per-(label, dim) Σ runs over longs (order-free)
+    * and the mean is one integer division, identical in any engine; the
+    * cosine then folds in index order like every [[graft.functions.Vectors]]
+    * op.
+    *
+    * Scale shape: the prototype build is a (label, dim)-keyed aggregate with
+    * map-side combine (posexplode is a narrow row-local fan-out), yielding
+    * |labels|×dims rows; re-assembly collects DIMS per label (bounded by the
+    * embedding width, never corpus rows); prototypes broadcast back and the
+    * scoring pass is map-side; only the bottom-k window shuffles on label. */
+  def labelOutliers(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      col(vecCol).as("v"))
+    val dims = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(round(col("x").cast("double") * 1000000.0, 0).cast("long"))
+          .as("s_micro"),
+        count(lit(1)).as("n"))
+    val proto = dims.groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          (col("s_micro").cast("double") / col("n")).as("p")))),
+        t => t.getField("p")).as("p_vec"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("proto_cosine").asc, col("vec_id").asc)
+    e.join(broadcast(proto), Seq("label"))
+      .withColumn("proto_cosine", Vectors.dot(col("v"), col("p_vec")) /
+        (Vectors.l2Norm(col("v")) * Vectors.l2Norm(col("p_vec"))))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("vec_id"), col("label"), col("proto_cosine"), col("rnk"))
+  }
+
   /** Cluster-balanced sampling: cap the corpus at `cap` vectors per IVF
     * cell — the diversity-preserving downsample (DeepCore/coreset style)
     * that keeps rare clusters intact while shaving dominant ones, instead

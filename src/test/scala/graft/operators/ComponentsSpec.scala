@@ -133,4 +133,29 @@ class ComponentsSpec extends SparkSpec {
     assert(out.length == 5)
     assert(out.count(_._4) == 2)
   }
+
+  test("componentSplit: near-dup pairs never straddle a split; singletons split per-doc") {
+    import spark.implicits._
+    val all = (1L to 20L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val out = Components.componentSplit(all, "id", edges, "a", "b",
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 20)
+    val byId = out.map(t => t._1 -> t._3).toMap
+    // the leakage guarantee: every edge's endpoints share a split
+    Seq((1L, 2L), (2L, 3L), (7L, 8L)).foreach { case (a, b) =>
+      assert(byId(a) == byId(b), s"pair ($a,$b) straddles ${byId(a)}/${byId(b)}")
+    }
+    // cluster members carry the min-id component; singletons are their own
+    val comp = out.map(t => t._1 -> t._2).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L && comp(8L) == 7L)
+    assert(comp(12L) == 12L)
+    // a singleton's split equals plain splitByHash on its own id (composability)
+    val plain = graft.operators.ScaleOps.splitByHash(
+      Seq(12L).toDF("component"), "component", "split",
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .head().getString(1)
+    assert(byId(12L) == plain)
+  }
 }

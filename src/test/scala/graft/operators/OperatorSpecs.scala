@@ -405,6 +405,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_._3 != 0)) // own label never mined
   }
 
+  test("labelOutliers: the planted off-prototype member ranks first in its label") {
+    import spark.implicits._
+    // label 0 clusters near (1,0); vec 3 is planted orthogonal — the
+    // mislabel suspect. label 1 is a 2-member control.
+    val v = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0.95f, 0.05f), 0), (2L, Seq(0.9f, -0.05f), 0),
+      (3L, Seq(0f, 1f), 0),
+      (10L, Seq(-1f, 0f), 1), (11L, Seq(-0.9f, 0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelOutliers(v, k = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(3), r.getLong(0))).toList
+    val label0 = got.filter(_._1 == 0).sortBy(_._2).map(_._3)
+    assert(label0.head == 3L, s"planted outlier not ranked first: $label0")
+    // every label yields exactly min(k, members) rows
+    assert(got.count(_._1 == 0) == 2 && got.count(_._1 == 1) == 2)
+  }
+
   test("cellBalancedSample: per-cell cap holds, output is a subset, deterministic") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val (nlist, cap) = (8, 7)
