@@ -2588,6 +2588,32 @@ object QueryCatalog {
         WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
       FROM b ORDER BY doc_id"""))
 
+  /** BPE apply ([[TextAnalysis.bpeSegment]]): segment the vocabulary under a
+    * fixed 8-merge table (the sf0.01 q91 top pairs, frozen as literals —
+    * applying ANY fixed rank-ordered table is the operator's contract),
+    * report the 20 highest-frequency words' segmentations plus the
+    * corpus-token compression this tokenizer achieves. */
+  private val q97 = {
+    val merges = Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+      "s" -> "t", "m" -> "e", "t" -> "o", "a" -> "t")
+    val mergeSqlInner = merges.foldLeft(
+      "' ' || array_to_string(str_split(tok, ''), ' ') || ' '") {
+      case (acc, (a, b)) => s"replace($acc, ' $a $b ', ' $a$b ')" }
+    QuerySpec(
+      "q97_bpe_segment",
+      (s, dir) => TextAnalysis.bpeSegment(t(s, dir, "documents"), "text",
+          merges)
+        .orderBy(col("freq").desc, col("tok")).limit(20),
+      Some(s"""WITH toks AS (SELECT unnest(str_split(text, ' ')) AS tok
+          FROM documents),
+        vocab AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1),
+        seg AS (SELECT tok, freq, trim($mergeSqlInner) AS segmented
+          FROM vocab)
+        SELECT tok, freq, segmented,
+          CAST(len(str_split(segmented, ' ')) AS BIGINT) AS n_symbols
+        FROM seg ORDER BY freq DESC, tok LIMIT 20"""))
+  }
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2599,5 +2625,5 @@ object QueryCatalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
+    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97)
 }

@@ -303,6 +303,66 @@ object TextAnalysis {
         .cast("long"))
   }
 
+  /** BPE tokenizer application — the other half of [[bpePairStats]]: apply a
+    * rank-ordered merge table to the corpus vocabulary and report each
+    * word's segmentation. A word starts as its space-separated character
+    * sequence; each merge (a, b) → ab rewrites every space-delimited
+    * occurrence left-to-right, one `replace` pass per merge rank. Returns
+    * (tok, freq, segmented, n_symbols); Σ freq·n_symbols is the corpus
+    * token count under this tokenizer — the compression curve point.
+    *
+    * Semantics note: this equals canonical greedy BPE EXCEPT on a run of
+    * the same pair inside one word ("aaaa" under (a,a) → `aa a a`, not
+    * `aa aa`): adjacent matches share their delimiter space, so the
+    * single-pass rewrite takes every OTHER occurrence of a run. The
+    * deviation is confined to same-symbol runs (rare in natural-language
+    * vocabularies), is deterministic, and is shared bit-for-bit by the SQL
+    * oracle. [[graft.functions.BpeSegment]] is the canonical-BPE twin
+    * (fused per-word merge loop, property-tested against a driver
+    * reference) for consumers that need exact tokenizer parity.
+    *
+    * Scale shape: segmentation runs over the collapsed VOCABULARY (distinct
+    * words), not corpus tokens — the merge-chain cost is |vocab| × |merges|
+    * row-local codegen'd string rewrites, no shuffle beyond the vocab
+    * aggregate. The merge table is a plan literal (a real tokenizer ships
+    * thousands of merges; they stay O(KB) in the plan, and per-JVM DFA-style
+    * caching like [[graft.functions.PolicyHits]] is the swap-in if the
+    * chain ever dominates). */
+  def bpeSegment(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab = df
+      .select(explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .groupBy(col("tc.tok").as("tok"))
+      .agg(sum("tc.tf").as("freq"))
+    // " a b c " padding: every symbol occurrence is space-delimited on both
+    // sides, so a merge pattern " a b " can never match across word edges
+    // or inside a longer symbol
+    val spaced = concat(lit(" "),
+      array_join(split(col("tok"), ""), " "), lit(" "))
+    val mergedCol = merges.foldLeft(spaced) { case (c, (a, b)) =>
+      replace(c, lit(s" $a $b "), lit(s" $a$b ")) }
+    vocab.withColumn("segmented", trim(mergedCol))
+      .withColumn("n_symbols", size(split(trim(mergedCol), " ")).cast("long"))
+  }
+
+  /** Canonical-BPE twin of [[bpeSegment]] (exact subword-nmt semantics,
+    * including same-pair runs) via the fused per-word merge loop
+    * [[graft.functions.BpeSegment]]. Same output shape; same scale shape
+    * (vocabulary-collapsed, row-local codegen). Not SQL-oracle-expressible
+    * (the best-rank rescan loop has no bounded declarative form) —
+    * property-tested against [[bpeSegment]] on run-free vocabularies and
+    * against hand-computed run cases. */
+  def bpeSegmentExact(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab = df
+      .select(explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .groupBy(col("tc.tok").as("tok"))
+      .agg(sum("tc.tf").as("freq"))
+    val seg = graft.functions.BpeSegment(col("tok"), merges)
+    vocab.withColumn("segmented", seg)
+      .withColumn("n_symbols", size(split(col("segmented"), " ")).cast("long"))
+  }
+
   /** Quality-quantile gate: keep the top `keepFrac` of the corpus by
     * [[qualityScore]], exactly — equivalent to
     * `row_number() OVER (ORDER BY score DESC, id) <= floor(keepFrac·N)`

@@ -708,6 +708,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a != b && a == a2)
   }
 
+  test("bpeSegment: greedy leftmost merges, chained symbols, corpus token count") {
+    import spark.implicits._
+    val df = Seq("lower lower aaaa go").toDF("text")
+    // (l,o) then (lo,w): the second merge consumes the FIRST merge's output
+    // symbol — the rank-chaining BPE is defined by
+    val seg = TextAnalysis.bpeSegment(df, "text",
+      Seq("l" -> "o", "lo" -> "w", "a" -> "a"))
+      .collect().map(r => r.getString(0) -> ((r.getString(2), r.getLong(3), r.getLong(1)))).toMap
+    assert(seg("lower") == (("low e r", 3L, 2L)))
+    // documented deviation from canonical BPE: a same-pair RUN merges every
+    // other occurrence (shared delimiter space), canonical would give "aa aa"
+    assert(seg("aaaa") == (("aa a a", 3L, 1L)))
+    assert(seg("go") == (("g o", 2L, 1L))) // untouched by any merge
+    // corpus token count under the tokenizer: sum freq * n_symbols
+    val total = TextAnalysis.bpeSegment(df, "text", Seq("l" -> "o", "lo" -> "w", "a" -> "a"))
+      .agg(sum(col("freq") * col("n_symbols"))).head().getLong(0)
+    assert(total == 2 * 3 + 3 + 2) // lower×2 → 6, aaaa → 3, go → 2
+  }
+
+  test("bpeSegmentExact: canonical run semantics, rank priority, agrees with declarative twin off-runs") {
+    import spark.implicits._
+    val merges = Seq("l" -> "o", "lo" -> "w", "a" -> "a", "e" -> "r")
+    val df = Seq("lower aaaa ababab go").toDF("text")
+    val seg = TextAnalysis.bpeSegmentExact(df, "text", merges)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    // canonical BPE merges a same-pair run pairwise: (aa)(aa), not aa,a,a
+    assert(seg("aaaa") == "aa aa")
+    assert(seg("lower") == "low er") // (l,o),(lo,w) chain, then (e,r)
+    assert(seg("go") == "g o")
+    // rank priority + rescan: (l,o) rank 0 merges first even though (e,r)
+    // appears earlier in the word; the rescan then merges (e,r) too
+    val df2 = Seq("erlo").toDF("text")
+    val seg2 = TextAnalysis.bpeSegmentExact(df2, "text", merges)
+      .head().getString(2)
+    assert(seg2 == "er lo")
+    // on a run-free vocabulary the declarative twin must agree exactly
+    val prose = Seq("the quick brown fox jumped over the lazy dogs").toDF("text")
+    val m2 = Seq("t" -> "h", "th" -> "e", "o" -> "x", "e" -> "d")
+    val a = TextAnalysis.bpeSegmentExact(prose, "text", m2)
+      .select(col("tok"), col("segmented")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val b = TextAnalysis.bpeSegment(prose, "text", m2)
+      .select(col("tok"), col("segmented")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(a == b)
+  }
+
   test("bpePairStats: hand-computed pair counts on a tiny vocabulary") {
     import spark.implicits._
     // vocab: "aab"×3 (docs repeat it), "ab"×1, "x"×1 (len<2 → ignored).
