@@ -2614,6 +2614,69 @@ object QueryCatalog {
         FROM seg ORDER BY freq DESC, tok LIMIT 20"""))
   }
 
+  /** Range-dimension join ([[ScaleOps.rangeBucketJoin]]): events banded by
+    * value range via bucket expansion + equi join + residual predicate —
+    * the hash-join plan of a range lookup (the naive BETWEEN join plans
+    * BNLJ; the catalog sweep enforces this one does NOT). Sums travel as
+    * integer cents so the per-band Σ is fold-order-free. */
+  private val q98 = {
+    val bands = Seq((0.0, 1.0, "b0_micro"), (1.0, 5.0, "b1_small"),
+      (5.0, 20.0, "b2_mid"), (20.0, 100.0, "b3_large"),
+      (100.0, 1000.0, "b4_huge"))
+    val bandsSql = bands.map { case (lo, hi, b) => s"($lo, $hi, '$b')" }
+      .mkString(", ")
+    QuerySpec(
+      "q98_range_band_join",
+      (s, dir) => {
+        import s.implicits._
+        val dims = bands.toDF("lo", "hi", "band")
+        graft.operators.ScaleOps.rangeBucketJoin(
+            t(s, dir, "events").select(col("event_id"), col("value")),
+            "value", dims, "lo", "hi", bucketWidth = 10.0)
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100.0, 0).cast("long")).as("sum_cents"))
+          .orderBy(col("band"))
+      },
+      Some(s"""WITH bands(lo, hi, band) AS (VALUES $bandsSql),
+        j AS (SELECT e.value, b.band FROM events e JOIN bands b
+          ON e.value >= b.lo AND e.value < b.hi)
+        SELECT band, count(*) AS n_events,
+          CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+            AS sum_cents
+        FROM j GROUP BY 1 ORDER BY 1"""))
+  }
+
+  /** Per-source quality quantiles ([[ScaleOps.groupQuantiles]]): p50/p90/p99
+    * of the 6dp quality score per source, via the bounded per-group
+    * histogram — no per-group sort of raw rows. The oracle mirrors the
+    * ceil(n·p/1000) discrete-quantile selection exactly. */
+  private val q99 = QuerySpec(
+    "q99_source_quantiles",
+    (s, dir) => graft.operators.ScaleOps.groupQuantiles(
+        t(s, dir, "documents"), "source",
+        TextAnalysis.qualityScore(col("text")),
+        Seq(500, 900, 990))
+      .orderBy(col("source"), col("p_permille")),
+    Some(s"""WITH scored AS (SELECT source, $QualityScoreSql AS v
+        FROM documents),
+      hist AS (SELECT source, v, count(*) AS c FROM scored GROUP BY 1, 2),
+      cum AS (SELECT source, v, c,
+          sum(c) OVER (PARTITION BY source ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          sum(c) OVER (PARTITION BY source) AS n
+        FROM hist),
+      q AS (
+        SELECT source, CAST(500 AS BIGINT) AS p_permille, min(v) AS q
+        FROM cum WHERE cum >= (n * 500 + 999) // 1000 GROUP BY 1
+        UNION ALL
+        SELECT source, CAST(900 AS BIGINT), min(v)
+        FROM cum WHERE cum >= (n * 900 + 999) // 1000 GROUP BY 1
+        UNION ALL
+        SELECT source, CAST(990 AS BIGINT), min(v)
+        FROM cum WHERE cum >= (n * 990 + 999) // 1000 GROUP BY 1)
+      SELECT source, p_permille, q FROM q ORDER BY source, p_permille"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2625,5 +2688,6 @@ object QueryCatalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
-    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97)
+    q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
+    q98, q99)
 }

@@ -594,6 +594,32 @@ object StressMain {
       time("asof backward join")(
         AsofJoin.backward(purchases, clicks, Seq("user_id"), "ts",
           Seq("click_value")).count())
+    } else if (args.headOption.contains("prototype")) {
+      // embedding-grain round-6 ops at volume: replicate the sf0.1
+      // embeddings WIDE (new vec_ids, jittered vectors so cells/labels
+      // stay populated but vectors stay distinct)
+      val factor = args.lift(1).map(_.toInt).getOrElse(100)
+      import graft.operators.Similarity
+      val emb = s.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val big = emb.crossJoin(s.range(factor).select(col("id").as("rep")))
+        .select(
+          (col("rep") * 10000000L + col("vec_id")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + (pmod(col("rep") * 31 + i * 7, lit(1000)).cast("float") -
+              lit(500f)) / lit(100000f))).as("embedding"),
+          col("label"))
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"materialize ${factor}x embeddings")(big.count())
+      // prototype build + scoring: (label, dim)-keyed aggregate then one
+      // broadcast-scored map pass; must stay ~linear in the factor
+      time("labelOutliers k=10")(
+        Similarity.labelOutliers(big, k = 10).count())
+      // IVF assignment + per-cell cap: |corpus| × nlist scored assignment,
+      // WindowGroupLimit keeps the shuffle at nlist × cap rows
+      time("cellBalancedSample nlist=64 cap=1000")(
+        Similarity.cellBalancedSample(big, nlist = 64, cap = 1000).count())
+      graft.core.CacheScope.drain()
     } else {
       val factor = args.headOption.map(_.toDouble).getOrElse(1.0)
       StressGen.registerAll(s, factor)

@@ -249,6 +249,63 @@ object ScaleOps {
           .as("weight"))
   }
 
+  /** Range join without the nested loop: join facts to `[lo, hi)` range
+    * dimensions (IP→geo tables, score bands, time buckets…) by expanding
+    * each range to the fixed-width BUCKETS it covers, equi-joining on the
+    * bucket, and applying the exact range predicate as a residual filter.
+    * Naively `fact JOIN dims ON key >= lo AND key < hi` plans
+    * BroadcastNestedLoopJoin — every fact row probes every range, the plan
+    * that dies first at corpus scale. Bucketing turns it into a hash join:
+    * cost |fact| + Σ(range width / bucketWidth), with the residual filter
+    * evaluated only on same-bucket candidates.
+    *
+    * `bucketWidth` trades dim fan-out for candidate precision — pick it
+    * near the median range width so most buckets hold one range. Ranges
+    * may overlap (a fact then matches every covering range, exactly like
+    * the naive join would). */
+  def rangeBucketJoin(fact: DataFrame, keyCol: String, dims: DataFrame,
+      loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0.0, "bucketWidth > 0")
+    val expanded = dims.withColumn("_bucket",
+      explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    fact.withColumn("_bucket", floor(col(keyCol) / bucketWidth).cast("long"))
+      .join(expanded, Seq("_bucket"))
+      .where(col(keyCol) >= col(loCol) && col(keyCol) < col(hiCol))
+      .drop("_bucket")
+  }
+
+  /** Exact per-group discrete quantiles WITHOUT a per-group sort of the
+    * raw rows: the [[graft.operators.TextAnalysis.qualityGate]] bounded-
+    * histogram construction, generalized. `valueCol` must be LOW-CARDINALITY
+    * by construction (e.g. a score rounded to 6dp) — the histogram
+    * (group × distinct value) is then a bounded aggregate with map-side
+    * combine, the cumulative window runs over histogram rows (never corpus
+    * rows), and each requested permille `p` reads off the smallest value
+    * whose cumulative count reaches ceil(n·p/1000) — the p-th discrete
+    * quantile. Returns (group, p_permille, q) in long form. */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: Column,
+      permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      "permilles in [1, 1000]")
+    val hist = df.groupBy(col(groupCol), valueCol.as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    // persist: one cumulative-histogram build feeds every requested quantile
+    val cum = graft.core.CacheScope.persist(hist
+      .withColumn("cum", sum("c").over(byG.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("c").over(byG)))
+    permilles.map { pm =>
+      // ceil(n·pm/1000): floor-of-double is exact here (n·pm + 999 ≪ 2^53)
+      cum.where(col("cum") >= floor((col("n") * pm + 999) / 1000).cast("long"))
+        .groupBy(col(groupCol))
+        .agg(min("v").as("q"))
+        .withColumn("p_permille", lit(pm.toLong))
+    }.reduce(_ unionByName _)
+      .select(col(groupCol), col("p_permille"), col("q"))
+  }
+
   /** Deterministic per-key row cap — the "at most N docs per domain/source"
     * quota every web-corpus mix applies. Survivors are chosen by the
     * md5-derived hash of `idCol` (reproducible across runs/engines/

@@ -308,6 +308,52 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("*(1) Filter bloom_might_contain"), plan.take(500))
   }
 
+  test("rangeBucketJoin == naive BETWEEN join, incl. overlaps and boundaries; no loop join") {
+    import spark.implicits._
+    val fact = Seq((1L, 0.0), (2L, 0.99), (3L, 1.0), (4L, 9.999), (5L, 10.0),
+      (6L, 25.0), (7L, 54.99), (8L, 55.0), (9L, 99.9)).toDF("id", "k")
+    // overlapping ranges: 20-60 and 50-100 both cover 54.99/55.0
+    val dims = Seq((0.0, 1.0, "a"), (1.0, 10.0, "b"), (10.0, 20.0, "c"),
+      (20.0, 60.0, "d"), (50.0, 100.0, "e")).toDF("lo", "hi", "band")
+    val got = ScaleOps.rangeBucketJoin(fact, "k", dims, "lo", "hi", 7.0)
+      .select(col("id"), col("band")).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = fact.join(dims, col("k") >= col("lo") && col("k") < col("hi"))
+      .select(col("id"), col("band")).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    assert(want.count(_._2 == "d") + want.count(_._2 == "e") >= 4) // overlap exercised
+    // the plan the operator exists for: a hash join, not a nested loop
+    val plan = ScaleOps.rangeBucketJoin(
+      spark.read.parquet(s"$sfDir/events.parquet"), "value", dims, "lo", "hi", 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(400))
+  }
+
+  test("groupQuantiles: hand-checked discrete quantiles, ties, p=1000 is the max") {
+    import spark.implicits._
+    // group g: values 1..10 once each → p50 = ceil(0.5·10)=5th = 5,
+    // p90 = 9, p1000 = 10; group h: 2,2,2,9 → p50 = 2nd = 2, p1000 = 9
+    val df = ((1 to 10).map(v => ("g", v.toDouble)) ++
+      Seq(("h", 2.0), ("h", 2.0), ("h", 2.0), ("h", 9.0))).toDF("src", "v")
+    val got = ScaleOps.groupQuantiles(df, "src", col("v"), Seq(500, 900, 1000))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got(("g", 500L)) == 5.0 && got(("g", 900L)) == 9.0 && got(("g", 1000L)) == 10.0)
+    assert(got(("h", 500L)) == 2.0 && got(("h", 900L)) == 9.0 && got(("h", 1000L)) == 9.0)
+    // agrees with a sort-based reference on the real corpus scores
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val score = graft.operators.TextAnalysis.qualityScore(col("text"))
+    val mine = ScaleOps.groupQuantiles(docs, "source", score, Seq(500))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val ref = docs.select(col("source"), score.as("v"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("v")))
+      .withColumn("n", org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .where(col("rn") === org.apache.spark.sql.functions.ceil(col("n") * 0.5).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mine == ref)
+  }
+
   test("temperatureWeights: α=1 mirrors the corpus, α<1 upweights rare strata") {
     import spark.implicits._
     // 90/9/1 split — the skew temperature sampling exists to soften
