@@ -2677,6 +2677,54 @@ object QueryCatalog {
         FROM cum WHERE cum >= (n * 990 + 999) // 1000 GROUP BY 1)
       SELECT source, p_permille, q FROM q ORDER BY source, p_permille"""))
 
+  /** Signal-agreement analysis ([[ScaleOps.microPearson]]): per-source
+    * Pearson r between the cheap heuristic quality score and the char-LM
+    * score — "is the fast filter a proxy for perplexity?". Sufficient
+    * statistics are exact integer micro-sums, so r is bit-identical in any
+    * engine (built-in corr() is not: running-covariance fold order). */
+  private val q100 = QuerySpec(
+    "q100_score_correlation",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.charLmScore(docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("lm_score"))
+      val joined = docs.select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .join(lm, Seq("doc_id"))
+      graft.operators.ScaleOps.microPearson(joined, "source",
+          col("quality"), col("lm_score"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH bg0 AS (SELECT doc_id,
+        unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bg
+      FROM documents),
+      bgc AS (SELECT doc_id, bg, count(*) AS n FROM bg0 GROUP BY 1, 2),
+      cab AS (SELECT bg, CAST(sum(n) AS BIGINT) AS cab FROM bgc GROUP BY 1),
+      ca AS (SELECT substr(bg, 1, 1) AS pfx, CAST(sum(cab) AS BIGINT) AS ca
+        FROM cab GROUP BY 1),
+      model AS (SELECT bg, cab, ca FROM cab JOIN ca
+        ON substr(cab.bg, 1, 1) = ca.pfx),
+      lm AS (SELECT doc_id,
+          round(sum(n * ln(CAST(cab AS DOUBLE) / ca)) / CAST(sum(n) AS DOUBLE), 6)
+            AS lm_score
+        FROM bgc JOIN model USING (bg) GROUP BY 1),
+      q AS (SELECT doc_id, source, $QualityScoreSql AS quality FROM documents),
+      m AS (SELECT q.source,
+          CAST(round(q.quality * 1000000.0, 0) AS BIGINT) AS xm,
+          CAST(round(lm.lm_score * 1000000.0, 0) AS BIGINT) AS ym
+        FROM q JOIN lm USING (doc_id)),
+      agg AS (SELECT source, count(*) AS n, sum(xm) AS sx, sum(ym) AS sy,
+          sum(xm * ym) AS sxy, sum(xm * xm) AS sxx, sum(ym * ym) AS syy
+        FROM m GROUP BY 1)
+      SELECT source, n,
+        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+      FROM agg ORDER BY source"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2689,5 +2737,5 @@ object QueryCatalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
-    q98, q99)
+    q98, q99, q100)
 }

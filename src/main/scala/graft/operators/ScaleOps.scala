@@ -306,6 +306,38 @@ object ScaleOps {
       .select(col(groupCol), col("p_permille"), col("q"))
   }
 
+  /** Per-group Pearson correlation between two score columns, engine-exact:
+    * both scores quantize to integer micro-units, the five sufficient
+    * statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL(38,0) —
+    * order-free EXACT integer sums, no fold-order sensitivity, no long
+    * overflow at corpus-scale n — and r derives from those integers in one
+    * fixed-parenthesization double expression. `corr()` built-ins are NOT
+    * reproducible across engines (running-covariance fold order); this is.
+    * Returns (group, n, r) with r rounded to 6dp.
+    *
+    * Scale shape: one narrow map pass (quantize) into a group-keyed
+    * aggregate with map-side combine — the classic one-pass sufficient-
+    * statistics plan; nothing corpus-sized shuffles. */
+  def microPearson(df: DataFrame, groupCol: String, x: Column,
+      y: Column): DataFrame = {
+    val xm = round(x * 1000000.0, 0).cast("long")
+    val ym = round(y * 1000000.0, 0).cast("long")
+    val d = (c: Column) => c.cast("double")
+    val agg = df.select(col(groupCol), xm.as("xm"), ym.as("ym"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xm").cast("decimal(38,0)")).as("sx"),
+        sum(col("ym").cast("decimal(38,0)")).as("sy"),
+        sum((col("xm") * col("ym")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("xm") * col("xm")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("ym") * col("ym")).cast("decimal(38,0)")).as("syy"))
+    agg.select(col(groupCol), col("n"),
+      round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+        sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+          (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
+        .as("r"))
+  }
+
   /** Deterministic per-key row cap — the "at most N docs per domain/source"
     * quota every web-corpus mix applies. Survivors are chosen by the
     * md5-derived hash of `idCol` (reproducible across runs/engines/

@@ -354,6 +354,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(mine == ref)
   }
 
+  test("microPearson: exact ±1 on linear data, matches a driver-side reference otherwise") {
+    import spark.implicits._
+    val df = Seq(
+      ("lin", 1.0, 2.0), ("lin", 2.0, 4.0), ("lin", 3.0, 6.0),
+      ("anti", 1.0, 3.0), ("anti", 2.0, 2.0), ("anti", 3.0, 1.0),
+      ("mix", 1.0, 1.0), ("mix", 2.0, 3.0), ("mix", 3.0, 2.0))
+      .toDF("g", "x", "y")
+    val got = ScaleOps.microPearson(df, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("lin") == ((3L, 1.0)))
+    assert(got("anti") == ((3L, -1.0)))
+    // driver reference on the micro-quantized values
+    def ref(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val xm = xs.map(v => math.round(v * 1e6))
+      val ym = ys.map(v => math.round(v * 1e6))
+      val n = xm.size.toDouble
+      val (sx, sy) = (xm.sum.toDouble, ym.sum.toDouble)
+      val sxy = xm.zip(ym).map { case (a, b) => a.toDouble * b }.sum
+      val (sxx, syy) = (xm.map(a => a.toDouble * a).sum, ym.map(a => a.toDouble * a).sum)
+      math.rint(((n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1e6) / 1e6
+    }
+    assert(math.abs(got("mix")._2 - ref(Seq(1, 2, 3), Seq(1, 3, 2))) < 2e-6)
+  }
+
   test("temperatureWeights: α=1 mirrors the corpus, α<1 upweights rare strata") {
     import spark.implicits._
     // 90/9/1 split — the skew temperature sampling exists to soften
