@@ -68,6 +68,14 @@ object CurationJob {
       // this corpus", applied where it's cheapest (dedup already paid for
       // docs that would have been cut anyway is avoided by running LAST).
       tokenBudget: Option[Long] = None,
+      // leakage-free split ([[Components.componentSplit]]): assign each
+      // surviving doc a train/val/test label hash-split at the NEAR-DUP-
+      // CLUSTER grain, so no eval doc has a training-side paraphrase. Edges
+      // come from a second LSH pass at `splitJaccard` — deliberately LOWER
+      // than nearDupJaccard: pairs too dissimilar to dedup can still leak,
+      // so they must co-locate. Chunks inherit their document's split.
+      splitPermilles: Option[Seq[(String, Int)]] = None,
+      splitJaccard: Double = 0.5,
       chunkTokens: Int = 50,
       chunkOverlap: Int = 10,
       samplePermille: Int = 1000, // 1000 = keep everything
@@ -239,10 +247,27 @@ object CurationJob {
         unique.join(keep, Seq("doc_id"), "left_semi")
     }
 
-    // 4. chunking — one row per context window
-    val chunked = budgeted.select(col("doc_id"),
-        posexplode(TextAnalysis.chunk(col("text"), cfg.chunkTokens, cfg.chunkOverlap)))
-      .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("chunk"))
+    // 3e. leakage-free split assignment (optional) — cluster-grain labels
+    // over the final doc set; the edge pass reuses the minhash machinery at
+    // the looser splitJaccard threshold
+    val labeled = cfg.splitPermilles match {
+      case None => budgeted
+      case Some(pm) =>
+        val edges = Dedup.minhashCandidates(budgeted, "doc_id", "text",
+            bands = cfg.minhashBands, maxBucketSize = cfg.maxBucketSize)
+          .where(col("est_jaccard") >= cfg.splitJaccard)
+        val lab = Components.componentSplit(budgeted, "doc_id", edges,
+          "id_a", "id_b", pm)
+        budgeted.join(lab.select(col("doc_id"), col("split")), Seq("doc_id"))
+    }
+
+    // 4. chunking — one row per context window (split label, when present,
+    // rides the doc row into every chunk)
+    val carried = cfg.splitPermilles.map(_ => col("split")).toSeq
+    val chunked = labeled.select(Seq(col("doc_id")) ++ carried :+
+        posexplode(TextAnalysis.chunk(col("text"), cfg.chunkTokens, cfg.chunkOverlap)): _*)
+      .select(Seq(col("doc_id")) ++ carried :+ col("pos").as("chunk_idx") :+
+        col("col").as("chunk"): _*)
     val chunks = chunked.count()
 
     // 5. deterministic sampling to the target budget (reproducible mixing):

@@ -291,18 +291,20 @@ object ScaleOps {
     val hist = df.groupBy(col(groupCol), valueCol.as("v"))
       .agg(count(lit(1)).as("c"))
     val byG = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
-    // persist: one cumulative-histogram build feeds every requested quantile
-    val cum = graft.core.CacheScope.persist(hist
+    val cum = hist
       .withColumn("cum", sum("c").over(byG.orderBy(col("v"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .withColumn("n", sum("c").over(byG)))
-    permilles.map { pm =>
-      // ceil(n·pm/1000): floor-of-double is exact here (n·pm + 999 ≪ 2^53)
-      cum.where(col("cum") >= floor((col("n") * pm + 999) / 1000).cast("long"))
-        .groupBy(col(groupCol))
-        .agg(min("v").as("q"))
-        .withColumn("p_permille", lit(pm.toLong))
-    }.reduce(_ unionByName _)
+      .withColumn("n", sum("c").over(byG))
+    // one pass for every requested quantile: fan each histogram row out to
+    // the |permilles| targets (bounded ×K on histogram rows, not corpus
+    // rows), filter to reached targets, take the min value per target.
+    // ceil(n·pm/1000): floor-of-double is exact here (n·pm + 999 ≪ 2^53)
+    cum.withColumn("p_permille",
+        explode(array(permilles.map(p => lit(p.toLong)): _*)))
+      .where(col("cum") >=
+        floor((col("n") * col("p_permille") + 999) / 1000).cast("long"))
+      .groupBy(col(groupCol), col("p_permille"))
+      .agg(min("v").as("q"))
       .select(col(groupCol), col("p_permille"), col("q"))
   }
 

@@ -259,6 +259,35 @@ class CurationJobSpec extends SparkSpec {
     assert(stats2.decontaminated == 0)
   }
 
+  test("split stage: near-dups below the dedup cut still share a split; chunks inherit it") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and it is a fine " +
+      "day for running through the field with good cheer in the sun today"
+    // doc 2 shares a long prefix with doc 1 — similar enough to leak
+    // (est_jaccard ≥ 0.3) but BELOW the 0.9 dedup threshold, so both
+    // survive dedup and must co-locate in one split
+    val para = base.split(" ").dropRight(5).mkString(" ") +
+      " beneath a warm bright open sky"
+    val other = "an entirely different english text about ships and the wide " +
+      "grey sea with storms and salt and the long patient work of sailors"
+    val docs = Seq((1L, base, "en"), (2L, para, "en"), (3L, other, "en"))
+      .toDF("doc_id", "text", "lang")
+    val cfg = CurationJob.Config(minQuality = 0.1, nearDupJaccard = 0.9,
+      splitPermilles = Some(Seq("train" -> 500, "val" -> 250, "test" -> 250)),
+      splitJaccard = 0.3)
+    val (out, stats) = CurationJob.run(docs, cfg)
+    assert(stats.afterNearDup == 3, "fixture: nothing deduped")
+    assert(out.columns.contains("split"))
+    val byDoc = out.select("doc_id", "split").distinct()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc.size == 3, "every doc labeled with exactly one split")
+    assert(byDoc(1L) == byDoc(2L), "leaky pair must share a split")
+    // every chunk of a doc carries that doc's split
+    val chunkSplits = out.groupBy("doc_id")
+      .agg(countDistinct(col("split")).as("n")).collect()
+    assert(chunkSplits.forall(_.getLong(1) == 1L))
+  }
+
   test("real documents table flows end-to-end with sane funnels") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val (out, stats) = CurationJob.run(docs,
