@@ -128,6 +128,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
   }
 
+  test("q92 cluster-balanced sample pushes the per-cell cap map-side (WindowGroupLimit)") {
+    val p = planOf("q92_cluster_balanced_sample")
+    // the cap's rank filter caps each cell before the exchange — the shuffle
+    // carries at most nlist×cap rows, the property the coreset cut rests on
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
+  }
+
+  test("q95 label outliers: prototypes broadcast, scoring joins hash-keyed on label") {
+    val p = planOf("q95_label_outliers")
+    // the |labels|-row prototype table broadcasts; the corpus-side scoring
+    // pass must be a broadcast hash join on the label key, never a loop join
+    assert(p.contains("BroadcastHashJoin"), s"prototype broadcast missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"scoring planned as a loop join:\n$p")
+  }
+
+  test("q98 range-band join plans a hash join on the bucket, residual as filter") {
+    val p = planOf("q98_range_band_join")
+    // the whole point of bucket expansion: the BETWEEN lookup becomes an
+    // equi join (the naive form is BNLJ — asserted different here)
+    assert(p.contains("HashJoin"), s"bucket equi join missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a loop join:\n$p")
+  }
+
+  test("q100 correlation is one partial-aggregated exchange over sufficient statistics") {
+    val p = planOf("q100_score_correlation")
+    // five integer sums with map-side combine — the one-pass sufficient-
+    // statistics plan (partial_sum before the source-keyed exchange)
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"map-side combine missing:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q64 sequence packing windows are SHARDED, not one global sort") {
     val p = planOf("q64_sequence_pack")
     // the running-sum window must partition by shard — a global (empty
