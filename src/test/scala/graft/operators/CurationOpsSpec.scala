@@ -256,6 +256,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(sd.count() == 2 && sd.where(!col("keep")).count() == 0)
   }
 
+  test("degenerate inputs, round-6 ops: empty/singleton corpora, edge params") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.bpePairStats(empty, "text", 5).count() == 0)
+    assert(TextAnalysis.bpeSegment(empty, "text", Seq("a" -> "b")).count() == 0)
+    // no merges at all: every word stays fully split (the declarative form
+    // takes Nil as "zero merge passes")
+    val one = Seq((1L, "abc x")).toDF("doc_id", "text")
+    val unsplit = TextAnalysis.bpeSegment(one, "text", Nil)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(unsplit("abc") == "a b c" && unsplit("x") == "x")
+    // quantiles: single row → every permille returns that value
+    val single = Seq(("g", 7.5)).toDF("src", "v")
+    val q = ScaleOps.groupQuantiles(single, "src", col("v"), Seq(1, 500, 1000))
+      .collect().map(_.getDouble(2))
+    assert(q.length == 3 && q.forall(_ == 7.5))
+    // temperature weights: one stratum → weight exactly 1.0 at any alpha
+    val w = ScaleOps.temperatureWeights(single, "src", 0.3)
+      .head()
+    assert(w.getLong(1) == 1L && w.getDouble(3) == 1.0)
+    // range join: empty dims → empty result, not a crash
+    val noDims = Seq.empty[(Double, Double, String)].toDF("lo", "hi", "band")
+    assert(ScaleOps.rangeBucketJoin(single.toDF("src", "k"), "k",
+      noDims, "lo", "hi", 1.0).count() == 0)
+    // hard negatives: all labels equal → nothing to mine
+    val mono = Seq((0L, Seq(1f, 0f), 1), (1L, Seq(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardNegatives(mono, mono, k = 3).count() == 0)
+    // microPearson: constant column → zero variance → r is NULL (0/0), not a crash
+    val const = Seq(("g", 1.0, 2.0), ("g", 1.0, 3.0)).toDF("g", "x", "y")
+    val r = ScaleOps.microPearson(const, "g", col("x"), col("y")).head()
+    assert(r.isNullAt(2))
+  }
+
   test("epochMix fractional subset == hashSample of the same permille") {
     // weight 0.4 keeps exactly the docs hashSample(permille=400) keeps —
     // the hash-decision composition contract across mixing primitives
