@@ -77,9 +77,11 @@ final case class BpeSegment(child: Expression, merges: Seq[(String, String)])
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
       s"bpe_segment requires a string input, got ${child.dataType}")
-    else if (merges.isEmpty || merges.exists(m => m._1.isEmpty || m._2.isEmpty))
+    else if (merges.exists(m => m._1.isEmpty || m._2.isEmpty))
       TypeCheckResult.TypeCheckFailure(
-        "bpe_segment requires a non-empty merge list of non-empty symbol pairs")
+        "bpe_segment merge pairs must be non-empty symbols")
+    // an EMPTY merge list is legal: the segmentation is then the plain
+    // code-point split — the trainer's round-0 state
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = StringType

@@ -753,6 +753,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bpeTrain: greedy merge order is hand-checkable; compression is monotone") {
+    import spark.implicits._
+    // vocab: low×3, lower×1, lowest×1. char-pair weights: (l,o)=5, (o,w)=5,
+    // (w,e)=2, rest 1 — tie at 5 breaks lexicographically to (l,o); after
+    // it, (lo,w)=5 dominates; then (low,e)=2.
+    val df = Seq("low low lower", "low lowest").toDF("text")
+    val merges = TextAnalysis.bpeTrain(df, "text", numMerges = 3)
+    assert(merges == Seq("l" -> "o", "lo" -> "w", "low" -> "e"))
+    // each adopted merge strictly shrinks the corpus token count
+    val totals = (0 to 3).map { k =>
+      TextAnalysis.bpeSegmentExact(df, "text", merges.take(k))
+        .agg(sum(col("freq") * col("n_symbols"))).head().getLong(0)
+    }
+    assert(totals == totals.sorted.reverse && totals.distinct == totals,
+      s"token counts not strictly decreasing: $totals")
+    // training exhausts gracefully: asking for more merges than exist stops
+    val tiny = Seq("ab ab").toDF("text")
+    val all = TextAnalysis.bpeTrain(tiny, "text", numMerges = 10)
+    assert(all == Seq("a" -> "b"))
+  }
+
   test("bpePairStats: hand-computed pair counts on a tiny vocabulary") {
     import spark.implicits._
     // vocab: "aab"×3 (docs repeat it), "ab"×1, "x"×1 (len<2 → ignored).
