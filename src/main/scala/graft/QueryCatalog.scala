@@ -2725,6 +2725,41 @@ object QueryCatalog {
               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
       FROM agg ORDER BY source"""))
 
+  /** int8-quantized ANN ([[Similarity.int8TopK]]): the quantized-storage
+    * accuracy checkpoint. All similarity math is exact integer arithmetic
+    * after quantization, so the ranking needs no float fold-order care —
+    * only the quantization rounding itself must match, and it does (both
+    * engines round half away from zero). */
+  private val q101 = QuerySpec(
+    "q101_ann_int8",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.int8TopK(emb, emb.where(col("vec_id") < 8), k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("q_cosine"), 6).as("q_cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH qz AS (SELECT vec_id,
+        list_transform(embedding::DOUBLE[], x -> round(x * 127.0 /
+          list_max(list_transform(embedding::DOUBLE[], y -> abs(y))), 0)) AS v
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 8),
+      c AS (SELECT vec_id AS neighbor_id, v AS cv FROM qz),
+      scored AS (SELECT query_id, neighbor_id,
+          list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]),
+            (x, y) -> x + y) /
+          (sqrt(list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]),
+            (x, y) -> x + y)) *
+           sqrt(list_reduce(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]),
+            (x, y) -> x + y))) AS q_cosine
+        FROM c, q WHERE query_id <> neighbor_id),
+      ranked AS (SELECT query_id, neighbor_id, q_cosine,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY q_cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, round(q_cosine, 6) AS q_cosine
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2737,5 +2772,5 @@ object QueryCatalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
-    q98, q99, q100)
+    q98, q99, q100, q101)
 }

@@ -319,6 +319,44 @@ object Similarity {
       .select(col(idCol), col("cid"))
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * `m = max|v_i|`, components `q_i = round(v_i·127/m)` — 4× smaller
+    * vectors, the memory-bandwidth trade every production vector store
+    * makes. Quantized similarity is then EXACT integer arithmetic
+    * (Σ q_i·q'_i with |q|≤127 over embedding-width dims sits far below
+    * 2^53), so quantized rankings are bit-reproducible in any engine —
+    * no float fold-order caveats at all. */
+  def quantizeInt8(v: Column): Column = {
+    val m = array_max(transform(v, x => abs(x.cast("double"))))
+    transform(v, x => round(x.cast("double") * 127.0 / m, 0).cast("long"))
+  }
+
+  /** Brute-force top-k over int8-QUANTIZED vectors ([[quantizeInt8]]):
+    * the accuracy/footprint checkpoint run before adopting quantized
+    * storage — same plan as [[bruteForceTopK]] (queries broadcast, corpus
+    * streams map-side), but every dot/norm is an exact integer fold.
+    * Returns (query_id, rank, neighbor_id, q_cosine). */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // quantized components re-widen to double for the codegen'd ArrayDot —
+    // still exact: every value is an integer with |q| ≤ 127
+    val widen = (v: Column) => transform(quantizeInt8(v), _.cast("double"))
+    val q = queries.select(col(idCol).as("query_id"),
+      widen(col(vecCol)).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      widen(col(vecCol)).as("c_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("q_cosine",
+        Vectors.dot(col("q_vec"), col("c_vec")) /
+          (sqrt(Vectors.dot(col("q_vec"), col("q_vec"))) *
+           sqrt(Vectors.dot(col("c_vec"), col("c_vec")))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("q_cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "q_cosine")
+  }
+
   /** Scale path: bucket corpus and queries by sign-LSH signature, join on the
     * bucket (hash shuffle on a small key — no cross join anywhere), then exact
     * cosine re-rank inside buckets. Approximate: recall < 1 by construction. */

@@ -21,6 +21,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "q88_bm25_topk",          // (N, avgdl) scalars: same 1-row broadcast
     "q92_cluster_balanced_sample", // IVF cell assignment: corpus × broadcast(nlist)
     "q93_hard_negatives",     // exhaustive baseline (q22 contract) + label inequality
+    "q101_ann_int8",          // exhaustive baseline on quantized vectors (q22 contract)
     "q94_temperature_mix")    // (N, Σmicro) scalars: two 1-row broadcasts
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {

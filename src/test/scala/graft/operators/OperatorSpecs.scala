@@ -405,6 +405,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_._3 != 0)) // own label never mined
   }
 
+  test("int8TopK: quantization is ±127 integers; top-k recall vs float is high") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qz = emb.limit(50).select(Similarity.quantizeInt8(col("embedding")).as("q"))
+      .collect().flatMap(_.getSeq[Long](0))
+    assert(qz.forall(v => v >= -127 && v <= 127))
+    assert(qz.exists(v => math.abs(v) == 127), "scale component must hit ±127")
+    val queries = emb.where(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = Similarity.int8TopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.85, s"int8 recall@5 too low: $recall")
+  }
+
   test("labelOutliers: the planted off-prototype member ranks first in its label") {
     import spark.implicits._
     // label 0 clusters near (1,0); vec 3 is planted orthogonal — the
