@@ -2760,6 +2760,39 @@ object QueryCatalog {
       SELECT query_id, rank, neighbor_id, round(q_cosine, 6) AS q_cosine
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Cross-corpus LM scoring ([[TextAnalysis.charLmScoreAgainst]]): every
+    * document scored under a model trained ONLY on the doc_id%7=0 reference
+    * slice — the CCNet trusted-reference perplexity filter, with unseen
+    * bigrams surfaced as `oov_bigrams` instead of smoothed away. */
+  private val q102 = QuerySpec(
+    "q102_cross_lm_score",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.charLmScoreAgainst(
+          docs.where(col("doc_id") % 7 === 0), docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH rbg AS (SELECT
+        unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bg
+      FROM documents WHERE doc_id % 7 = 0),
+      cab AS (SELECT bg, CAST(count(*) AS BIGINT) AS cab FROM rbg GROUP BY 1),
+      ca AS (SELECT substr(bg, 1, 1) AS pfx, CAST(sum(cab) AS BIGINT) AS ca
+        FROM cab GROUP BY 1),
+      model AS (SELECT bg, cab, ca FROM cab JOIN ca
+        ON substr(cab.bg, 1, 1) = ca.pfx),
+      dbg AS (SELECT doc_id,
+          unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bg
+        FROM documents),
+      dbgc AS (SELECT doc_id, bg, count(*) AS n FROM dbg GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        CAST(coalesce(sum(n) FILTER (WHERE cab IS NULL), 0) AS BIGINT)
+          AS oov_bigrams,
+        round(sum(n * ln(CAST(cab AS DOUBLE) / ca)) FILTER (WHERE cab IS NOT NULL)
+          / CAST(sum(n) FILTER (WHERE cab IS NOT NULL) AS DOUBLE), 6) AS lm_score
+      FROM dbgc LEFT JOIN model USING (bg)
+      GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2772,5 +2805,5 @@ object QueryCatalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
-    q98, q99, q100, q101)
+    q98, q99, q100, q101, q102)
 }

@@ -200,6 +200,41 @@ object TextAnalysis {
           6).as("lm_score"))
   }
 
+  /** Cross-corpus LM scoring — the CCNet shape: train the char-bigram model
+    * on a REFERENCE corpus (the trusted high-quality slice), score a
+    * different corpus under it. Unlike [[charLmScore]] (self-trained),
+    * scored text can contain bigrams the reference never saw; those carry
+    * no log-probability (no ad-hoc smoothing constant to un-pin the
+    * determinism) and are reported as `oov_bigrams` so the downstream gate
+    * can combine both signals — high OOV share IS the out-of-domain signal.
+    * Returns (id, n_bigrams, oov_bigrams, lm_score); lm_score is NULL for
+    * a document with zero in-model bigrams.
+    *
+    * Scale shape: identical to [[charLmScore]] — the model is bounded by
+    * charset² (broadcast-safe at any corpus size), one occurrence-grain
+    * aggregate per side, scoring joins map-side. */
+  def charLmScoreAgainst(ref: DataFrame, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val refBg = ref
+      .select(explode(graft.functions.CharBigramCounts(col(textCol))).as("bc"))
+      .select(col("bc.bg").as("bg"), col("bc.n").as("n"))
+    val model = lmModel(refBg, substring(col("bg"), 1, 1))
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.CharBigramCounts(col(textCol))).as("bc"))
+      .select(col("id"), col("bc.bg").as("bg"), col("bc.n").as("n"))
+      .join(broadcast(model), Seq("bg"), "left")
+      .groupBy("id")
+      .agg(
+        sum("n").as("n_bigrams"),
+        coalesce(sum(when(col("cab").isNull, col("n"))), lit(0L))
+          .as("oov_bigrams"),
+        round(
+          sum(when(col("cab").isNotNull,
+            col("n") * log(col("cab").cast("double") / col("ca")))) /
+            sum(when(col("cab").isNotNull, col("n"))).cast("double"),
+          6).as("lm_score"))
+  }
+
   /** Bigram LM model table (bg, cab, ca) from an exploded (id, bg, n) frame,
     * in ONE exchange over the bigram key: cab = Σn per distinct bigram
     * (groupBy with map-side combine), ca = Σcab per prefix via a whole-frame

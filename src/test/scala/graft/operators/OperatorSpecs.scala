@@ -769,6 +769,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("charLmScoreAgainst: in-domain text outscores out-of-domain; OOV accounting exact") {
+    import spark.implicits._
+    val ref = Seq("abab abab abab", "abba baab").toDF("text")
+    // scored corpus: doc 1 pure in-domain bigrams; doc 2 has 'xy'/'yz' the
+    // reference never saw; doc 3 entirely out-of-model
+    val docs = Seq((1L, "abab"), (2L, "abxyz"), (3L, "qq")).toDF("doc_id", "text")
+    val got = TextAnalysis.charLmScoreAgainst(ref, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    val (n1, oov1, s1) = got(1L)
+    assert(n1 == 3 && oov1 == 0 && s1.exists(_ > -1.5)) // 'ab','ba' dominate ref
+    val (n2, oov2, s2) = got(2L)
+    // bigrams ab,bx,xy,yz: only 'ab' exists in the reference model
+    assert(n2 == 4 && oov2 == 3 && s2.isDefined)
+    val (n3, oov3, s3) = got(3L)
+    assert(n3 == 1 && oov3 == 1 && s3.isEmpty, "all-OOV doc must score NULL")
+    // self-trained degenerate: scoring the reference under itself == charLmScore
+    val self = TextAnalysis.charLmScoreAgainst(ref,
+        ref.withColumn("doc_id", monotonically_increasing_id()), "doc_id", "text")
+      .agg(sum("oov_bigrams")).head().getLong(0)
+    assert(self == 0, "reference under its own model can have no OOV")
+  }
+
   test("bpeTrain: greedy merge order is hand-checkable; compression is monotone") {
     import spark.implicits._
     // vocab: low×3, lower×1, lowest×1. char-pair weights: (l,o)=5, (o,w)=5,
