@@ -2793,6 +2793,32 @@ object QueryCatalog {
       FROM dbgc LEFT JOIN model USING (bg)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Quality-weighted per-source subsample
+    * ([[graft.operators.ScaleOps.weightedCapPerKey]], Efraimidis–Spirakis
+    * A-Res with the md5 uniform): 5 docs per source, selection probability
+    * proportional to quality — reproducible bit-for-bit because the
+    * "random" draw is the engine-portable hash. */
+  private val q103 = QuerySpec(
+    "q103_weighted_sample",
+    (s, dir) => graft.operators.ScaleOps.weightedCapPerKey(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("quality")),
+        "source", "doc_id", col("quality"), cap = 5)
+      .orderBy(col("source"), col("doc_id")),
+    Some(s"""WITH scored AS (SELECT doc_id, source, $QualityScoreSql AS quality
+        FROM documents),
+      keyed AS (SELECT doc_id, source, quality,
+          pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 2147483647 + 1.0) / 2147483648.0,
+            1.0 / quality) AS k
+        FROM scored WHERE quality > 0),
+      ranked AS (SELECT doc_id, source, quality, row_number() OVER (
+          PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+        FROM keyed)
+      SELECT doc_id, source, quality FROM ranked WHERE rn <= 5
+      ORDER BY source, doc_id"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2805,5 +2831,5 @@ object QueryCatalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
-    q98, q99, q100, q101, q102)
+    q98, q99, q100, q101, q102, q103)
 }

@@ -357,6 +357,33 @@ object ScaleOps {
       .drop("_rn")
   }
 
+  /** Weighted sampling WITHOUT replacement, per key — the
+    * Efraimidis–Spirakis A-Res scheme (public algorithm): each row draws
+    * u ∈ (0, 1) and competes on the key u^(1/w); the top `cap` keys per
+    * group are a weight-proportional without-replacement sample. Here u is
+    * the md5-derived [[hashSample]] uniform, so the "random" draw is
+    * deterministic, engine-portable, and stable across reruns — the
+    * quality-weighted corpus subsample you can reproduce bit-for-bit.
+    * Rows with non-positive weight never survive (they'd need u^∞).
+    * Returns the surviving input rows.
+    *
+    * Scale shape: the competition key is row-local codegen; the per-group
+    * rank pushes map-side (WindowGroupLimit) exactly like [[capPerKey]],
+    * so the shuffle carries at most cap rows per key. */
+  def weightedCapPerKey(df: DataFrame, keyCol: String, idCol: String,
+      weightCol: Column, cap: Int): DataFrame = {
+    require(cap >= 1, "cap >= 1")
+    // (hash+1)/(P+1) ∈ (0, 1]: zero would send every weight to key 0
+    val u = (graft.functions.Hashing.stableHash31(col(idCol).cast("string"))
+      .cast("double") + 1.0) / (graft.functions.Hashing.P.toDouble + 1.0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(pow(u, lit(1.0) / weightCol).desc, col(idCol))
+    df.where(weightCol > 0.0)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= cap)
+      .drop("_rn")
+  }
+
   /** Deterministic train/validation/test (or any N-way) split: each key's
     * md5-derived hash lands in [0, 1000), and `permilles` carves that range
     * in order (remainder → the last label). Same hash as [[hashSample]], so

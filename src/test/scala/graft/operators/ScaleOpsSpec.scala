@@ -354,6 +354,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(mine == ref)
   }
 
+  test("weightedCapPerKey: cap holds, dominant weights always win, deterministic") {
+    import spark.implicits._
+    val df = ((1L to 40L).map(i => (i, "g", 0.001)) :+ ((99L, "g", 1000.0)))
+      .toDF("id", "grp", "w")
+    // the 1000.0-weight row's key u^(1/1000) ≈ 1 beats every 0.001-weight
+    // row's u^1000 ≈ 0 — A-Res proportionality at its extreme
+    val top1 = ScaleOps.weightedCapPerKey(df, "grp", "id", col("w"), cap = 1)
+      .collect().map(_.getLong(0))
+    assert(top1.toSeq == Seq(99L))
+    val s5a = ScaleOps.weightedCapPerKey(df, "grp", "id", col("w"), cap = 5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val s5b = ScaleOps.weightedCapPerKey(df, "grp", "id", col("w"), cap = 5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(s5a == s5b && s5a.length == 5 && s5a.contains(99L))
+    // non-positive weights never survive
+    val zw = df.withColumn("w", when(col("id") === 99L, 0.0).otherwise(col("w")))
+    assert(!ScaleOps.weightedCapPerKey(zw, "grp", "id", col("w"), cap = 41)
+      .collect().map(_.getLong(0)).contains(99L))
+    // the rank limit pushes map-side like capPerKey
+    val plan = ScaleOps.weightedCapPerKey(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("w", lit(1.0) + col("n_chars") / 10000.0),
+      "source", "doc_id", col("w"), cap = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(400))
+  }
+
   test("microPearson: exact ±1 on linear data, matches a driver-side reference otherwise") {
     import spark.implicits._
     val df = Seq(
