@@ -594,6 +594,40 @@ object StressMain {
       time("asof backward join")(
         AsofJoin.backward(purchases, clicks, Seq("user_id"), "ts",
           Seq("click_value")).count())
+    } else if (args.headOption.contains("rangejoin")) {
+      // bucketed range join at volume: events ×factor probing a dense
+      // 1000-range dimension. The naive BETWEEN join is |fact|×|dims| probe
+      // work (BNLJ); the bucketed plan is |fact| + Σ(width/bucketWidth) —
+      // run both at the base factor, only the bucketed one at volume.
+      val factor = args.lift(1).map(_.toInt).getOrElse(10)
+      val nDims = args.lift(2).map(_.toInt).getOrElse(1000)
+      import graft.operators.ScaleOps
+      val ev = s.read.parquet("/root/testdata/sf0.1/events.parquet")
+        .select(col("event_id"), col("value"))
+      val big = ev.crossJoin(s.range(factor).select(col("id").as("rep")))
+        .select(col("event_id"),
+          (col("value") + col("rep").cast("double") / 1000.0).as("value"))
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"materialize ${factor}x events")(big.count())
+      // nDims contiguous equal-width bands over value's [0, 500] domain;
+      // bucketWidth = band width → each range expands to ~1 bucket
+      val width = 500.0 / nDims
+      val dims = s.range(nDims).select(
+        (col("id").cast("double") * width).as("lo"),
+        ((col("id") + 1).cast("double") * width).as("hi"),
+        concat(lit("band"), col("id")).as("band"))
+      time(s"rangeBucketJoin (${factor}x fact, $nDims ranges)")(
+        ScaleOps.rangeBucketJoin(big, "value", dims, "lo", "hi",
+          bucketWidth = width)
+          .groupBy("band").count().count())
+      // the naive plan's cost axis is |dims| (BNLJ probes every range per
+      // row); guarded so the quadratic side stays runnable
+      if (factor.toLong * nDims <= 20_000_000L)
+        time(s"naive BETWEEN join (${factor}x fact, $nDims ranges)")(
+          big.join(dims, col("value") >= col("lo") && col("value") < col("hi"))
+            .groupBy("band").count().count())
+      graft.core.CacheScope.drain()
     } else if (args.headOption.contains("prototype")) {
       // embedding-grain round-6 ops at volume: replicate the sf0.1
       // embeddings WIDE (new vec_ids, jittered vectors so cells/labels
