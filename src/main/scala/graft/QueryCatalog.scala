@@ -2819,6 +2819,21 @@ object QueryCatalog {
       SELECT doc_id, source, quality FROM ranked WHERE rn <= 5
       ORDER BY source, doc_id"""))
 
+  /** Behavioral sequence assembly
+    * ([[graft.operators.ScaleOps.orderedSequencePerKey]]): one
+    * (ts, event_id)-ordered event-type sequence per user — the event-log →
+    * training-sequence step, order pinned in-array (collect order is
+    * nondeterministic; the sorted struct array is not). */
+  private val q104 = QuerySpec(
+    "q104_event_sequences",
+    (s, dir) => graft.operators.ScaleOps.orderedSequencePerKey(
+        t(s, dir, "events").where(col("user_id") < 200),
+        "user_id", Seq("ts", "event_id"), "event_type")
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id, count(*) AS n_items,
+        string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+      FROM events WHERE user_id < 200 GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2831,5 +2846,5 @@ object QueryCatalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
-    q98, q99, q100, q101, q102, q103)
+    q98, q99, q100, q101, q102, q103, q104)
 }

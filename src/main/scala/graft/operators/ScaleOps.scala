@@ -357,6 +357,30 @@ object ScaleOps {
       .drop("_rn")
   }
 
+  /** Ordered per-key sequence assembly — the behavioral-training-data step
+    * that turns an event log into one training sequence per entity
+    * ("user 7 did: view view cart purchase …"). Items are pinned to
+    * (orderCols..., value) order via an in-array sort, NOT collect order
+    * (Spark's collect_list is partition-order nondeterministic; the sorted
+    * struct array makes assembly reproducible and engine-portable).
+    * Returns (key, n_items, seq).
+    *
+    * Scale shape: one key-shuffle with map-side partial collect; each
+    * key's sequence materializes inside ONE task — inherent to sequence
+    * building, so per-key volume is the caller's contract (cap history
+    * with [[capPerKey]] first; a key whose events exceed task memory needs
+    * windowed assembly instead). */
+  def orderedSequencePerKey(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], valueCol: String,
+      sep: String = " "): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must pin a deterministic order")
+    val item = struct((orderCols :+ valueCol).map(col): _*)
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_items"),
+        array_join(transform(array_sort(collect_list(item)),
+          x => x.getField(valueCol)), sep).as("seq"))
+  }
+
   /** Weighted sampling WITHOUT replacement, per key — the
     * Efraimidis–Spirakis A-Res scheme (public algorithm): each row draws
     * u ∈ (0, 1) and competes on the key u^(1/w); the top `cap` keys per

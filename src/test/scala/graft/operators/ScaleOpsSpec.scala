@@ -354,6 +354,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(mine == ref)
   }
 
+  test("orderedSequencePerKey: order pinned by sort keys, not arrival/partition order") {
+    import spark.implicits._
+    // rows deliberately out of ts order, spread across partitions
+    val df = Seq((7L, 30L, 3L, "purchase"), (7L, 10L, 1L, "view"),
+      (7L, 20L, 2L, "cart"), (7L, 10L, 0L, "land"), (8L, 5L, 9L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type").repartition(8)
+    val got = ScaleOps.orderedSequencePerKey(df, "user_id",
+      Seq("ts", "event_id"), "event_type")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // ties on ts=10 break by event_id: land(0) before view(1)
+    assert(got(7L) == ((4L, "land view cart purchase")))
+    assert(got(8L) == ((1L, "view")))
+  }
+
   test("weightedCapPerKey: cap holds, dominant weights always win, deterministic") {
     import spark.implicits._
     val df = ((1L to 40L).map(i => (i, "g", 0.001)) :+ ((99L, "g", 1000.0)))
