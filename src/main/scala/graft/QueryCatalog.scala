@@ -2834,6 +2834,50 @@ object QueryCatalog {
         string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
       FROM events WHERE user_id < 200 GROUP BY 1 ORDER BY 1"""))
 
+  /** Temperature-targeted epoch materialization
+    * ([[graft.operators.ScaleOps.epochPlanFromTemperature]]): α=0.5 weights
+    * × a 30k-row budget → per-source copy factors → the deterministic
+    * hash-mixed epoch — the full mix-design loop (q94's weights made
+    * executable), oracle-replayed end to end. */
+  private val q105 = {
+    val budget = 30000L
+    QuerySpec(
+      "q105_epoch_plan",
+      (s, dir) => graft.operators.ScaleOps.epochPlanFromTemperature(
+          t(s, dir, "documents"), "source", "doc_id",
+          alpha = 0.5, budgetRows = budget)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows_out"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("copy_idx")).as("max_copy"))
+        .orderBy(col("source")),
+      Some(s"""WITH counts AS (SELECT source, count(*) AS n_rows
+          FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM counts),
+        scored AS (SELECT source, n_rows,
+            CAST(round(pow(CAST(n_rows AS DOUBLE) / n_total, 0.5) * 1000000.0, 0)
+              AS BIGINT) AS p_micro
+          FROM counts CROSS JOIN tot),
+        denom AS (SELECT CAST(sum(p_micro) AS BIGINT) AS micro_total FROM scored),
+        wts AS (SELECT source, n_rows,
+            round(CAST(p_micro AS DOUBLE) / micro_total, 6) AS weight
+          FROM scored CROSS JOIN denom),
+        plan AS (SELECT source,
+            CAST(round(1000.0 * $budget * weight / n_rows, 0) AS BIGINT) AS cp
+          FROM wts),
+        w AS (SELECT d.doc_id, d.source,
+            (cp // 1000) + (CASE WHEN
+              ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 2147483647 % 1000 < cp % 1000 THEN 1 ELSE 0 END) AS n_copies
+          FROM documents d JOIN plan USING (source)),
+        mixed AS (SELECT doc_id, source, unnest(range(n_copies)) AS copy_idx
+          FROM w WHERE n_copies > 0)
+        SELECT source, count(*) AS n_rows_out,
+          count(DISTINCT doc_id) AS n_docs,
+          CAST(max(copy_idx) AS BIGINT) AS max_copy
+        FROM mixed GROUP BY 1 ORDER BY 1"""))
+  }
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2846,5 +2890,5 @@ object QueryCatalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
-    q98, q99, q100, q101, q102, q103, q104)
+    q98, q99, q100, q101, q102, q103, q104, q105)
 }

@@ -340,6 +340,30 @@ object ScaleOps {
         .as("r"))
   }
 
+  /** The executable epoch plan from a temperature target — closes the
+    * mix-design loop: [[temperatureWeights]] says WHAT share each stratum
+    * deserves; this converts shares + a row budget into per-stratum copy
+    * factors (permille-quantized, identical arithmetic to the SQL oracle)
+    * and hands them to [[epochMix]] to materialize. E[output rows] ≈
+    * `budgetRows` with each stratum at its temperature-scaled share —
+    * upsampled strata emit multiple copies, downsampled ones a
+    * deterministic hash subset.
+    *
+    * Scale shape: the plan table is one bounded row per stratum (the only
+    * collect — same driver-scalar class as PageRank's N); the mix itself is
+    * epochMix's shuffle-free explode + CASE chain. */
+  def epochPlanFromTemperature(df: DataFrame, stratumCol: String,
+      keyCol: String, alpha: Double, budgetRows: Long): DataFrame = {
+    require(budgetRows > 0, "budgetRows > 0")
+    val plan = temperatureWeights(df, stratumCol, alpha)
+      .select(col(stratumCol),
+        round(lit(1000.0) * budgetRows * col("weight") / col("n_rows"), 0)
+          .cast("long").as("cp"))
+      .collect()
+    val weights = plan.map(r => r.getString(0) -> r.getLong(1) / 1000.0).toMap
+    epochMix(df, stratumCol, keyCol, weights, defaultWeight = 0.0)
+  }
+
   /** Deterministic per-key row cap — the "at most N docs per domain/source"
     * quota every web-corpus mix applies. Survivors are chosen by the
     * md5-derived hash of `idCol` (reproducible across runs/engines/

@@ -354,6 +354,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(mine == ref)
   }
 
+  test("epochPlanFromTemperature: output lands near budget at the temperature shares") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    val budget = n * 2 // upsampling regime: every source emits >= 1 copy
+    val out = ScaleOps.epochPlanFromTemperature(docs, "source", "doc_id",
+      alpha = 0.5, budgetRows = budget)
+    val got = out.count()
+    assert(math.abs(got - budget).toDouble / budget < 0.05,
+      s"E[rows]=$budget, got $got")
+    // α=0.5 on a uniform corpus ≈ uniform shares; per-source output within
+    // quantization + hash noise of budget/20
+    val bySrc = out.groupBy("source").count().collect().map(_.getLong(1))
+    assert(bySrc.length == 20)
+    val target = budget.toDouble / 20
+    assert(bySrc.forall(c => math.abs(c - target) / target < 0.25),
+      s"per-source drift: ${bySrc.mkString(",")}")
+    // determinism: second run identical
+    val again = ScaleOps.epochPlanFromTemperature(docs, "source", "doc_id",
+      alpha = 0.5, budgetRows = budget).count()
+    assert(again == got)
+  }
+
   test("orderedSequencePerKey: order pinned by sort keys, not arrival/partition order") {
     import spark.implicits._
     // rows deliberately out of ts order, spread across partitions
