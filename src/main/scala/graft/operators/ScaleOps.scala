@@ -266,9 +266,13 @@ object ScaleOps {
   def rangeBucketJoin(fact: DataFrame, keyCol: String, dims: DataFrame,
       loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0.0, "bucketWidth > 0")
-    val expanded = dims.withColumn("_bucket",
-      explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
-        floor(col(hiCol) / bucketWidth).cast("long"))))
+    // empty/inverted ranges contribute nothing — without the guard Spark's
+    // sequence() would walk DESCENDING from lo's bucket to hi's and
+    // fabricate buckets the residual filter then has to kill
+    val expanded = dims.where(col(loCol) < col(hiCol))
+      .withColumn("_bucket",
+        explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
+          floor(col(hiCol) / bucketWidth).cast("long"))))
     fact.withColumn("_bucket", floor(col(keyCol) / bucketWidth).cast("long"))
       .join(expanded, Seq("_bucket"))
       .where(col(keyCol) >= col(loCol) && col(keyCol) < col(hiCol))
@@ -398,6 +402,8 @@ object ScaleOps {
       orderCols: Seq[String], valueCol: String,
       sep: String = " "): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must pin a deterministic order")
+    require(!orderCols.contains(valueCol),
+      "valueCol duplicated in orderCols would make the struct field lookup ambiguous")
     val item = struct((orderCols :+ valueCol).map(col): _*)
     df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_items"),
