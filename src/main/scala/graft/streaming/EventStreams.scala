@@ -269,7 +269,8 @@ object EventStreams {
       checkpointDir: String, minJaccard: Double = 0.8,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 16,
       metricsDir: Option[String] = None,
-      minQuality: Option[Double] = None)
+      minQuality: Option[Double] = None,
+      blockedPatterns: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     docs.writeStream
       .outputMode(OutputMode.Append)
@@ -277,13 +278,19 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // quality gate first (per-row, codegen'd, no shuffle): junk never
+        // row gates first (per-row, codegen'd, no shuffle): junk never
         // reaches the dedup join, exactly like CurationJob's stage order;
-        // gated docs count as suppressed in the metrics
-        val b = minQuality.foldLeft(batch.select(col("doc_id"), col("text"))) {
+        // gated docs count as suppressed in the metrics. The blocklist is
+        // the same fused Aho–Corasick pass as the batch pipeline — one
+        // text scan per doc regardless of list size.
+        val b0 = minQuality.foldLeft(batch.select(col("doc_id"), col("text"))) {
           (d, floor) => d.where(
             graft.operators.TextAnalysis.qualityScore(col("text")) >= floor)
         }
+        val b =
+          if (blockedPatterns.isEmpty) b0
+          else b0.where(graft.functions.PolicyHits(col("text"), blockedPatterns)
+            .getField("n_hits") === 0L)
         // mirrors mergeSwap's crash recovery: a mid-swap death leaves the
         // table in `_old`, and counting an absent dir as 0 would corrupt
         // the metrics row for the batch that restores it

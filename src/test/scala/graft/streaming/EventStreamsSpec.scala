@@ -337,4 +337,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(byOrder(1) == ((3L, 1L, 2L, 3L))) // dup-vs-corpus + in-batch dup
     assert(byOrder(2) == ((2L, 0L, 2L, 3L))) // near-dup + quality-gated junk
   }
+
+  test("corpusIngestSink: the streaming blocklist gate stops policy hits pre-dedup") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_pol").toString
+    val in = MemoryStream[(Long, String)]
+    val clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val hit = "one two three buy cheap pills four five six seven eight nine"
+    def run(): Unit = {
+      val q = EventStreams.corpusIngestSink(
+        in.toDF().toDF("doc_id", "text"), s"$dir/corpus", s"$dir/chk",
+        minJaccard = 0.8, blockedPatterns = Seq("buy cheap pills", "crypto"))
+      q.awaitTermination()
+    }
+    in.addData((1L, clean), (2L, hit))
+    run()
+    assert(spark.read.parquet(s"$dir/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "policy hit must never reach the corpus")
+  }
 }
