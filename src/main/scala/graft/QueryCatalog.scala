@@ -2878,6 +2878,112 @@ object QueryCatalog {
         FROM mixed GROUP BY 1 ORDER BY 1"""))
   }
 
+  /** Pattern-class PII/entity redaction ([[TextAnalysis.redactPatterns]]):
+    * per-doc occurrence counts per class + the md5 of the rewritten text —
+    * the C4-style structured scrub, value-checked end to end (the hash
+    * pins every replacement position). Patterns stay in the Java∩RE2
+    * common dialect so both engines run the SAME regexes. */
+  private val q106 = QuerySpec(
+    "q106_pii_redact",
+    (s, dir) => TextAnalysis.redactPatterns(t(s, dir, "documents"),
+        "doc_id", "text",
+        Seq("ent" -> "\\b(customer|supplier)\\b",
+            "op" -> "\\b(scan|sort|merge)\\b"))
+      .select(col("id"), col("n_ent"), col("n_op"),
+        md5(col("redacted")).as("redacted_hash"))
+      .orderBy(col("id")),
+    Some("""SELECT doc_id AS id,
+        CAST(len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS BIGINT)
+          AS n_ent,
+        CAST(len(regexp_extract_all(text, '\b(scan|sort|merge)\b')) AS BIGINT)
+          AS n_op,
+        md5(regexp_replace(
+          regexp_replace(text, '\b(customer|supplier)\b', '<ENT>', 'g'),
+          '\b(scan|sort|merge)\b', '<OP>', 'g')) AS redacted_hash
+      FROM documents ORDER BY id"""))
+
+  /** Deterministic training shuffle ([[graft.operators.ScaleOps.shardShuffle]]):
+    * every doc gets (shard, pos) from the md5 hash — the reproducible
+    * pseudo-random read order a trainer consumes, oracle-replayed exactly
+    * (same hash family ⇒ same permutation in both engines). */
+  private val q107 = QuerySpec(
+    "q107_shard_shuffle",
+    (s, dir) => graft.operators.ScaleOps.shardShuffle(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", numShards = 16)
+      .orderBy(col("shard"), col("pos")),
+    Some("""WITH h AS (SELECT doc_id, source,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM documents)
+      SELECT doc_id, source, CAST(hv % 16 AS INT) AS shard,
+        row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) AS pos
+      FROM h ORDER BY shard, pos"""))
+
+  /** Context-window chunking ([[TextAnalysis.chunkByTokens]]): 16-token
+    * windows, 4-token overlap (stride 12); the md5 chunk hash value-checks
+    * every window's exact token span. */
+  private val q108 = QuerySpec(
+    "q108_chunk_windows",
+    (s, dir) => TextAnalysis.chunkByTokens(t(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 16, overlap = 4)
+      .orderBy(col("id"), col("chunk_idx")),
+    Some("""WITH base AS (SELECT doc_id AS id, str_split(text, ' ') AS t,
+          CAST(len(str_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      idx AS (SELECT id, t, unnest(range(0,
+            1 + CAST(ceil(greatest(n - 16, 0) / 12.0) AS BIGINT))) AS chunk_idx
+        FROM base),
+      w AS (SELECT id, chunk_idx,
+          list_slice(t, chunk_idx * 12 + 1, chunk_idx * 12 + 16) AS wt
+        FROM idx)
+      SELECT id, chunk_idx, CAST(len(wt) AS BIGINT) AS n_chunk_tokens,
+        md5(array_to_string(wt, ' ')) AS chunk_hash
+      FROM w ORDER BY id, chunk_idx"""))
+
+  /** Self-trained naive-Bayes language classifier
+    * ([[TextAnalysis.naiveBayesPredict]] on the `lang` label): closed-form
+    * multinomial fit, micro-nat integer posteriors ⇒ the argmax (and every
+    * tie) is engine-exact, so predicted labels hash-match — the
+    * quality/language-filter stage of the curation recipes with its
+    * training loop replayed by the oracle. */
+  private val q109 = QuerySpec(
+    "q109_nb_predict",
+    (s, dir) => TextAnalysis.naiveBayesPredict(t(s, dir, "documents"),
+        "doc_id", "text", "lang")
+      .orderBy(col("id")),
+    Some("""WITH tk AS (SELECT doc_id AS id, lang AS label,
+          unnest(str_split(text, ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT id, label, tok, CAST(count(*) AS BIGINT) AS c
+        FROM tk GROUP BY 1, 2, 3),
+      ckt AS (SELECT label AS cls, tok, CAST(sum(c) AS BIGINT) AS kct
+        FROM tf GROUP BY 1, 2),
+      ctot AS (SELECT cls, CAST(sum(kct) AS BIGINT) AS ctot FROM ckt GROUP BY 1),
+      vocab AS (SELECT DISTINCT tok FROM tf),
+      vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+      dpc AS (SELECT lang AS cls, count(*) AS nd FROM documents GROUP BY 1),
+      tot AS (SELECT count(*) AS ntot FROM documents),
+      priors AS (SELECT cls,
+          CAST(round(ln(CAST(nd AS DOUBLE) / ntot) * 1000000.0, 0) AS BIGINT)
+            AS prq
+        FROM dpc CROSS JOIN tot),
+      model AS (SELECT vocab.tok, ct.cls,
+          CAST(round(ln((coalesce(k.kct, 0) + 1.0) / (ct.ctot + vs.v))
+            * 1000000.0, 0) AS BIGINT) AS llq
+        FROM vocab CROSS JOIN ctot ct CROSS JOIN vs
+        LEFT JOIN ckt k ON k.tok = vocab.tok AND k.cls = ct.cls),
+      post AS (SELECT tf.id, tf.label, m.cls,
+          CAST(sum(tf.c * m.llq) AS BIGINT) AS ll
+        FROM tf JOIN model m ON m.tok = tf.tok GROUP BY 1, 2, 3),
+      scored AS (SELECT post.id, post.label, post.cls,
+          post.ll + p.prq AS post_q
+        FROM post JOIN priors p ON p.cls = post.cls),
+      ranked AS (SELECT id, label, cls, post_q, row_number() OVER (
+          PARTITION BY id ORDER BY post_q DESC, cls) AS rn
+        FROM scored)
+      SELECT id, label, cls AS predicted, post_q, (cls = label) AS correct
+      FROM ranked WHERE rn = 1 ORDER BY id"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2890,5 +2996,5 @@ object QueryCatalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
-    q98, q99, q100, q101, q102, q103, q104, q105)
+    q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109)
 }

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Components, Dedup, ScaleOps, TextAnalysis}
 
 /** End-to-end training-data curation: the composition the operator library
-  * exists for. documents → language/quality gate → exact dedup → near-dup
-  * removal (MinHash+LSH) → token-window chunking → deterministic sampling.
+  * exists for. documents → language/quality gate → PII scrub → exact dedup
+  * → near-dup removal (MinHash+LSH) → token-window chunking → deterministic
+  * sampling → sharded training read order.
   *
   * Every stage is a narrow projection or a key-shuffle over ids — no stage
   * moves payload text except the final chunk projection, and document ids
@@ -44,6 +45,13 @@ object CurationJob {
       // own bigram model falls below this (mojibake/codepoint soup). One
       // broadcast-join pass (TextAnalysis.charLmScore).
       minLmScore: Option[Double] = None,
+      // structured-PII scrub ([[TextAnalysis.redact]]): every match of each
+      // (class, regex) rewritten to <CLASS> IN PLACE, right after the row
+      // gates — so dedup hashes, chunk text, and every downstream signal
+      // see the scrubbed corpus (two docs differing only in their PII
+      // become exact dups, which is the desired behavior). Per-row,
+      // codegen'd, no shuffle.
+      redactClasses: Seq[(String, String)] = Nil,
       // C4-style blocklist gate ([[TextAnalysis.policyFilter]], fused
       // Aho–Corasick): drop docs with more than maxPolicyHits total
       // occurrences across ALL patterns (0 = drop on any hit). Per-row,
@@ -84,6 +92,11 @@ object CurationJob {
       // clamp(rate * qualityScore(chunk), 0, 1). Deterministic per
       // (doc, chunk), so re-runs agree row-for-row.
       importanceRate: Option[Double] = None,
+      // deterministic output sharding ([[ScaleOps.shardShuffle]] keyed by
+      // doc:chunk): the emitted table carries (shard, pos) — the
+      // reproducible pseudo-random training read order, assigned as the
+      // LAST stage so the permutation covers exactly the shipped rows.
+      outputShards: Option[Int] = None,
       minhashBands: Int = 16,
       maxBucketSize: Option[Int] = Some(1024),
       // false: drop the larger id of each candidate pair (keeps every LOCAL
@@ -159,16 +172,24 @@ object CurationJob {
         rowGated.join(ok, Seq("doc_id"), "left_semi")
     }
 
-    // 1b. benchmark decontamination (optional)
+    // 1b. structured-PII scrub (optional) — in-place rewrite, so every later
+    // stage (dedup hashes, chunk text, quality-proportional sampling) sees
+    // the scrubbed corpus
+    val scrubbed =
+      if (cfg.redactClasses.isEmpty) qualityGated
+      else qualityGated.withColumn("text",
+        TextAnalysis.redact(col("text"), cfg.redactClasses))
+
+    // 1c. benchmark decontamination (optional)
     val (gated0, nDecon, leakyHandle) = benchmark match {
-      case None => (qualityGated, 0L, None)
+      case None => (scrubbed, 0L, None)
       case Some(ref) =>
-        val leaky = Dedup.contaminatedIds(qualityGated, "doc_id", "text",
+        val leaky = Dedup.contaminatedIds(scrubbed, "doc_id", "text",
             ref, "text", n = 3, minShared = 5)
           .select(col("id").as("doc_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = leaky.count()
-        (qualityGated.join(leaky, Seq("doc_id"), "left_anti"), n, Some(leaky))
+        (scrubbed.join(leaky, Seq("doc_id"), "left_anti"), n, Some(leaky))
     }
     val gated = gated0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -287,6 +308,17 @@ object CurationJob {
       else sampled.count()
     exact.unpersist()
 
+    // 6. output sharding (optional) — (shard, pos) training read order over
+    // exactly the shipped rows; one exchange, per-shard sort, and a
+    // downstream .write.partitionBy("shard") needs no second exchange
+    val out = cfg.outputShards match {
+      case None => sampled
+      case Some(s) =>
+        ScaleOps.shardShuffle(sampled.withColumn("_sk",
+            concat_ws(":", col("doc_id"), col("chunk_idx"))), "_sk", s)
+          .drop("_sk")
+    }
+
     // the job ran its terminal actions (the funnel counts), so it owns the
     // CacheScope drain — composed operators' persists release here, and a
     // rerun re-persisting identical plans no longer trips CacheManager's
@@ -294,7 +326,7 @@ object CurationJob {
     // consumer just recomputes the released intermediates.
     graft.core.CacheScope.drain()
 
-    (sampled, Stats(input, afterQuality, afterExact, afterNearDup, chunks,
+    (out, Stats(input, afterQuality, afterExact, afterNearDup, chunks,
       nSampled, decontaminated = nDecon))
   }
 }

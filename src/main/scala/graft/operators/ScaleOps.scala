@@ -368,6 +368,34 @@ object ScaleOps {
     epochMix(df, stratumCol, keyCol, weights, defaultWeight = 0.0)
   }
 
+  /** Deterministic training-order shuffle + sharding — the last step before
+    * a corpus ships to the trainer: every row gets a shard (`hash mod
+    * numShards`) and a position within its shard (rank of the hash), so the
+    * global read order `(shard, pos)` is a reproducible pseudo-random
+    * permutation — breaks source/domain run-length correlation in the
+    * training stream with ZERO randomness state (the md5-derived
+    * [[graft.functions.Hashing.stableHash]]; same key ⇒ same slot across
+    * runs, engines, partitionings). Ties (same 60-bit hash) break by the
+    * key itself, so the order is total even under hash collisions.
+    *
+    * Scale shape: ONE hash-partition exchange on `shard` + per-shard sort —
+    * each shard ranks independently (the window is shard-keyed, never
+    * global), so 10⁴ shards spread over however many reducers exist and a
+    * shard's rows sort within one task: pick numShards so corpus/numShards
+    * fits a task (the same arithmetic as choosing output file count).
+    * Writing with `.partitionBy("shard")` afterwards co-locates each output
+    * file with its already-sorted shard — no second exchange. */
+  def shardShuffle(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, "numShards >= 1")
+    val h = graft.functions.Hashing.stableHash(col(keyCol).cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_h"), col(keyCol))
+    df.withColumn("_h", h)
+      .withColumn("shard", (col("_h") % numShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
+
   /** Deterministic per-key row cap — the "at most N docs per domain/source"
     * quota every web-corpus mix applies. Survivors are chosen by the
     * md5-derived hash of `idCol` (reproducible across runs/engines/

@@ -615,6 +615,142 @@ object TextAnalysis {
     df.where(graft.functions.PolicyHits(col(textCol), patterns)
       .getField("n_hits") <= maxHits)
 
+  /** Pattern-class detection + redaction — the C4/CCNet-style PII scrub:
+    * each `(class, regex)` pair contributes an occurrence count (over the
+    * ORIGINAL text) and a rewrite of every match to `<CLASS>`. Counting on
+    * the original keeps classes order-independent; the redaction itself is
+    * sequential, so patterns must not match another class's replacement
+    * token (uppercase sentinels vs lowercase patterns guarantees that for
+    * the usual email/phone/IP/ID classes). Regexes must stay in the
+    * Java∩RE2 common dialect (character classes, `\b`, alternation — no
+    * backreferences/lookahead) so the DuckDB oracle replays them exactly.
+    *
+    * Scale shape: pure per-row codegen'd expressions (regexp_count /
+    * regexp_replace) — narrow, pushdown-transparent, zero shuffle; the cost
+    * is one DFA scan per pattern per row, the same cost the reference C4
+    * pipeline pays. A large blocklist belongs in [[policyHits]] (one fused
+    * Aho–Corasick pass); regex redaction is for the handful of structured
+    * PII shapes that need capture-free rewriting. */
+  def redactPatterns(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "at least one (class, regex) pattern")
+    val counts = patterns.map { case (name, re) =>
+      regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$name") }
+    df.select(col(idCol).as("id") +: counts :+
+      redact(col(textCol), patterns).as("redacted"): _*)
+  }
+
+  /** The rewrite half of [[redactPatterns]] as a bare column — for
+    * pipelines that scrub in place without the per-class counts. */
+  def redact(text: Column, patterns: Seq[(String, String)]): Column =
+    patterns.foldLeft(text) { case (c, (name, re)) =>
+      regexp_replace(c, lit(re), lit(s"<${name.toUpperCase}>")) }
+
+  /** Context-window chunking — the doc → training-sample splitter: token
+    * windows of `chunkTokens` with `overlap` tokens carried between
+    * consecutive chunks (stride = chunkTokens − overlap). Chunk starts are
+    * 0, stride, 2·stride, …; the LAST start is the first one whose window
+    * reaches the end of the document, so every token is covered, short
+    * documents produce exactly one chunk, and no chunk is fully contained
+    * in its predecessor. Emits (id, chunk_idx, n_chunk_tokens, chunk_hash)
+    * — the hash (md5 of the space-joined window) stands in for the chunk
+    * text so downstream exact-dedup of chunks needs no payload column.
+    *
+    * Scale shape: split + per-row explode of a start-index sequence +
+    * slice/array_join — narrow, no shuffle, output rows ≈ n_tokens/stride
+    * per doc. The token array materializes once per row (not per chunk):
+    * Spark evaluates the explode input a single time, then each output row
+    * slices the same array. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens >= 1")
+    require(overlap >= 0 && overlap < chunkTokens,
+      "overlap in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("long")
+    // number of chunks: 1 + ceil(max(n - chunkTokens, 0) / stride); exact in
+    // integer math (values ≪ 2^52 so the double floor is exact anyway, but
+    // the add-before-divide form avoids fp entirely in both engines)
+    val extra = greatest(n - chunkTokens, lit(0L))
+    // `/` on longs is double division in Spark; floor+cast is exact here
+    // (operands ≪ 2^52)
+    val nChunks = lit(1L) +
+      floor((extra + (stride - 1)).cast("double") / stride).cast("long")
+    df.select(col(idCol).as("id"), toks.as("_toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx"),
+        slice(col("_toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkTokens)).as("_w"))
+      .select(col("id"), col("chunk_idx"),
+        size(col("_w")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("_w"), " ")).as("chunk_hash"))
+  }
+
+  /** Multinomial naive-Bayes label model, self-trained — the classic
+    * quality/language classifier of the GPT-3/CCNet curation recipes
+    * (a hashed-linear/fastText stand-in with a closed-form fit, so training
+    * is two aggregates instead of SGD): P(class) · Π P(tok|class)^tf with
+    * add-1 smoothing over the corpus vocabulary. Returns one row per doc:
+    * actual label, predicted label (argmax posterior), integer posterior
+    * score, and a `correct` flag — feed the aggregate of `correct` by
+    * label into the curation dashboard, or use `predicted` on unlabeled
+    * rows routed through the same model.
+    *
+    * Engine-exact argmax: each (tok, class) log-likelihood and each prior
+    * is quantized to integer MICRO-NATS (`round(ln·10⁶)`) before scoring,
+    * so posteriors are pure int64 sums — no float fold-order, identical
+    * ties in Spark and the oracle, ties broken by class name. (Same trick
+    * as the q100 correlation; magnitudes: |ln p| ≤ ~20 ⇒ 2·10⁷ micro-nats
+    * × tf ≤ 10⁴ × vocab terms — comfortably inside int64.)
+    *
+    * Scale shape: per-doc term counts come fused from
+    * [[graft.functions.TokenCounts]] (no occurrence-level rows); the model
+    * is |vocab|·|classes| rows — AQE broadcasts it when small (the common
+    * case: classes ≤ dozens, curated vocab ≤ millions) and the scoring join
+    * stays tok-keyed otherwise; the per-doc argmax window is doc-keyed
+    * (never global). Training data = scoring data here; split the DataFrame
+    * upstream for a held-out fit. */
+  def naiveBayesPredict(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    // per-doc distinct-token counts, exploded once (feeds train AND score)
+    val tf = graft.core.CacheScope.persist(
+      df.select(col(idCol).as("id"), col(labelCol).as("label"),
+          explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+        .select(col("id"), col("label"), col("tc.tok").as("tok"),
+          col("tc.tf").as("c")))
+    val classTok = tf.groupBy(col("label").as("cls"), col("tok"))
+      .agg(sum("c").as("ckt"))
+    val classTotals = classTok.groupBy("cls").agg(sum("ckt").as("ctot"))
+    val vocab = tf.select("tok").distinct()
+    val vocabSize = vocab.groupBy().agg(count(lit(1)).as("v"))
+    val docsPerClass = df.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("nd"))
+    val totalDocs = df.groupBy().agg(count(lit(1)).as("ntot"))
+    val priors = docsPerClass.crossJoin(totalDocs).select(col("cls"),
+      round(log(col("nd").cast("double") / col("ntot")) * 1e6, 0)
+        .cast("long").as("prq"))
+    // dense (vocab × class) log-likelihoods, micro-nat integers
+    val model = vocab.crossJoin(classTotals).crossJoin(vocabSize)
+      .join(classTok, Seq("tok", "cls"), "left")
+      .select(col("tok"), col("cls"),
+        round(log((coalesce(col("ckt"), lit(0L)) + 1).cast("double") /
+          (col("ctot") + col("v")).cast("double")) * 1e6, 0)
+          .cast("long").as("llq"))
+    val scored = tf.join(model, Seq("tok"))
+      .groupBy(col("id"), col("label"), col("cls"))
+      .agg(sum(col("c") * col("llq")).as("ll"))
+      .join(priors, Seq("cls"))
+      .select(col("id"), col("label"), col("cls"),
+        (col("ll") + col("prq")).as("post_q"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("post_q").desc, col("cls"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("id"), col("label"), col("cls").as("predicted"),
+        col("post_q"),
+        (col("cls") === col("label")).as("correct"))
+  }
+
   /** Zipf-law fit over the top-`k` vocabulary: least-squares slope and
     * intercept of ln(tf) against ln(rank). Healthy natural-language corpora
     * sit near slope ≈ −1; a much flatter slope flags templated/synthetic

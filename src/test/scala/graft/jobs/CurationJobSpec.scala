@@ -288,6 +288,39 @@ class CurationJobSpec extends SparkSpec {
     assert(chunkSplits.forall(_.getLong(1) == 1L))
   }
 
+  test("PII scrub unifies docs differing only in PII; output shards are a permutation") {
+    import spark.implicits._
+    val base = "please contact the quick brown fox about the fine day we had running"
+    val docs = Seq(
+      (1L, base + " ref alpha7", "en"),   // same doc, different "PII" handle
+      (2L, base + " ref beta9", "en"),    // → exact dup of 1 after scrub
+      (3L, "a completely different english document about the sea and the sky " +
+        "that it is in every way distinct for this test", "en"))
+      .toDF("doc_id", "text", "lang")
+    val cfg = CurationJob.Config(minQuality = 0.1,
+      redactClasses = Seq("handle" -> "\\b[a-z]+[0-9]+\\b"),
+      outputShards = Some(4))
+    val (out, stats) = CurationJob.run(docs, cfg)
+    assert(stats.afterQuality == 3)
+    assert(stats.afterExact == 2, "scrubbed docs 1/2 must collapse to one")
+    // scrubbed text flows into chunks
+    val chunk1 = out.where(col("doc_id") === 1).select("chunk")
+      .head().getString(0)
+    assert(chunk1.endsWith("ref <HANDLE>"), chunk1)
+    // sharding: every chunk gets (shard, pos); (shard, pos) is a key and
+    // positions are dense 1..n within each shard
+    assert(out.columns.contains("shard") && out.columns.contains("pos"))
+    val sp = out.select("shard", "pos").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(sp.toSet.size == sp.length)
+    sp.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // rerun is bit-identical (deterministic scrub + hash order)
+    val (out2, _) = CurationJob.run(docs, cfg)
+    assert(out.exceptAll(out2).isEmpty && out2.exceptAll(out).isEmpty)
+  }
+
   test("real documents table flows end-to-end with sane funnels") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val (out, stats) = CurationJob.run(docs,
