@@ -2984,6 +2984,132 @@ object QueryCatalog {
       SELECT id, label, cls AS predicted, post_q, (cls = label) AS correct
       FROM ranked WHERE rn = 1 ORDER BY id"""))
 
+  /** Per-source z-score ensemble gate
+    * ([[graft.operators.ScaleOps.zscoreBlend]]): three quality signals
+    * standardized within source and blended 0.5/0.3/0.2 — the multi-signal
+    * curation rank with exact integer moments (z and blend bit-match). */
+  private val q110 = QuerySpec(
+    "q110_zscore_blend",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      graft.operators.ScaleOps.zscoreBlend(t(s, dir, "documents"),
+        "source", "doc_id", Seq(
+          ("quality", TextAnalysis.qualityScore(col("text")), 0.5),
+          ("dr", size(array_distinct(toks)).cast("double") / size(toks), 0.3),
+          ("len", log(lit(1.0) + col("n_chars")), 0.2)))
+        .orderBy(col("id"))
+    },
+    Some(s"""WITH sig AS (SELECT doc_id AS id, source AS grp,
+        CAST(round($QualityScoreSql * 1000000.0, 0) AS BIGINT) AS m_q,
+        CAST(round((CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+          / len(str_split(text, ' '))) * 1000000.0, 0) AS BIGINT) AS m_dr,
+        CAST(round(ln(1.0 + n_chars) * 1000000.0, 0) AS BIGINT) AS m_len
+      FROM documents),
+      st AS (SELECT grp, count(*) AS n,
+          CAST(sum(m_q) AS BIGINT) AS s_q, CAST(sum(m_q*m_q) AS BIGINT) AS ss_q,
+          CAST(sum(m_dr) AS BIGINT) AS s_dr, CAST(sum(m_dr*m_dr) AS BIGINT) AS ss_dr,
+          CAST(sum(m_len) AS BIGINT) AS s_len, CAST(sum(m_len*m_len) AS BIGINT) AS ss_len
+        FROM sig GROUP BY 1),
+      z AS (SELECT sig.id, sig.grp,
+          CASE WHEN n > 1 AND sqrt((CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE)*CAST(s_q AS DOUBLE)/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0)) > 0
+            THEN (CAST(m_q AS DOUBLE) - CAST(s_q AS DOUBLE)/CAST(n AS DOUBLE))
+              / sqrt((CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE)*CAST(s_q AS DOUBLE)/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0))
+            ELSE 0.0 END AS z_q,
+          CASE WHEN n > 1 AND sqrt((CAST(ss_dr AS DOUBLE) - CAST(s_dr AS DOUBLE)*CAST(s_dr AS DOUBLE)/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0)) > 0
+            THEN (CAST(m_dr AS DOUBLE) - CAST(s_dr AS DOUBLE)/CAST(n AS DOUBLE))
+              / sqrt((CAST(ss_dr AS DOUBLE) - CAST(s_dr AS DOUBLE)*CAST(s_dr AS DOUBLE)/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0))
+            ELSE 0.0 END AS z_dr,
+          CASE WHEN n > 1 AND sqrt((CAST(ss_len AS DOUBLE) - CAST(s_len AS DOUBLE)*CAST(s_len AS DOUBLE)/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0)) > 0
+            THEN (CAST(m_len AS DOUBLE) - CAST(s_len AS DOUBLE)/CAST(n AS DOUBLE))
+              / sqrt((CAST(ss_len AS DOUBLE) - CAST(s_len AS DOUBLE)*CAST(s_len AS DOUBLE)/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0))
+            ELSE 0.0 END AS z_len
+        FROM sig JOIN st USING (grp))
+      SELECT id, grp, round(z_q, 6) AS z_quality, round(z_dr, 6) AS z_dr,
+        round(z_len, 6) AS z_len,
+        round(z_q * CAST(0.5 AS DOUBLE) + z_dr * CAST(0.3 AS DOUBLE)
+          + z_len * CAST(0.2 AS DOUBLE), 6) AS blend
+      FROM z ORDER BY id"""))
+
+  /** Embedding cluster-quality gauge ([[Similarity.clusterQuality]]):
+    * per-label cohesion vs nearest-other-prototype cosine and the margin
+    * between them — the label-noise/split-leak early warning. */
+  private val q111 = {
+    val cosSql = (a: String, b: String) =>
+      s"""list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]),
+          (x, y) -> x + y) /
+        (sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]),
+          (x, y) -> x + y)) *
+         sqrt(list_reduce(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]),
+          (x, y) -> x + y)))"""
+    QuerySpec(
+      "q111_cluster_quality",
+      (s, dir) => Similarity.clusterQuality(t(s, dir, "embeddings"))
+        .orderBy(col("label")),
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        dims AS (SELECT label, i AS pos,
+            CAST(round(v[i] * 1000000.0, 0) AS BIGINT) AS micro
+          FROM e, LATERAL unnest(range(1, len(v) + 1)) AS u(i)),
+        proto AS (SELECT label, pos, CAST(sum(micro) AS BIGINT) AS s_micro,
+            count(*) AS np
+          FROM dims GROUP BY 1, 2),
+        pvec AS (SELECT label, list(CAST(s_micro AS DOUBLE) / np ORDER BY pos)
+            AS p FROM proto GROUP BY 1),
+        coh AS (SELECT e.label, count(*) AS n,
+            CAST(sum(CAST(round(${cosSql("v", "p")} * 1000000.0, 0) AS BIGINT))
+              AS BIGINT) AS s_cm
+          FROM e JOIN pvec USING (label) GROUP BY 1),
+        cohesion AS (SELECT label, n,
+            CAST(s_cm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS cohesion
+          FROM coh),
+        pairs AS (SELECT a.label, b.label AS nn_label,
+            ${cosSql("a.p", "b.p")} AS nn_cosine
+          FROM pvec a JOIN pvec b ON a.label <> b.label),
+        nearest AS (SELECT label, nn_label, nn_cosine, row_number() OVER (
+            PARTITION BY label ORDER BY nn_cosine DESC, nn_label) AS rn
+          FROM pairs)
+        SELECT c.label, c.n, round(c.cohesion, 6) AS cohesion, nr.nn_label,
+          round(nr.nn_cosine, 6) AS nn_cosine,
+          round(c.cohesion - nr.nn_cosine, 6) AS margin
+        FROM cohesion c JOIN nearest nr ON nr.label = c.label AND nr.rn = 1
+        ORDER BY c.label"""))
+  }
+
+  /** Unigram drift movers ([[TextAnalysis.unigramDriftMovers]]): the 20
+    * tokens whose probability differs most between the en and de slices —
+    * the crawl-drift monitoring readout, exact integer deltas. */
+  private val q112 = QuerySpec(
+    "q112_unigram_drift",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.unigramDriftMovers(
+          docs.where(col("lang") === "en"), docs.where(col("lang") === "de"),
+          "text", k = 20)
+        .orderBy(col("rnk"))
+    },
+    Some("""WITH ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_a FROM
+        (SELECT unnest(str_split(text, ' ')) AS tok FROM documents
+         WHERE lang = 'en') GROUP BY 1),
+      cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_b FROM
+        (SELECT unnest(str_split(text, ' ')) AS tok FROM documents
+         WHERE lang = 'de') GROUP BY 1),
+      tot AS (SELECT (SELECT CAST(sum(c_a) AS BIGINT) FROM ca) AS tot_a,
+        (SELECT CAST(sum(c_b) AS BIGINT) FROM cb) AS tot_b),
+      j AS (SELECT coalesce(ca.tok, cb.tok) AS tok,
+          coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b,
+          CAST(round(CAST(coalesce(c_a, 0) AS DOUBLE) * 1000000.0 / tot_a, 0)
+            AS BIGINT) AS pa_micro,
+          CAST(round(CAST(coalesce(c_b, 0) AS DOUBLE) * 1000000.0 / tot_b, 0)
+            AS BIGINT) AS pb_micro
+        FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok CROSS JOIN tot),
+      d AS (SELECT tok, c_a, c_b, pa_micro, pb_micro,
+          pa_micro - pb_micro AS delta_micro FROM j),
+      r AS (SELECT tok, c_a, c_b, pa_micro, pb_micro, delta_micro,
+          row_number() OVER (ORDER BY abs(delta_micro) DESC, tok) AS rnk
+        FROM d)
+      SELECT tok, c_a, c_b, pa_micro, pb_micro, delta_micro, rnk
+      FROM r WHERE rnk <= 20 ORDER BY rnk"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -2996,5 +3122,6 @@ object QueryCatalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
-    q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109)
+    q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
+    q110, q111, q112)
 }

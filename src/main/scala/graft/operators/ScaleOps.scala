@@ -368,6 +368,54 @@ object ScaleOps {
     epochMix(df, stratumCol, keyCol, weights, defaultWeight = 0.0)
   }
 
+  /** Per-group z-score ensemble of quality signals — the multi-signal
+    * curation gate: each signal is standardized WITHIN its group (source/
+    * domain/crawl — distributions shift per stratum, so absolute thresholds
+    * don't transfer) and the weighted blend ranks rows on "how unusual is
+    * this doc for its stratum". Emits (id, group, z_<name>…, blend).
+    *
+    * Engine-exact like [[microPearson]]: signals quantize to micro-units,
+    * moments are exact decimal(38,0) integer sums, and every double after
+    * that is the same expression over the same inputs in both engines —
+    * z-scores and the blend match bit-for-bit before their 6 dp round.
+    * Same headroom contract as microPearson: |signal| ≲ 3·10³ keeps the
+    * squared micro-product inside int64.
+    *
+    * Scale shape: ONE group-keyed aggregate (map-side partial) over all
+    * signals at once + a join back on the group key — the stats side is
+    * #groups rows, so AQE broadcasts it; no window, no global anything.
+    * A degenerate group (n = 1 or a constant signal) scores z = 0 rather
+    * than NaN — those rows carry no ranking signal either way. */
+  def zscoreBlend(df: DataFrame, groupCol: String, idCol: String,
+      signals: Seq[(String, Column, Double)]): DataFrame = {
+    require(signals.nonEmpty, "at least one (name, signal, weight)")
+    val d = (c: Column) => c.cast("double")
+    val base = df.select(col(idCol).as("id") +: col(groupCol).as("grp") +:
+      signals.map { case (nm, c, _) =>
+        round(c * 1000000.0, 0).cast("long").as(s"_m_$nm") }: _*)
+    val aggs = signals.flatMap { case (nm, _, _) => Seq(
+      sum(col(s"_m_$nm").cast("decimal(38,0)")).as(s"_s_$nm"),
+      sum((col(s"_m_$nm") * col(s"_m_$nm")).cast("decimal(38,0)"))
+        .as(s"_ss_$nm")) }
+    val stats = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("_n"), aggs: _*)
+    val zs = signals.map { case (nm, _, _) =>
+      val mean = d(col(s"_s_$nm")) / d(col("_n"))
+      val varr = (d(col(s"_ss_$nm")) -
+        d(col(s"_s_$nm")) * d(col(s"_s_$nm")) / d(col("_n"))) /
+        (d(col("_n")) - 1.0)
+      val sd = sqrt(varr)
+      nm -> when(col("_n") > 1 && sd > 0,
+        (d(col(s"_m_$nm")) - mean) / sd).otherwise(lit(0.0))
+    }
+    val blend = signals.zip(zs).map { case ((_, _, w), (_, z)) => z * w }
+      .reduce(_ + _)
+    base.join(stats, Seq("grp"))
+      .select(col("id") +: col("grp").as("grp") +:
+        zs.map { case (nm, z) => round(z, 6).as(s"z_$nm") } :+
+        round(blend, 6).as("blend"): _*)
+  }
+
   /** Deterministic training-order shuffle + sharding — the last step before
     * a corpus ships to the trainer: every row gets a shard (`hash mod
     * numShards`) and a position within its shard (rank of the hash), so the

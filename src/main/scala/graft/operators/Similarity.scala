@@ -278,24 +278,79 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val e = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
       col(vecCol).as("v"))
-    val dims = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("label", "pos")
-      .agg(sum(round(col("x").cast("double") * 1000000.0, 0).cast("long"))
-          .as("s_micro"),
-        count(lit(1)).as("n"))
-    val proto = dims.groupBy("label")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"),
-          (col("s_micro").cast("double") / col("n")).as("p")))),
-        t => t.getField("p")).as("p_vec"))
     val w = Window.partitionBy("label")
       .orderBy(col("proto_cosine").asc, col("vec_id").asc)
-    e.join(broadcast(proto), Seq("label"))
+    e.join(broadcast(labelPrototypes(e)), Seq("label"))
       .withColumn("proto_cosine", Vectors.dot(col("v"), col("p_vec")) /
         (Vectors.l2Norm(col("v")) * Vectors.l2Norm(col("p_vec"))))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("vec_id"), col("label"), col("proto_cosine"), col("rnk"))
+  }
+
+  /** Per-label mean-embedding prototypes over (label, v) rows: micro-
+    * quantized integer component sums (order-free ⇒ engine-exact), then the
+    * in-array divide — one (label, dim)-keyed aggregate, output = #labels
+    * rows (broadcast-small by construction). */
+  private def labelPrototypes(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(round(col("x").cast("double") * 1000000.0, 0).cast("long"))
+          .as("s_micro"),
+        count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          (col("s_micro").cast("double") / col("n")).as("p")))),
+        t => t.getField("p")).as("p_vec"))
+
+  /** Embedding-space cluster-quality gauge, label grain — the health check
+    * behind prototype screening ([[labelOutliers]]) and cluster-balanced
+    * sampling: per label, its size, cohesion (mean member cosine to the own
+    * prototype), the nearest OTHER prototype and its cosine, and the
+    * margin = cohesion − nearest-other-cosine. A label whose margin goes
+    * ≤ 0 is blurrier than its neighborhood — prototype-based gates on it
+    * are unreliable and its "clusters" will leak into each other's splits.
+    * The Davies–Bouldin idea, read per label on cosine geometry.
+    *
+    * Engine-exact: prototypes are micro-quantized integer sums; member
+    * cosines re-quantize to micro before the per-label mean (exact int64
+    * sums — |cos·10⁶| ≤ 10⁶ so any label size fits), and prototype-pair
+    * cosines are pure double expressions over identical inputs. Ties on
+    * the nearest-prototype rank break by label.
+    *
+    * Scale shape: one (label, dim) aggregate + a broadcast prototype join
+    * for cohesion (map-side; corpus never shuffles), and the prototype×
+    * prototype pass is #labels² rows — trivial at any corpus size. */
+  def clusterQuality(corpus: DataFrame, idCol: String = "vec_id",
+      labelCol: String = "label", vecCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      col(vecCol).as("v"))
+    val proto = graft.core.CacheScope.persist(labelPrototypes(e))
+    val cohesion = e.join(broadcast(proto), Seq("label"))
+      .select(col("label"),
+        round(Vectors.dot(col("v"), col("p_vec")) /
+          (Vectors.l2Norm(col("v")) * Vectors.l2Norm(col("p_vec"))) *
+          1000000.0, 0).cast("long").as("cm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("cm")).as("s_cm"))
+      .select(col("label"), col("n"),
+        (col("s_cm").cast("double") / col("n").cast("double") / 1000000.0)
+          .as("cohesion"))
+    val other = proto.select(col("label").as("nn_label"),
+      col("p_vec").as("q_vec"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("nn_cosine").desc, col("nn_label"))
+    val nearest = proto.join(other, col("label") =!= col("nn_label"))
+      .withColumn("nn_cosine", Vectors.dot(col("p_vec"), col("q_vec")) /
+        (Vectors.l2Norm(col("p_vec")) * Vectors.l2Norm(col("q_vec"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("label"), col("nn_label"), col("nn_cosine"))
+    cohesion.join(nearest, Seq("label"))
+      .select(col("label"), col("n"), round(col("cohesion"), 6).as("cohesion"),
+        col("nn_label"), round(col("nn_cosine"), 6).as("nn_cosine"),
+        round(col("cohesion") - col("nn_cosine"), 6).as("margin"))
   }
 
   /** Cluster-balanced sampling: cap the corpus at `cap` vectors per IVF

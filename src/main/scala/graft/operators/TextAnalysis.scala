@@ -751,6 +751,52 @@ object TextAnalysis {
         (col("cls") === col("label")).as("correct"))
   }
 
+  /** Unigram distribution drift between two corpora — the crawl-over-crawl
+    * (or source-vs-source) monitoring readout: the `k` tokens whose
+    * probability moved most, with both corpora's counts and micro-prob
+    * deltas. Trending this table per ingestion batch catches a source
+    * going templated, a language mix shift, or a scraper regression long
+    * before model metrics do; the drifted tokens name the culprit directly
+    * (a KL number alone doesn't).
+    *
+    * Engine-exact: probabilities are micro-quantized per token
+    * (`round(c·10⁶/total)` — one double division of exact integers, same
+    * result in both engines), deltas are integer subtraction, and the
+    * top-k rank orders by (|delta|, token) — no float fold anywhere.
+    *
+    * Scale shape: two token-keyed count aggregates (map-side combine via
+    * the fused per-row [[graft.functions.TokenCounts]]) + a full outer
+    * join on token + a TakeOrdered(k) — no global window, no driver data.
+    */
+  def unigramDriftMovers(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    def counts(df: DataFrame): DataFrame = df
+      .select(explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .groupBy(col("tc.tok").as("tok"))
+      .agg(sum("tc.tf").as("c"))
+    val ca = counts(a)
+    val cb = counts(b)
+    val ta = ca.groupBy().agg(sum("c").as("tot_a"))
+    val tb = cb.groupBy().agg(sum("c").as("tot_b"))
+    val joined = ca.withColumnRenamed("c", "c_a")
+      .join(cb.withColumnRenamed("c", "c_b"), Seq("tok"), "full_outer")
+      .crossJoin(ta).crossJoin(tb)
+      .select(col("tok"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"),
+        round(coalesce(col("c_a"), lit(0L)).cast("double") * 1000000.0 /
+          col("tot_a"), 0).cast("long").as("pa_micro"),
+        round(coalesce(col("c_b"), lit(0L)).cast("double") * 1000000.0 /
+          col("tot_b"), 0).cast("long").as("pb_micro"))
+      .withColumn("delta_micro", col("pa_micro") - col("pb_micro"))
+    joined
+      .orderBy(abs(col("delta_micro")).desc, col("tok"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(Window.partitionBy(lit(0))
+        .orderBy(abs(col("delta_micro")).desc, col("tok"))).cast("long"))
+  }
+
   /** Zipf-law fit over the top-`k` vocabulary: least-squares slope and
     * intercept of ln(tf) against ln(rank). Healthy natural-language corpora
     * sit near slope ≈ −1; a much flatter slope flags templated/synthetic

@@ -22,7 +22,12 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "q92_cluster_balanced_sample", // IVF cell assignment: corpus × broadcast(nlist)
     "q93_hard_negatives",     // exhaustive baseline (q22 contract) + label inequality
     "q101_ann_int8",          // exhaustive baseline on quantized vectors (q22 contract)
-    "q94_temperature_mix")    // (N, Σmicro) scalars: two 1-row broadcasts
+    "q94_temperature_mix",    // (N, Σmicro) scalars: two 1-row broadcasts
+    "q109_nb_predict",        // (n_docs, |vocab|) scalars + |vocab|×|classes|
+                              //   model build: 1-row / #classes-row broadcasts
+    "q111_cluster_quality",   // prototype × prototype nearest-other pass:
+                              //   #labels² rows by construction, never corpus
+    "q112_unigram_drift")     // (tot_a, tot_b) scalars: two 1-row broadcasts
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

@@ -278,6 +278,48 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus-row stitch planned as a loop join:\n$p")
   }
 
+  test("redaction + chunking stay narrow: per-row regex/explode, no exchange") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val red = graft.operators.TextAnalysis.redactPatterns(docs, "doc_id",
+      "text", Seq("op" -> "\\b(scan|sort)\\b"))
+    val chk = graft.operators.TextAnalysis.chunkByTokens(docs, "doc_id",
+      "text", 16, 4)
+    Seq("redact" -> red, "chunk" -> chk).foreach { case (nm, df) =>
+      val out = new ByteArrayOutputStream()
+      Console.withOut(out) { df.explain() }
+      assert(!out.toString.contains("Exchange"),
+        s"$nm must stay narrow:\n$out")
+    }
+    // chunking fans out through a per-row explode of start indices
+    val out2 = new ByteArrayOutputStream()
+    Console.withOut(out2) { chk.explain() }
+    assert(out2.toString.contains("Generate explode"),
+      s"chunk fan-out missing:\n$out2")
+  }
+
+  test("shardShuffle is ONE shard-keyed exchange; the rank window never goes global") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.ScaleOps.shardShuffle(docs, "doc_id", 16)
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out) { df.explain() }
+    val p = out.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash exchange:\n$p")
+    assert(!p.contains("SinglePartition"), s"global funnel in shard plan:\n$p")
+    val windowLines = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(windowLines.contains("shard"),
+      s"rank window not shard-partitioned:\n$windowLines")
+  }
+
+  test("zscoreBlend: one group-keyed moment aggregate with map-side combine, no window") {
+    val p = planOf("q110_zscore_blend")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"map-side combine missing:\n$p")
+    assert(!p.contains("Window"), s"standardization must not plan a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"stats join planned as a loop:\n$p")
+  }
+
   test("single-partition stages appear ONLY in plans with bounded funnels") {
     // The WindowExecBase "No Partition Defined" WARN is muted engine-wide
     // (src/main/resources/log4j2.properties) because Spark 4's
@@ -297,8 +339,12 @@ class PlanAuditSpec extends SparkSpec {
       "q86_decontaminate_chunks", // 1-row corpus-total stitch
       "q58_tfidf_keywords",  // n_docs global count: 1 partial row/partition
       "q88_bm25_topk",       // (N, avgdl) corpus stats: same 1-row agg
-      "q94_temperature_mix"  // (N, Σmicro) totals over the stratum table:
+      "q94_temperature_mix", // (N, Σmicro) totals over the stratum table:
                              //   1 partial row/partition, never corpus rows
+      "q109_nb_predict",     // (n_docs, |vocab|) global counts: 1 partial
+                             //   row/partition each, never corpus rows
+      "q112_unigram_drift"   // (tot_a, tot_b) token-count totals + the
+                             //   final TakeOrdered(k) rank: bounded both
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")
