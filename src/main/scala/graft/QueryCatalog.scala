@@ -2878,13 +2878,14 @@ object QueryCatalog {
         FROM mixed GROUP BY 1 ORDER BY 1"""))
   }
 
-  /** Pattern-class PII/entity redaction ([[TextAnalysis.redactPatterns]]):
-    * per-doc occurrence counts per class + the md5 of the rewritten text —
-    * the C4-style structured scrub, value-checked end to end (the hash
-    * pins every replacement position). Patterns stay in the Java∩RE2
-    * common dialect so both engines run the SAME regexes. */
+  /** Pattern-class redaction ([[TextAnalysis.redactPatterns]]) — q44's
+    * fixed PII scrub generalized to configurable (class, regex) pairs WITH
+    * per-class occurrence counts: per-doc counts + the md5 of the
+    * rewritten text, value-checked end to end (the hash pins every
+    * replacement position). Patterns stay in the Java∩RE2 common dialect
+    * so both engines run the SAME regexes. */
   private val q106 = QuerySpec(
-    "q106_pii_redact",
+    "q106_redact_classes",
     (s, dir) => TextAnalysis.redactPatterns(t(s, dir, "documents"),
         "doc_id", "text",
         Seq("ent" -> "\\b(customer|supplier)\\b",
