@@ -3111,6 +3111,106 @@ object QueryCatalog {
       SELECT tok, c_a, c_b, pa_micro, pb_micro, delta_micro, rnk
       FROM r WHERE rnk <= 20 ORDER BY rnk"""))
 
+  /** Greedy ordered funnel ([[graft.operators.EventOps.funnelSteps]]):
+    * signup → view → click → purchase per user, counted per stage. The
+    * oracle replays the equivalent chained-first-occurrence form: stage k's
+    * match is the earliest (ts, event_id) of that type strictly after
+    * stage k-1's match — provably the same greedy subsequence walk the
+    * Spark-side fold performs in one pass. */
+  private val q113 = QuerySpec(
+    "q113_funnel_steps",
+    (s, dir) => graft.operators.EventOps.funnelSteps(
+        t(s, dir, "events"), "user_id", Seq("ts", "event_id"), "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy(col("step")),
+    Some("""WITH
+      s1 AS (SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'signup') WHERE rn = 1),
+      s2 AS (SELECT user_id, ts, event_id FROM (
+        SELECT e.user_id, e.ts, e.event_id,
+          row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+          AND (e.ts, e.event_id) > (s1.ts, s1.event_id)
+        WHERE e.event_type = 'view') WHERE rn = 1),
+      s3 AS (SELECT user_id, ts, event_id FROM (
+        SELECT e.user_id, e.ts, e.event_id,
+          row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+          AND (e.ts, e.event_id) > (s2.ts, s2.event_id)
+        WHERE e.event_type = 'click') WHERE rn = 1),
+      s4 AS (SELECT user_id, ts, event_id FROM (
+        SELECT e.user_id, e.ts, e.event_id,
+          row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN s3 ON e.user_id = s3.user_id
+          AND (e.ts, e.event_id) > (s3.ts, s3.event_id)
+        WHERE e.event_type = 'purchase') WHERE rn = 1)
+      SELECT 1 AS step, 'signup' AS step_name, count(*) AS users FROM s1
+      UNION ALL SELECT 2, 'view', count(*) FROM s2
+      UNION ALL SELECT 3, 'click', count(*) FROM s3
+      UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+      ORDER BY step"""))
+
+  /** First-order event-type transition matrix
+    * ([[graft.operators.EventOps.eventTransitions]]): per-user lag
+    * adjacency counts + row-normalized micro-probabilities. */
+  private val q114 = QuerySpec(
+    "q114_event_transitions",
+    (s, dir) => graft.operators.EventOps.eventTransitions(
+        t(s, dir, "events"), "user_id", Seq("ts", "event_id"), "event_type")
+      .orderBy(col("prev_type"), col("next_type")),
+    Some("""WITH p AS (SELECT
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type,
+        event_type AS next_type
+      FROM events),
+      c AS (SELECT prev_type, next_type, count(*) AS n FROM p
+        WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, next_type, n,
+        CAST(round(n * 1000000.0 / sum(n) OVER (PARTITION BY prev_type), 0)
+          AS BIGINT) AS p_micro
+      FROM c ORDER BY 1, 2"""))
+
+  /** Trailing 1-hour rolling features
+    * ([[graft.operators.EventOps.trailingStats]]): per event, the same
+    * user's event count and value sum over the closed trailing hour — the
+    * RANGE-frame window shape that replaces the quadratic time-predicate
+    * self-join. */
+  private val q115 = QuerySpec(
+    "q115_rolling_stats",
+    (s, dir) => graft.operators.EventOps.trailingStats(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("ts_sec"), col("value")),
+        "user_id", col("ts_sec"), "value", trailingSec = 3600L)
+      .select(col("event_id"), col("n_trail"),
+        round(col("sum_trail"), 2).as("sum_trail"))
+      .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+        count(*) OVER w AS n_trail,
+        round(sum(value) OVER w, 2) AS sum_trail
+      FROM (SELECT event_id, user_id, value,
+          epoch_ns(ts) // 1000000000 AS ts_sec FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  /** Retention cohorts ([[graft.operators.EventOps.retentionCohorts]]):
+    * users cohorted by first active day, activity counted per
+    * (cohort_day, day_offset) cell — one shuffle, per-user distinct days
+    * collapsing map-side. */
+  private val q116 = QuerySpec(
+    "q116_retention_cohorts",
+    (s, dir) => graft.operators.EventOps.retentionCohorts(
+        t(s, dir, "events"), "user_id", expr("ts div 86400000000000"))
+      .orderBy(col("cohort_day"), col("day_offset")),
+    Some("""WITH d AS (SELECT DISTINCT user_id,
+        epoch_ns(ts) // 86400000000000 AS day FROM events),
+      f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+      SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+        count(*) AS n_users
+      FROM d JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -3124,5 +3224,5 @@ object QueryCatalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
-    q110, q111, q112)
+    q110, q111, q112, q113, q114, q115, q116)
 }

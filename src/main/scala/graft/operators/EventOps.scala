@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral event-sequence analytics: funnels, transition matrices,
+  * trailing time-window features, retention cohorts. The reference's event
+  * tables stop at groupBy/pivot shapes (S1 final_agg); these are the
+  * sequence-aware extensions a training-data/behavioral pipeline needs.
+  *
+  * Scale stance shared by every operator here: per-entity sequence work
+  * happens inside ONE hash partition of the entity key (a single exchange),
+  * never via self-joins on time predicates (quadratic) or driver-side
+  * collection. Per-entity cardinality is the only memory bound — callers
+  * with celebrity keys cap them upstream with [[ScaleOps.perKeyCap]].
+  */
+object EventOps {
+
+  /** Greedy ordered-funnel progression: for each entity, walk its events in
+    * `orderCols` order and advance one step each time the NEXT unmatched
+    * funnel stage appears; emit, per stage, how many entities got at least
+    * that far. Greedy earliest-match is the standard funnel semantic
+    * (equivalent to chaining "first E_k strictly after the matched E_{k-1}").
+    *
+    * Physical shape: one shuffle (groupBy entity, sorted collect_list — the
+    * same bounded-per-key contract as [[ScaleOps.orderedSequencePerKey]]),
+    * a codegen'd `aggregate` fold over each array (no UDF), then an explode
+    * to ≤ `steps.length` rows per entity whose partial aggregation collapses
+    * map-side to `steps.length` rows per partition before the final tiny
+    * exchange. No time-predicate self-join at any point.
+    */
+  def funnelSteps(events: DataFrame, keyCol: String, orderCols: Seq[String],
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      "repeated step names make the greedy walk ambiguous")
+    require(orderCols.nonEmpty, "orderCols must pin a deterministic order")
+    val stepsArr = array(steps.map(lit): _*)
+    val item = struct((orderCols :+ typeCol).map(col): _*)
+    val reached = events.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(item)).as("evs"))
+      .select(
+        aggregate(col("evs"), lit(0), (acc, e) =>
+          when(acc < lit(steps.size) &&
+              e.getField(typeCol) === element_at(stepsArr, acc + 1), acc + 1)
+            .otherwise(acc)).as("reached"))
+    reached
+      .where(col("reached") >= 1)
+      .select(explode(sequence(lit(1), col("reached"))).as("step"))
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("users"))
+      .select(col("step"), element_at(stepsArr, col("step")).as("step_name"),
+        col("users"))
+  }
+
+  /** First-order transition matrix over event types: count of each
+    * (prev_type → next_type) adjacency in per-entity `orderCols` order, plus
+    * the row-normalized probability in integer micro-units (6dp grid — the
+    * catalog's cross-engine-exact convention for free reals).
+    *
+    * Physical shape: one exchange for the lag window (partition by entity),
+    * then a groupBy whose output is bounded by |type-alphabet|² rows — the
+    * row-total normalizer is a window over THAT bounded frame, not a join
+    * back to the data.
+    */
+  def eventTransitions(events: DataFrame, keyCol: String,
+      orderCols: Seq[String], typeCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must pin a deterministic order")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    events
+      .select(col(typeCol).as("next_type"),
+        lag(col(typeCol), 1).over(w).as("prev_type"))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_prev",
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n") * lit(1000000.0) / col("n_prev"), 0).cast("long")
+          .as("p_micro"))
+  }
+
+  /** Trailing time-range rolling features: for every row, count and sum of
+    * the SAME entity's `valueCol` over the closed interval
+    * `[t - trailingSec, t]` of the numeric time column. All original
+    * columns pass through; `n_trail` / `sum_trail` are appended.
+    *
+    * This is THE shape that survives scale for "activity in the last hour"
+    * features: a RANGE-frame window runs as one exchange + per-partition
+    * sort with a sliding frame bounded by the events inside the window —
+    * where the naive `e1 JOIN e2 ON same key AND ts BETWEEN ...` self-join
+    * is quadratic per key and re-shuffles both sides. Rows sharing the same
+    * time value are frame peers, so the result is order-independent
+    * (deterministic) even under ties.
+    */
+  def trailingStats(df: DataFrame, keyCol: String, tsSec: Column,
+      valueCol: String, trailingSec: Long): DataFrame = {
+    require(trailingSec >= 0, "trailingSec must be non-negative")
+    val w = Window.partitionBy(col(keyCol)).orderBy(tsSec.cast("long"))
+      .rangeBetween(-trailingSec, 0)
+    df.withColumn("n_trail", count(lit(1)).over(w))
+      .withColumn("sum_trail", sum(col(valueCol)).over(w))
+  }
+
+  /** Retention cohorts: entities cohorted by their first active day; for
+    * each (cohort_day, day_offset) the count of entities active that day.
+    * `dayCol` is any integral day number (e.g. `ts div 86 400e9` on a
+    * nanosecond epoch).
+    *
+    * Physical shape: ONE shuffle of the event stream — per-entity distinct
+    * days collapse map-side inside `collect_set`'s partial aggregation, the
+    * cohort day is just the min of that set, and the explode emits one row
+    * per (entity, active-day) into a final bounded groupBy
+    * (|days|² cells max). Per-entity set size is bounded by the calendar
+    * (≤ a few thousand distinct days even for a decade of activity), not by
+    * event volume — the reason this beats the two-shuffle
+    * distinct→min→join-back plan.
+    */
+  def retentionCohorts(events: DataFrame, keyCol: String,
+      dayCol: Column): DataFrame = {
+    events.select(col(keyCol), dayCol.cast("long").as("day"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_set(col("day"))).as("days"))
+      .select(element_at(col("days"), 1).as("cohort_day"),
+        explode(col("days")).as("day"))
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** EventOps invariants: the funnel fold equals the chained-first-occurrence
+  * definition, transition rows normalize, the RANGE-frame trailing window
+  * equals the (quadratic) self-join it replaces, and cohorts conserve users. */
+class EventOpsSpec extends SparkSpec {
+
+  // (user, ts, event_id, type) — hand-built to exercise out-of-order types,
+  // pre-step noise, and ties on nothing (ids all distinct)
+  private lazy val toyEvents = {
+    import spark.implicits._
+    Seq(
+      // u1 completes the whole funnel, with noise between steps
+      (1L, 10L, 1L, "signup"), (1L, 11L, 2L, "error"), (1L, 12L, 3L, "view"),
+      (1L, 13L, 4L, "click"), (1L, 14L, 5L, "purchase"),
+      // u2: view BEFORE signup must not count; stalls after view
+      (2L, 20L, 6L, "view"), (2L, 21L, 7L, "signup"), (2L, 22L, 8L, "view"),
+      // u3: signup only
+      (3L, 30L, 9L, "signup"),
+      // u4: purchase with no prior stages — reaches nothing
+      (4L, 40L, 10L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+  }
+
+  test("funnelSteps: greedy walk matches the hand-computed funnel") {
+    val got = EventOps.funnelSteps(toyEvents, "user_id",
+        Seq("ts", "event_id"), "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // u1 reaches 4, u2 reaches 2 (post-signup view), u3 reaches 1, u4 zero
+    assert(got.toSeq == Seq((1, "signup", 3L), (2, "view", 2L),
+      (3, "click", 1L), (4, "purchase", 1L)))
+  }
+
+  test("funnelSteps: stage counts are monotone non-increasing on real events") {
+    val users = EventOps.funnelSteps(
+        spark.read.parquet(s"$sfDir/events.parquet"), "user_id",
+        Seq("ts", "event_id"), "event_type",
+        Seq("signup", "view", "purchase"))
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(users.sliding(2).forall { case Array(a, b) => a >= b })
+  }
+
+  test("eventTransitions: per-prev micro-probabilities sum to ~1e6") {
+    val rows = EventOps.eventTransitions(
+        spark.read.parquet(s"$sfDir/events.parquet"), "user_id",
+        Seq("ts", "event_id"), "event_type")
+      .groupBy("prev_type")
+      .agg(sum("p_micro").as("total"), count(lit(1)).as("k"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // each row rounds independently: total within k half-units of 1e6
+      assert(math.abs(r.getLong(1) - 1000000L) <= r.getLong(2),
+        s"${r.getString(0)}: ${r.getLong(1)}")
+    }
+  }
+
+  test("eventTransitions: adjacency counts match a hand walk") {
+    val m = EventOps.eventTransitions(toyEvents, "user_id",
+        Seq("ts", "event_id"), "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("signup", "error")) == 1L) // u1
+    assert(m(("view", "signup")) == 1L)  // u2
+    assert(m(("signup", "view")) == 1L)  // u2's second hop
+    assert(!m.contains(("purchase", "signup")))
+  }
+
+  test("trailingStats == brute-force time self-join") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("ts_sec"), col("value"))
+    val fast = EventOps.trailingStats(ev, "user_id", col("ts_sec"), "value", 3600L)
+      .select(col("event_id"), col("n_trail"), round(col("sum_trail"), 6).as("s"))
+    val a = ev.as("a")
+    val b = ev.select(col("user_id"), col("ts_sec").as("ts_b"), col("value").as("v_b")).as("b")
+    val brute = a.join(b, col("a.user_id") === col("b.user_id") &&
+        col("ts_b").between(col("ts_sec") - 3600L, col("ts_sec")))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_trail"), round(sum(col("v_b")), 6).as("s"))
+    assert(fast.count() == ev.count())
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+  }
+
+  test("retentionCohorts: offset-0 cells hold every user exactly once") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val cohorts = EventOps.retentionCohorts(ev, "user_id",
+      expr("ts div 86400000000000"))
+    val day0Total = cohorts.where(col("day_offset") === 0)
+      .agg(sum("n_users")).collect()(0).getLong(0)
+    val nUsers = ev.select(countDistinct("user_id")).collect()(0).getLong(0)
+    assert(day0Total == nUsers)
+    // no negative offsets (cohort day IS the min active day)
+    assert(cohorts.where(col("day_offset") < 0).isEmpty)
+  }
+}
