@@ -99,8 +99,11 @@ object EventOps {
     require(trailingSec >= 0, "trailingSec must be non-negative")
     val w = Window.partitionBy(col(keyCol)).orderBy(tsSec.cast("long"))
       .rangeBetween(-trailingSec, 0)
-    df.withColumn("n_trail", count(lit(1)).over(w))
-      .withColumn("sum_trail", sum(col(valueCol)).over(w))
+    // both aggregates in ONE projection so they land in one Window exec
+    // (chained withColumn leaves two Window nodes the optimizer won't merge
+    // across the interposed Projects — an extra frame pass for nothing)
+    df.select(col("*"), count(lit(1)).over(w).as("n_trail"),
+      sum(col(valueCol)).over(w).as("sum_trail"))
   }
 
   /** Retention cohorts: entities cohorted by their first active day; for

@@ -353,6 +353,46 @@ class PlanAuditSpec extends SparkSpec {
       s"unbounded single-partition funnel in: ${(offenders -- bounded).toSeq.sorted}")
   }
 
+  test("q113 funnel is a fold over sorted arrays: no join anywhere in the plan") {
+    val p = planOf("q113_funnel_steps")
+    // the naive funnel is a chain of time-predicate self-joins; ours must
+    // shuffle the events ONCE (groupBy user) and fold — no join operator,
+    // the only other hash exchange carries <= n_steps rows per partition
+    assert(!p.contains("Join"), s"funnel must not self-join:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1)
+    assert(p.contains("partial_count"), "step counts must combine map-side")
+  }
+
+  test("q114 transition matrix normalizes via a bounded window, not a join back") {
+    val p = planOf("q114_event_transitions")
+    assert(!p.contains("Join"), s"row totals must come from the bounded " +
+      s"|types|^2 frame, never a join back to the events:\n$p")
+    assert(p.contains("partial_count"), "adjacency counts combine map-side")
+  }
+
+  test("q115 trailing stats is ONE data-scale exchange + a range-frame window") {
+    val p = planOf("q115_rolling_stats")
+    // the quadratic alternative is a ts-BETWEEN self-join; the designed plan
+    // shuffles once on user_id and serves BOTH aggregates from one Window
+    // exec over a sliding RangeFrame
+    assert(!p.contains("Join"), s"trailing window must not self-join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    assert(p.contains("RangeFrame"), s"frame must be RANGE, not ROWS:\n$p")
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      "count+sum must share one Window exec")
+  }
+
+  test("q116 retention cohorts: per-user day sets collapse map-side, no join back") {
+    val p = planOf("q116_retention_cohorts")
+    assert(!p.contains("Join"), s"cohort day must come from the per-user " +
+      s"set, never a min-join back to the events:\n$p")
+    assert(p.contains("partial_collect_set"),
+      "distinct days must dedup in the partial aggregate")
+    // two hash exchanges: the per-user set build, then the bounded
+    // (cohort_day, day_offset) cell aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2)
+  }
+
   test("epochMix is shuffle-free: explode + case chain, no exchange") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = ScaleOpsAccess.epochMix(docs)
