@@ -30,12 +30,14 @@ def cells_equal(a, b):
         return af == bf
     return str(a) == str(b)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    if only:  # selective Verify runs dump only the named queries
+        oracles = {k: v for k, v in oracles.items() if k in only}
     passed = failed = 0
     for name in sorted(oracles):
         sql = oracles[name]
@@ -74,4 +76,5 @@ def main(sf_dir, out_dir):
     return 1 if failed else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+        set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))

@@ -3211,6 +3211,25 @@ object QueryCatalog {
         count(*) AS n_users
       FROM d JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Mergeable HLL distinct rollup
+    * ([[graft.operators.ScaleOps.sketchDistinctRollup]]): daily user
+    * sketches unioned into weekly actives — re-aggregation WITHOUT
+    * re-scanning raw events. Oracle = the q32 checked-sketch pattern: the
+    * exact twin plus the (provably TRUE) error-bound flag; a sketch
+    * drifting out of bound flips the flag and fails the hash match. */
+  private val q117 = QuerySpec(
+    "q117_sketch_rollup",
+    (s, dir) => graft.operators.ScaleOps.sketchDistinctRollup(
+        t(s, dir, "events"), expr("ts div 86400000000000"), "user_id",
+        day => floor(day / 7))
+      .orderBy(col("rollup")),
+    Some("""WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS day, user_id
+        FROM events)
+      SELECT day // 7 AS rollup,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+        TRUE AS within_bound
+      FROM d GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -3224,5 +3243,5 @@ object QueryCatalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
-    q110, q111, q112, q113, q114, q115, q116)
+    q110, q111, q112, q113, q114, q115, q116, q117)
 }

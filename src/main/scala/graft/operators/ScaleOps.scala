@@ -710,4 +710,51 @@ object ScaleOps {
       .join(joinHint.fold(dimKeys)(dimKeys.hint(_)),
         col(factKey) === col("_dim_key"), "left_semi")
   }
+
+  /** Mergeable distinct-count rollup via HLL sketches
+    * ([[approxDistinctChecked]]'s big sibling): build ONE HLL sketch per
+    * fine-grain unit (e.g. per day), then roll units up (e.g. to weeks) by
+    * UNIONING the sketches — never re-scanning the raw rows.
+    *
+    * This mergeability is THE pattern for distinct-key metrics over
+    * petabyte event logs: the daily sketch table is a few KB per day
+    * (2^lgConfigK registers), so weekly / monthly / all-time / sliding
+    * rollups are aggregations over #units sketch rows, not over the
+    * event stream — and sketches built by different executors, jobs, or
+    * days merge without coordination. A plain `countDistinct` rollup
+    * re-shuffles every raw event per rollup grain.
+    *
+    * Like [[approxDistinctChecked]], the output carries the exact twin and
+    * a bound flag instead of the raw estimate (estimates are
+    * sketch-implementation-specific; the CONTRACT is portable): each
+    * rollup row asserts |est − exact| / exact ≤ 3·rsd where
+    * rsd ≈ 1.04 / √2^lgConfigK. The exact twin is computed here for the
+    * audit; production reads `hll_sketch_estimate` directly and skips the
+    * raw-data pass entirely. */
+  def sketchDistinctRollup(df: DataFrame, unitCol: Column, keyCol: String,
+      rollupOf: Column => Column, lgConfigK: Int = 14): DataFrame = {
+    require(lgConfigK >= 4 && lgConfigK <= 21, "lgConfigK in [4, 21]")
+    val rsd = 1.04 / math.sqrt((1L << lgConfigK).toDouble)
+    val daily = df.select(unitCol.cast("long").as("unit"), col(keyCol).as("k"))
+      .groupBy(col("unit"))
+      .agg(hll_sketch_agg(col("k"), lgConfigK).as("sk"))
+    val rolled = daily
+      .groupBy(rollupOf(col("unit")).cast("long").as("rollup"))
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .select(col("rollup"), hll_sketch_estimate(col("sk")).as("est"))
+    // the exact audit twin re-derives the rollup key from the raw unit so
+    // both paths bucket identically
+    val exact = df
+      .select(rollupOf(unitCol.cast("long")).cast("long").as("rollup"),
+        col(keyCol).as("k"))
+      .groupBy(col("rollup"))
+      .agg(countDistinct(col("k")).as("exact_distinct"))
+    rolled.join(exact, "rollup")
+      .select(col("rollup"), col("exact_distinct"),
+        when(col("exact_distinct") === 0, col("est") === 0)
+          .otherwise(
+            abs(col("est") - col("exact_distinct")).cast("double") /
+              col("exact_distinct") <= lit(3 * rsd))
+          .as("within_bound"))
+  }
 }

@@ -461,4 +461,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(soft("big")._2 > soft("mid")._2 && soft("mid")._2 > soft("rare")._2)
     assert(math.abs(soft.values.map(_._2).sum - 1.0) < 1e-5)
   }
+
+  test("sketchDistinctRollup: union-of-daily-sketches stays in error bound " +
+      "and matches the direct rollup estimate") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val rolled = ScaleOps.sketchDistinctRollup(ev,
+      expr("ts div 86400000000000"), "user_id", d => floor(d / 7))
+    val rows = rolled.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)), "every rollup within 3*rsd")
+    // mergeability cross-check: the unioned weekly estimate must agree with
+    // a sketch built directly over the week's raw rows (same lgConfigK) —
+    // same registers up to union promotion, so within the same error bound
+    val direct = ev
+      .select(expr("(ts div 86400000000000) div 7").as("rollup"), col("user_id"))
+      .groupBy("rollup")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 14)).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (wk, ex) =>
+      assert(math.abs(direct(wk) - ex).toDouble / math.max(ex, 1) < 0.05, s"week $wk")
+    }
+  }
 }
