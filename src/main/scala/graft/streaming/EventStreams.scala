@@ -448,4 +448,53 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  final case class FunnelAdvance(user_id: Long, stage: Int, stage_name: String,
+      ts: Timestamp)
+
+  /** Per-user funnel position (top-level for the state encoder's codegen). */
+  final case class FunnelState(stage: Int)
+
+  /** Streaming funnel tracker — the live twin of
+    * `graft.operators.EventOps.funnelSteps`: per user, ONE Int of state (the
+    * current stage index), advanced greedily as stage events arrive; each
+    * advance emits a (user, stage, ts) record immediately, so dashboards see
+    * conversions at event latency instead of at batch-recompute cadence.
+    * Completed users drop their state (the funnel can't advance further), so
+    * the state store holds only in-flight funnels — bounded by active users,
+    * not by event volume.
+    *
+    * Ordering contract: rows are time-sorted WITHIN each micro-batch, so the
+    * walk is exactly the batch operator's greedy time-order walk whenever
+    * event disorder is bounded by the batch interval. An earlier-timestamped
+    * stage event that surfaces only AFTER a later one already advanced the
+    * funnel counts at arrival (the stream cannot retro-reorder committed
+    * advances) — the standard at-arrival funnel semantic; run the batch twin
+    * for the retrospective exact answer. */
+  def funnelAdvances(events: Dataset[Event],
+      steps: Seq[String]): Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepArr = steps.toArray
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[FunnelState]): Iterator[FunnelAdvance] = {
+      var stage = state.getOption.map(_.stage).getOrElse(0)
+      val out = List.newBuilder[FunnelAdvance]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (stage < stepArr.length && e.event_type == stepArr(stage)) {
+          stage += 1
+          out += FunnelAdvance(userId, stage, stepArr(stage - 1), e.ts)
+        }
+      }
+      if (stage >= stepArr.length) state.remove()
+      else state.update(FunnelState(stage))
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

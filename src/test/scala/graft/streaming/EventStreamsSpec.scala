@@ -357,4 +357,35 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L),
       "policy hit must never reach the corpus")
   }
+
+  test("funnelAdvances: live stage counts match the batch funnel on in-order data") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val steps = Seq("signup", "view", "purchase")
+    val batch1 = Seq(
+      Event(1, ts(0), 1, "signup", 0), Event(2, ts(1), 1, "view", 0),
+      Event(3, ts(0), 2, "view", 0),   // pre-signup view: must not count
+      Event(4, ts(1), 2, "signup", 0))
+    val batch2 = Seq(
+      Event(5, ts(10), 1, "purchase", 0), // completes u1 across batches
+      Event(6, ts(10), 2, "view", 0),
+      Event(7, ts(10), 3, "signup", 0))
+    val in = MemoryStream[Event]
+    val q = EventStreams.funnelAdvances(in.toDS(), steps).toDF()
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    in.addData(batch1: _*); q.processAllAvailable()
+    in.addData(batch2: _*); q.processAllAvailable(); q.stop()
+    val stream = spark.table("funnel").groupBy("stage")
+      .agg(count(lit(1)).as("users"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batchTwin = graft.operators.EventOps.funnelSteps(
+        (batch1 ++ batch2).toDF(), "user_id", Seq("ts", "event_id"),
+        "event_type", steps)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(stream == batchTwin, s"stream=$stream batch=$batchTwin")
+    // u1 completed → exactly one purchase-stage advance, stamped at ts(10)
+    val done = spark.table("funnel").where(col("stage") === 3).collect()
+    assert(done.length == 1 && done(0).getLong(0) == 1L)
+  }
 }
