@@ -654,6 +654,53 @@ object StressMain {
       time("cellBalancedSample nlist=64 cap=1000")(
         Similarity.cellBalancedSample(big, nlist = 64, cap = 1000).count())
       graft.core.CacheScope.drain()
+    } else if (args.headOption.contains("events")) {
+      // behavioral ops at volume: replicate sf0.1 events with NEW users
+      // (per-user history length stays fixed — the per-key bound every
+      // EventOps design leans on — while total volume scales by `factor`)
+      val factor = args.lift(1).map(_.toInt).getOrElse(50)
+      import graft.operators.EventOps
+      val ev = s.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val big = ev.crossJoin(s.range(factor).select(col("id").as("rep")))
+        .select(
+          (col("rep") * 100000000L + col("event_id")).as("event_id"),
+          // shift each replica 1h so rolling windows stay populated but
+          // replicas don't collapse onto identical timestamps
+          (col("ts") + col("rep") * 3600000000000L).as("ts"),
+          (col("rep") * 1000000L + col("user_id")).as("user_id"),
+          col("event_type"), col("value"))
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"materialize ${factor}x events")(big.count())
+      // one exchange + per-user fold: linear in factor (users scale, history doesn't)
+      time("funnelSteps 4-stage")(
+        EventOps.funnelSteps(big, "user_id", Seq("ts", "event_id"),
+          "event_type", Seq("signup", "view", "click", "purchase")).count())
+      // one exchange + RANGE-frame window: linear (frame size fixed by the
+      // hour). Aggregate OVER the window outputs — a bare count() lets the
+      // optimizer prune the Window exec and times an empty plan.
+      time("trailingStats 1h")({
+        EventOps.trailingStats(
+          big.select(col("event_id"), col("user_id"),
+            expr("ts div 1000000000").as("ts_sec"), col("value")),
+          "user_id", col("ts_sec"), "value", 3600L)
+          .agg(max("n_trail"), sum("sum_trail")).head()
+        big.count()
+      })
+      // lag window + bounded |types|^2 agg: linear
+      time("eventTransitions")(
+        EventOps.eventTransitions(big, "user_id", Seq("ts", "event_id"),
+          "event_type").count())
+      // one shuffle, map-side distinct-day collapse: linear
+      time("retentionCohorts")(
+        EventOps.retentionCohorts(big, "user_id",
+          expr("ts div 86400000000000")).count())
+      // per-day sketches + union rollup: the rollup cost is #days rows
+      time("sketchDistinctRollup week")(
+        graft.operators.ScaleOps.sketchDistinctRollup(big,
+          expr("ts div 86400000000000"), "user_id",
+          d => floor(d / 7)).count())
+      graft.core.CacheScope.drain()
     } else {
       val factor = args.headOption.map(_.toDouble).getOrElse(1.0)
       StressGen.registerAll(s, factor)

@@ -25,8 +25,10 @@ object EventOps {
     *
     * Physical shape: one shuffle (groupBy entity, sorted collect_list — the
     * same bounded-per-key contract as [[ScaleOps.orderedSequencePerKey]]),
-    * a codegen'd `aggregate` fold over each array (no UDF), then an explode
-    * to ≤ `steps.length` rows per entity whose partial aggregation collapses
+    * the native [[graft.functions.FunnelReached]] walk over each array (a
+    * codegen'd tight loop — the `aggregate` HOF twin evaluates its lambda
+    * interpreted at ~3.4 µs/element, ~100× this), then an explode to
+    * ≤ `steps.length` rows per entity whose partial aggregation collapses
     * map-side to `steps.length` rows per partition before the final tiny
     * exchange. No time-predicate self-join at any point.
     */
@@ -40,11 +42,8 @@ object EventOps {
     val item = struct((orderCols :+ typeCol).map(col): _*)
     val reached = events.groupBy(col(keyCol))
       .agg(array_sort(collect_list(item)).as("evs"))
-      .select(
-        aggregate(col("evs"), lit(0), (acc, e) =>
-          when(acc < lit(steps.size) &&
-              e.getField(typeCol) === element_at(stepsArr, acc + 1), acc + 1)
-            .otherwise(acc)).as("reached"))
+      .select(graft.functions.FunnelReached(col("evs"),
+        typeOrdinal = orderCols.length, steps).as("reached"))
     reached
       .where(col("reached") >= 1)
       .select(explode(sequence(lit(1), col("reached"))).as("step"))
