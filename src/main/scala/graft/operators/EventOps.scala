@@ -105,6 +105,38 @@ object EventOps {
       sum(col(valueCol)).over(w).as("sum_trail"))
   }
 
+  /** Last-touch conversion attribution: each `convType` event's value is
+    * credited to the entity's most recent PRIOR event whose type is in
+    * `touchTypes` ("direct" when no touch precedes); output is per-channel
+    * (n_conversions, attributed_value).
+    *
+    * Physical shape: one exchange (entity key) + one ROWS-frame window whose
+    * `last(touch, ignoreNulls)` scans backward from the row before the
+    * conversion — the running-last-touch is carried by the frame, not by a
+    * per-conversion lookback self-join (which re-shuffles both sides and
+    * goes quadratic on active users). The final aggregate is bounded by
+    * |touchTypes| + 1 rows.
+    */
+  def lastTouchAttribution(events: DataFrame, keyCol: String,
+      orderCols: Seq[String], typeCol: String, valueCol: String,
+      touchTypes: Seq[String], convType: String): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must pin a deterministic order")
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      "the conversion type cannot also be a touch type")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("channel",
+        last(when(col(typeCol).isin(touchTypes.map(x => x: Any): _*),
+          col(typeCol)), ignoreNulls = true).over(w))
+      .where(col(typeCol) === convType)
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col(valueCol)), 2).as("attributed_value"))
+  }
+
   /** Retention cohorts: entities cohorted by their first active day; for
     * each (cohort_day, day_offset) the count of entities active that day.
     * `dayCol` is any integral day number (e.g. `ts div 86 400e9` on a

@@ -416,6 +416,51 @@ object ScaleOps {
         round(blend, 6).as("blend"): _*)
   }
 
+  /** Population stability index per group vs the pooled rest: for each
+    * group g, PSI(g) = Σ_bins (pa − pb)·ln(pa / pb) where pa is g's
+    * (add-`smoothing`) bin distribution and pb is everyone-else's — the
+    * standard "did this source/snapshot drift?" gate, one scalar per group,
+    * flagged at the conventional 0.1 (moderate) / 0.25 (major) thresholds.
+    *
+    * Determinism contract: each bin's term collapses to an integer
+    * micro-unit BEFORE the sum (the [[zscoreBlend]]/microPearson lesson) —
+    * the engines' `ln` may differ in the last ulp, but a 1e-6 round of a
+    * ~1e-2 value absorbs it, and the integer sum is fold-order-free. The
+    * output is `psi_micro` (PSI × 10⁶, BIGINT) for exactly that reason.
+    *
+    * Scale shape: ONE group×bin-keyed aggregate over the data (map-side
+    * partial; |groups|·|bins| output rows); everything downstream — the
+    * dense grid, per-group/per-bin totals, the pooled-rest complement —
+    * lives on that bounded frame via tiny windows. The raw rows are
+    * touched exactly once. */
+  def psiDrift(df: DataFrame, groupCol: String, binCol: Column,
+      smoothing: Long = 1L): DataFrame = {
+    require(smoothing >= 1, "smoothing >= 1 (zero bins would divide by zero)")
+    val counts = df
+      .select(col(groupCol).as("g"), binCol.cast("long").as("bin"))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("c"))
+    // dense grid over the observed bin alphabet — bounded |groups|×|bins|
+    val grid = counts.select("g").distinct()
+      .crossJoin(counts.select("bin").distinct())
+      .join(counts, Seq("g", "bin"), "left")
+      .na.fill(0L, Seq("c"))
+    val d = (c: Column) => c.cast("double")
+    val enriched = grid
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("tot_g", sum(col("c")).over(Window.partitionBy(col("g"))))
+      .withColumn("glob_bin", sum(col("c")).over(Window.partitionBy(col("bin"))))
+      .withColumn("glob", sum(col("c")).over(
+        Window.partitionBy(col("bin") * lit(0))))
+    val pa = (d(col("c")) + smoothing) /
+      (d(col("tot_g")) + smoothing * d(col("nb")))
+    val pb = (d(col("glob_bin") - col("c")) + smoothing) /
+      (d(col("glob") - col("tot_g")) + smoothing * d(col("nb")))
+    enriched
+      .groupBy(col("g").as(groupCol))
+      .agg(sum(round((pa - pb) * log(pa / pb) * 1000000.0, 0).cast("long"))
+        .as("psi_micro"))
+  }
+
   /** Deterministic training-order shuffle + sharding — the last step before
     * a corpus ships to the trainer: every row gets a shard (`hash mod
     * numShards`) and a position within its shard (rank of the hash), so the
