@@ -29,7 +29,7 @@ object QueryCatalog {
       oracle: Option[String])
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.core.EventTs.toNanos(s.read.parquet(s"$dir/$name.parquet"))
 
   // ---------------------------------------------------------------- core §2
 

@@ -19,7 +19,7 @@ final class TableRegistry(spark: SparkSession) {
   /** Register a parquet path under `name` and expose it as a temp view. */
   def register(name: String, path: String): DataFrame = {
     paths.put(name, path)
-    val df = spark.read.parquet(path)
+    val df = EventTs.toNanos(spark.read.parquet(path))
     df.createOrReplaceTempView(name)
     df
   }

@@ -578,7 +578,7 @@ object StressMain {
     } else if (args.headOption.contains("asof")) {
       val factor = args.lift(1).map(_.toInt).getOrElse(100)
       import graft.operators.AsofJoin
-      val ev = s.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val ev = graft.core.EventTs.toNanos(s.read.parquet("/root/testdata/sf0.1/events.parquet"))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       // replicate WIDE (new users per replica), the realistic scale axis
       val big = ev.crossJoin(s.range(factor).select(col("id").as("rep")))
@@ -602,7 +602,7 @@ object StressMain {
       val factor = args.lift(1).map(_.toInt).getOrElse(10)
       val nDims = args.lift(2).map(_.toInt).getOrElse(1000)
       import graft.operators.ScaleOps
-      val ev = s.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val ev = graft.core.EventTs.toNanos(s.read.parquet("/root/testdata/sf0.1/events.parquet"))
         .select(col("event_id"), col("value"))
       val big = ev.crossJoin(s.range(factor).select(col("id").as("rep")))
         .select(col("event_id"),
@@ -660,7 +660,7 @@ object StressMain {
       // EventOps design leans on — while total volume scales by `factor`)
       val factor = args.lift(1).map(_.toInt).getOrElse(50)
       import graft.operators.EventOps
-      val ev = s.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val ev = graft.core.EventTs.toNanos(s.read.parquet("/root/testdata/sf0.1/events.parquet"))
       val big = ev.crossJoin(s.range(factor).select(col("id").as("rep")))
         .select(
           (col("rep") * 100000000L + col("event_id")).as("event_id"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Operators that exist purely for the 100 TB regime — they change the
@@ -452,9 +453,9 @@ object ScaleOps {
       .withColumn("glob", sum(col("c")).over(
         Window.partitionBy(col("bin") * lit(0))))
     val pa = (d(col("c")) + smoothing) /
-      (d(col("tot_g")) + smoothing * d(col("nb")))
+      (d(col("tot_g")) + lit(smoothing) * d(col("nb")))
     val pb = (d(col("glob_bin") - col("c")) + smoothing) /
-      (d(col("glob") - col("tot_g")) + smoothing * d(col("nb")))
+      (d(col("glob") - col("tot_g")) + lit(smoothing) * d(col("nb")))
     enriched
       .groupBy(col("g").as(groupCol))
       .agg(sum(round((pa - pb) * log(pa / pb) * 1000000.0, 0).cast("long"))

@@ -52,7 +52,7 @@ class SessionsSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     // nanos-as-long makes events readable (would throw without it)
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.core.EventTs.toNanos(spark.read.parquet(s"$sfDir/events.parquet"))
     assert(ev.schema("ts").dataType.typeName == "long")
     assert(ev.count() > 0)
   }

@@ -38,7 +38,7 @@ class EventOpsSpec extends SparkSpec {
 
   test("funnelSteps: stage counts are monotone non-increasing on real events") {
     val users = EventOps.funnelSteps(
-        spark.read.parquet(s"$sfDir/events.parquet"), "user_id",
+        graft.core.EventTs.toNanos(spark.read.parquet(s"$sfDir/events.parquet")), "user_id",
         Seq("ts", "event_id"), "event_type",
         Seq("signup", "view", "purchase"))
       .orderBy("step").collect().map(_.getLong(2))
@@ -47,7 +47,7 @@ class EventOpsSpec extends SparkSpec {
 
   test("eventTransitions: per-prev micro-probabilities sum to ~1e6") {
     val rows = EventOps.eventTransitions(
-        spark.read.parquet(s"$sfDir/events.parquet"), "user_id",
+        graft.core.EventTs.toNanos(spark.read.parquet(s"$sfDir/events.parquet")), "user_id",
         Seq("ts", "event_id"), "event_type")
       .groupBy("prev_type")
       .agg(sum("p_micro").as("total"), count(lit(1)).as("k"))
@@ -72,7 +72,7 @@ class EventOpsSpec extends SparkSpec {
 
   test("trailingStats == brute-force time self-join") {
     import spark.implicits._
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.core.EventTs.toNanos(spark.read.parquet(s"$sfDir/events.parquet"))
       .select(col("event_id"), col("user_id"),
         expr("ts div 1000000000").as("ts_sec"), col("value"))
     val fast = EventOps.trailingStats(ev, "user_id", col("ts_sec"), "value", 3600L)
@@ -88,7 +88,7 @@ class EventOpsSpec extends SparkSpec {
   }
 
   test("retentionCohorts: offset-0 cells hold every user exactly once") {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.core.EventTs.toNanos(spark.read.parquet(s"$sfDir/events.parquet"))
     val cohorts = EventOps.retentionCohorts(ev, "user_id",
       expr("ts div 86400000000000"))
     val day0Total = cohorts.where(col("day_offset") === 0)

@@ -323,7 +323,7 @@ class ScaleOpsSpec extends SparkSpec {
     assert(want.count(_._2 == "d") + want.count(_._2 == "e") >= 4) // overlap exercised
     // the plan the operator exists for: a hash join, not a nested loop
     val plan = ScaleOps.rangeBucketJoin(
-      spark.read.parquet(s"$sfDir/events.parquet"), "value", dims, "lo", "hi", 10.0)
+      graft.core.EventTs.toNanos(spark.read.parquet(s"$sfDir/events.parquet")), "value", dims, "lo", "hi", 10.0)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       plan.take(400))
@@ -465,7 +465,7 @@ class ScaleOpsSpec extends SparkSpec {
   test("sketchDistinctRollup: union-of-daily-sketches stays in error bound " +
       "and matches the direct rollup estimate") {
     import org.apache.spark.sql.functions._
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.core.EventTs.toNanos(spark.read.parquet(s"$sfDir/events.parquet"))
     val rolled = ScaleOps.sketchDistinctRollup(ev,
       expr("ts div 86400000000000"), "user_id", d => floor(d / 7))
     val rows = rolled.collect()

@@ -184,7 +184,7 @@ class EventStreamsSpec extends SparkSpec {
   test("readEvents/writeParquet: file-source round trip equals batch q28 shape") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // seed the source dir with the real sf0.001 events table
-    spark.read.parquet(s"$sfDir/events.parquet").write.parquet(s"$dir/in")
+    graft.core.EventTs.toNanos(spark.read.parquet(s"$sfDir/events.parquet")).write.parquet(s"$dir/in")
     val stream = EventStreams.windowedAgg(
       EventStreams.readEvents(spark, s"$dir/in"), watermark = "0 seconds")
     val q = EventStreams.writeParquet(stream, s"$dir/out", s"$dir/chk")
@@ -193,7 +193,7 @@ class EventStreamsSpec extends SparkSpec {
     val streamed = spark.read.parquet(s"$dir/out")
       .agg(sum("n")).head().getLong(0)
     val batch = EventStreams.windowedAgg(EventStreams.withEventTime(
-        spark.read.parquet(s"$sfDir/events.parquet")))
+        graft.core.EventTs.toNanos(spark.read.parquet(s"$sfDir/events.parquet"))))
       .agg(sum("n")).head().getLong(0)
     // append-mode windows all close once the source is drained except the last
     // open window; allow that tail difference
