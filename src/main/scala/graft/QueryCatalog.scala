@@ -3230,6 +3230,66 @@ object QueryCatalog {
         TRUE AS within_bound
       FROM d GROUP BY 1 ORDER BY 1"""))
 
+  /** Population-stability drift gate ([[graft.operators.ScaleOps.psiDrift]]):
+    * per-source PSI of the n_chars length distribution (50-char bins) vs the
+    * pooled rest — the "did this source/snapshot drift?" scalar. Exact
+    * cross-engine: each bin's term rounds to integer micro-units BEFORE the
+    * per-group sum (ln's last-ulp wobble is absorbed; the BIGINT sum is
+    * fold-order-free). Oracle replays the same dense grid / complement
+    * arithmetic over bounded CTEs. */
+  private val q118 = QuerySpec(
+    "q118_psi_drift",
+    (s, dir) => graft.operators.ScaleOps.psiDrift(
+        t(s, dir, "documents"), "source", expr("n_chars div 50"))
+      .orderBy(col("source")),
+    Some("""WITH counts AS (SELECT source AS g, n_chars // 50 AS bin,
+        count(*) AS c FROM documents GROUP BY 1, 2),
+      gs AS (SELECT DISTINCT g FROM counts),
+      bs AS (SELECT DISTINCT bin FROM counts),
+      grid AS (SELECT gs.g, bs.bin, coalesce(counts.c, 0) AS c
+        FROM gs CROSS JOIN bs
+        LEFT JOIN counts ON counts.g = gs.g AND counts.bin = bs.bin),
+      tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS tot_g, count(*) AS nb
+        FROM grid GROUP BY 1),
+      bint AS (SELECT bin, CAST(sum(c) AS BIGINT) AS glob_bin
+        FROM grid GROUP BY 1),
+      gt AS (SELECT CAST(sum(c) AS BIGINT) AS grand FROM grid),
+      terms AS (SELECT grid.g,
+          (CAST(grid.c AS DOUBLE) + 1)
+            / (CAST(tot.tot_g AS DOUBLE) + 1 * CAST(tot.nb AS DOUBLE)) AS pa,
+          (CAST(bint.glob_bin - grid.c AS DOUBLE) + 1)
+            / (CAST(gt.grand - tot.tot_g AS DOUBLE)
+               + 1 * CAST(tot.nb AS DOUBLE)) AS pb
+        FROM grid JOIN tot ON tot.g = grid.g
+        JOIN bint ON bint.bin = grid.bin CROSS JOIN gt)
+      SELECT g AS source,
+        CAST(sum(CAST(round((pa - pb) * ln(pa / pb) * 1000000.0, 0)
+          AS BIGINT)) AS BIGINT) AS psi_micro
+      FROM terms GROUP BY 1 ORDER BY 1"""))
+
+  /** Last-touch conversion attribution
+    * ([[graft.operators.EventOps.lastTouchAttribution]]): each purchase is
+    * credited to the user's most recent prior click/view ("direct" when
+    * nothing precedes) — one exchange on user_id, the running last-touch
+    * carried by a ROWS frame ending at -1, never a per-conversion lookback
+    * self-join. */
+  private val q119 = QuerySpec(
+    "q119_last_touch",
+    (s, dir) => graft.operators.EventOps.lastTouchAttribution(
+        t(s, dir, "events"), "user_id", Seq("ts", "event_id"),
+        "event_type", "value", Seq("click", "view"), "purchase")
+      .orderBy(col("channel")),
+    Some("""WITH t AS (SELECT user_id, event_type, value,
+        last_value(CASE WHEN event_type IN ('click', 'view')
+            THEN event_type END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        FROM events)
+      SELECT coalesce(channel, 'direct') AS channel,
+        count(*) AS n_conversions,
+        round(sum(value), 2) AS attributed_value
+      FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -3243,5 +3303,5 @@ object QueryCatalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
-    q110, q111, q112, q113, q114, q115, q116, q117)
+    q110, q111, q112, q113, q114, q115, q116, q117, q118, q119)
 }

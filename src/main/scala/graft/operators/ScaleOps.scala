@@ -437,9 +437,12 @@ object ScaleOps {
   def psiDrift(df: DataFrame, groupCol: String, binCol: Column,
       smoothing: Long = 1L): DataFrame = {
     require(smoothing >= 1, "smoothing >= 1 (zero bins would divide by zero)")
-    val counts = df
+    // persisted: the grid derives distinct groups AND distinct bins from this
+    // bounded frame — unpersisted, Catalyst prunes each subtree back to its
+    // own full corpus scan (3 passes over the raw rows instead of 1)
+    val counts = graft.core.CacheScope.persist(df
       .select(col(groupCol).as("g"), binCol.cast("long").as("bin"))
-      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("c"))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("c")))
     // dense grid over the observed bin alphabet — bounded |groups|×|bins|
     val grid = counts.select("g").distinct()
       .crossJoin(counts.select("bin").distinct())

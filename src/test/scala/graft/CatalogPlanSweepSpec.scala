@@ -27,7 +27,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
                               //   model build: 1-row / #classes-row broadcasts
     "q111_cluster_quality",   // prototype × prototype nearest-other pass:
                               //   #labels² rows by construction, never corpus
-    "q112_unigram_drift")     // (tot_a, tot_b) scalars: two 1-row broadcasts
+    "q112_unigram_drift",     // (tot_a, tot_b) scalars: two 1-row broadcasts
+    "q118_psi_drift")         // dense-grid build: distinct groups × distinct
+                              //   bins over the persisted counts — bounded
+                              //   |groups|·|bins|, never corpus rows
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

@@ -393,6 +393,30 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2)
   }
 
+  test("q118 PSI scans the raw rows once; everything after lives on the bounded grid") {
+    val p = planOf("q118_psi_drift")
+    // one group×bin aggregate over the data; the distinct-g / distinct-bin /
+    // grid subtrees all read the persisted counts frame instead of
+    // re-scanning the corpus (the FileScan text recurs inside each printed
+    // InMemoryRelation, but only the cache build executes it)
+    assert("InMemoryTableScan".r.findAllIn(p).size == 3,
+      s"all three grid subtrees must read the persisted counts:\n$p")
+    assert(p.contains("InMemoryRelation"),
+      s"counts must be persisted, not recomputed:\n$p")
+    // the only loop join is the |groups|×|bins| grid cross join — bounded
+    assert(!p.contains("CartesianProduct"), s"no cartesian at data scale:\n$p")
+  }
+
+  test("q119 last-touch is one user exchange + one window — no self-join") {
+    val p = planOf("q119_last_touch")
+    // the naive per-conversion lookback is a time self-join; ours carries
+    // the running last-touch in a ROWS frame, then aggregates the bounded
+    // |channels|+1 output
+    assert(!p.contains("Join"), s"attribution must not self-join:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1)
+    assert(p.contains("partial_count"), "conversion counts combine map-side")
+  }
+
   test("epochMix is shuffle-free: explode + case chain, no exchange") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = ScaleOpsAccess.epochMix(docs)

@@ -98,4 +98,26 @@ class EventOpsSpec extends SparkSpec {
     // no negative offsets (cohort day IS the min active day)
     assert(cohorts.where(col("day_offset") < 0).isEmpty)
   }
+
+  test("lastTouchAttribution: last prior touch wins, no touch → direct") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: click then purchase → click credited
+      (1L, 1L, "click", 0.0), (1L, 2L, "purchase", 10.0),
+      // user 2: purchase with no prior touch → direct
+      (2L, 1L, "purchase", 5.0),
+      // user 3: view then click (plus an ignored error) — the LAST touch
+      // (click) takes both purchases; a later view after the first purchase
+      // reassigns only the second
+      (3L, 1L, "view", 0.0), (3L, 2L, "click", 0.0), (3L, 3L, "error", 0.0),
+      (3L, 4L, "purchase", 7.0), (3L, 5L, "view", 0.0),
+      (3L, 6L, "purchase", 1.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = EventOps.lastTouchAttribution(ev, "user_id", Seq("ts"),
+        "event_type", "value", Seq("click", "view"), "purchase")
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("click", 2L, 17.0), ("direct", 1L, 5.0), ("view", 1L, 1.0)))
+  }
 }

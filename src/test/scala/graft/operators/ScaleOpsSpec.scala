@@ -484,4 +484,26 @@ class ScaleOpsSpec extends SparkSpec {
       assert(math.abs(direct(wk) - ex).toDouble / math.max(ex, 1) < 0.05, s"week $wk")
     }
   }
+
+  test("psiDrift: hand-computed two-group drift, symmetric and exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A: 8×bin0 + 2×bin1; B is the mirror image. With add-1 smoothing over
+    // the 2-bin grid: pa=(8+1)/(10+2)=0.75 vs pb=(2+1)/(10+2)=0.25 on one
+    // bin and the reverse on the other, so each bin contributes
+    // 0.5·ln(3) → round(549306.14) micro, PSI = 2× that for BOTH groups
+    // (drift vs pooled-rest is symmetric with two groups).
+    val rows = Seq.fill(8)(("A", 0L)) ++ Seq.fill(2)(("A", 1L)) ++
+      Seq.fill(2)(("B", 0L)) ++ Seq.fill(8)(("B", 1L))
+    val got = ScaleOps.psiDrift(rows.toDF("src", "bin"), "src", col("bin"))
+      .orderBy("src").collect().map(r => (r.getString(0), r.getLong(1)))
+    val perBin = math.round(0.5 * math.log(3.0) * 1e6) // 549306
+    assert(got.toSeq == Seq(("A", 2 * perBin), ("B", 2 * perBin)))
+    // identical distributions → zero drift (smoothing keeps pa=pb exactly)
+    val flat = Seq.fill(5)(("A", 0L)) ++ Seq.fill(5)(("A", 1L)) ++
+      Seq.fill(5)(("B", 0L)) ++ Seq.fill(5)(("B", 1L))
+    val zeros = ScaleOps.psiDrift(flat.toDF("src", "bin"), "src", col("bin"))
+      .collect().map(_.getLong(1))
+    assert(zeros.forall(_ == 0L))
+  }
 }
