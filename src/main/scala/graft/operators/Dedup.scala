@@ -371,7 +371,11 @@ object Dedup {
     // set isn't small, pass broadcastHot = false and AQE picks at runtime.
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq).select("sh")
-    val filtered = cullHot(sh, hot, broadcastHot)
+    // the culled index is persisted TOO: it feeds both self-join sides and
+    // the sizes aggregate, and each would otherwise replay the hot-set
+    // shuffle + the full anti-join pass over the cached explode (measured:
+    // the hot aggregate ran 3× per query before this)
+    val filtered = graft.core.CacheScope.persist(cullHot(sh, hot, broadcastHot))
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
     // shuffle_hash (default), NOT broadcast: AQE sees a sub-threshold build
     // side at test scale and picks BHJ, but building+shipping the ENTIRE
@@ -591,7 +595,9 @@ object Dedup {
         explode(graft.functions.ShingleHashes(col(textCol), n)).as("sh")))
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq).select("sh")
-    val filtered = cullHot(sh, hot, broadcastHot)
+    // persisted like the raw explode: three consumers (two self-join sides,
+    // sizes) would otherwise each replay the hot-set shuffle + anti-join
+    val filtered = graft.core.CacheScope.persist(cullHot(sh, hot, broadcastHot))
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val pairs = sharedCounts(filtered, joinHint, packIds)
       .where(col("shared") >= minShared)
