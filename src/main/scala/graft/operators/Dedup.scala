@@ -771,6 +771,7 @@ object Dedup {
     * inclusive end of the repeated text itself. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minCount: Long = 2,
+      broadcastRepeated: Boolean = true,
       joinHint: Option[String] = Some("shuffle_hash")): DataFrame = {
     // persisted: the occurrence count and the position mark both read it,
     // and each would otherwise re-run the scan + window-hash explode
@@ -781,8 +782,16 @@ object Dedup {
           .as(Seq("pos", "h"))))
     val repeated = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount).select("h")
-    val hits = hinted(grams, joinHint)
-      .join(hinted(repeated, joinHint), Seq("h"), "left_semi")
+    // broadcast (default): the repeated set is the distinct hashes occurring
+    // >= minCount times — aggregated and small next to the positional
+    // explode, and shipping it map-side spares the full grams exchange on
+    // `h` (the windows below re-shuffle on id anyway, so the semi-join's
+    // hash partitioning buys nothing downstream). broadcastRepeated = false
+    // for corpora where near-everything repeats (boilerplate floods); then
+    // the pinned shuffle_hash bucket join takes over.
+    val hits =
+      if (broadcastRepeated) grams.join(broadcast(repeated), Seq("h"), "left_semi")
+      else hinted(grams, joinHint).join(hinted(repeated, joinHint), Seq("h"), "left_semi")
     // merge adjacent repeated positions into maximal spans: a gap in `pos`
     // starts a new span (standard gaps-and-islands, both windows id-local)
     val byPos = org.apache.spark.sql.expressions.Window
