@@ -659,6 +659,14 @@ object StressMain {
       // (per-user history length stays fixed — the per-key bound every
       // EventOps design leans on — while total volume scales by `factor`)
       val factor = args.lift(1).map(_.toInt).getOrElse(50)
+      // optional 3rd arg: comma-separated substrings selecting which ops run
+      // (in-sequence runs pollute each other's timings — the round-6
+      // eventTransitions lesson; isolate before quoting a number)
+      val only = args.lift(2).map(_.split(",").toSeq)
+      def wanted(label: String): Boolean =
+        only.forall(_.exists(label.contains))
+      def timeIf(label: String)(body: => Long): Unit =
+        if (wanted(label)) time(label)(body)
       import graft.operators.EventOps
       val ev = graft.core.EventTs.toNanos(s.read.parquet("/root/testdata/sf0.1/events.parquet"))
       val big = ev.crossJoin(s.range(factor).select(col("id").as("rep")))
@@ -673,13 +681,13 @@ object StressMain {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       time(s"materialize ${factor}x events")(big.count())
       // one exchange + per-user fold: linear in factor (users scale, history doesn't)
-      time("funnelSteps 4-stage")(
+      timeIf("funnelSteps 4-stage")(
         EventOps.funnelSteps(big, "user_id", Seq("ts", "event_id"),
           "event_type", Seq("signup", "view", "click", "purchase")).count())
       // one exchange + RANGE-frame window: linear (frame size fixed by the
       // hour). Aggregate OVER the window outputs — a bare count() lets the
       // optimizer prune the Window exec and times an empty plan.
-      time("trailingStats 1h")({
+      timeIf("trailingStats 1h")({
         EventOps.trailingStats(
           big.select(col("event_id"), col("user_id"),
             expr("ts div 1000000000").as("ts_sec"), col("value")),
@@ -688,18 +696,30 @@ object StressMain {
         big.count()
       })
       // lag window + bounded |types|^2 agg: linear
-      time("eventTransitions")(
+      timeIf("eventTransitions")(
         EventOps.eventTransitions(big, "user_id", Seq("ts", "event_id"),
           "event_type").count())
       // one shuffle, map-side distinct-day collapse: linear
-      time("retentionCohorts")(
+      timeIf("retentionCohorts")(
         EventOps.retentionCohorts(big, "user_id",
           expr("ts div 86400000000000")).count())
       // per-day sketches + union rollup: the rollup cost is #days rows
-      time("sketchDistinctRollup week")(
+      timeIf("sketchDistinctRollup week")(
         graft.operators.ScaleOps.sketchDistinctRollup(big,
           expr("ts div 86400000000000"), "user_id",
           d => floor(d / 7)).count())
+      // ROWS-frame running last-touch + bounded |channels|+1 agg: linear
+      timeIf("lastTouchAttribution")(
+        EventOps.lastTouchAttribution(big, "user_id", Seq("ts", "event_id"),
+          "event_type", "value", Seq("click", "view"), "purchase").count())
+      // ONE (group, bin)-keyed aggregate over the raw rows; the PSI grid
+      // work is |groups|·|bins| regardless of volume — must stay linear in
+      // factor with a flat tail (grid cost invisible). Groups = replica id
+      // so |groups| grows with factor while rows/group stays fixed.
+      timeIf("psiDrift value-bins")(
+        graft.operators.ScaleOps.psiDrift(
+          big.withColumn("src", (col("user_id") % 1000L).cast("string")),
+          "src", floor(col("value") * 10)).count())
       graft.core.CacheScope.drain()
     } else {
       val factor = args.headOption.map(_.toDouble).getOrElse(1.0)
