@@ -497,4 +497,53 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** Per-user last-touch channel (top-level for the state encoder). */
+  final case class TouchState(channel: String)
+
+  /** One attributed conversion, emitted the moment it arrives. */
+  final case class Attribution(user_id: Long, channel: String,
+      value: Double, ts: Timestamp)
+
+  /** Streaming last-touch attribution — the live twin of
+    * `graft.operators.EventOps.lastTouchAttribution`: per user, ONE small
+    * string of state (the most recent touch channel); each conversion event
+    * emits an (user, channel, value, ts) credit immediately ("direct" when
+    * no touch has been seen), so spend dashboards attribute at event latency
+    * while the batch op remains the retrospective exact answer.
+    *
+    * State is bounded by active users (one channel name each), never by
+    * event volume, and is hash-distributed across the state store by
+    * user_id — the identical scale shape as [[funnelAdvances]]. Ordering
+    * contract is also the same: rows time-sort within each micro-batch, so
+    * attribution matches the batch operator whenever event disorder is
+    * bounded by the batch interval; a touch surfacing after a conversion
+    * already credited cannot retro-reassign it (at-arrival semantics). */
+  def lastTouchAdvances(events: Dataset[Event], touchTypes: Seq[String],
+      convType: String): Dataset[Attribution] = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      "the conversion type cannot also be a touch type")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touches = touchTypes.toSet
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[TouchState]): Iterator[Attribution] = {
+      var channel = state.getOption.map(_.channel).orNull
+      val out = List.newBuilder[Attribution]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (touches.contains(e.event_type)) channel = e.event_type
+        else if (e.event_type == convType)
+          out += Attribution(userId,
+            if (channel == null) "direct" else channel, e.value, e.ts)
+      }
+      if (channel != null) state.update(TouchState(channel))
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -388,4 +388,35 @@ class EventStreamsSpec extends SparkSpec {
     val done = spark.table("funnel").where(col("stage") === 3).collect()
     assert(done.length == 1 && done(0).getLong(0) == 1L)
   }
+
+  test("lastTouchAdvances: live credits match the batch attribution on in-order data") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val batch1 = Seq(
+      Event(1, ts(0), 1, "click", 0), Event(2, ts(1), 1, "purchase", 10.0),
+      Event(3, ts(0), 2, "purchase", 5.0), // no prior touch → direct
+      Event(4, ts(1), 3, "view", 0))
+    val batch2 = Seq(
+      // u3's touch state (view) carries ACROSS batches into this credit
+      Event(5, ts(10), 3, "purchase", 7.0),
+      // u1 re-touches then converts again inside one batch
+      Event(6, ts(10), 1, "view", 0), Event(7, ts(11), 1, "purchase", 1.0))
+    val in = MemoryStream[Event]
+    val q = EventStreams.lastTouchAdvances(in.toDS(),
+        Seq("click", "view"), "purchase").toDF()
+      .writeStream.format("memory").queryName("lasttouch")
+      .outputMode("append").start()
+    in.addData(batch1: _*); q.processAllAvailable()
+    in.addData(batch2: _*); q.processAllAvailable(); q.stop()
+    val stream = spark.table("lasttouch").groupBy("channel")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchTwin = graft.operators.EventOps.lastTouchAttribution(
+        (batch1 ++ batch2).toDF(), "user_id", Seq("ts", "event_id"),
+        "event_type", "value", Seq("click", "view"), "purchase")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stream == batchTwin, s"stream=$stream batch=$batchTwin")
+    assert(stream == Set(("click", 1L, 10.0), ("direct", 1L, 5.0),
+      ("view", 2L, 8.0)))
+  }
 }
