@@ -117,6 +117,19 @@ object StageProbe {
           col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
         .where(col("jaccard") >= 0.1)
       timeIt("nopersist_full")(full3.count())
+
+      // q89 repeatedSpans staging: where do its ~0.65 s go? (floor audit)
+      val grams = graft.core.CacheScope.persist(
+        docs.select(col("doc_id").as("id"),
+          posexplode(graft.functions.PositionalShingleHashes(col("text"), 8))
+            .as(Seq("pos", "h"))))
+      timeIt("q89_persist_grams")(grams.count())
+      val repeated = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2).select("h")
+      timeIt("q89_repeated_agg")(repeated.count())
+      timeIt("q89_full")(
+        graft.operators.Dedup.repeatedSpans(docs, "doc_id", "text").count())
+      graft.core.CacheScope.drain()
     }
     s.stop()
   }
