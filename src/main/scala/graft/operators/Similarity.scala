@@ -393,9 +393,11 @@ object Similarity {
     * Returns (query_id, rank, neighbor_id, q_cosine). */
   def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // quantized components re-widen to double for the codegen'd ArrayDot —
-    // still exact: every value is an integer with |q| ≤ 127
-    val widen = (v: Column) => transform(quantizeInt8(v), _.cast("double"))
+    // native fused quantize+widen ([[graft.functions.QuantizeInt8]]):
+    // array<double> of exact ±127 integers, straight into the codegen'd
+    // ArrayDot — the declarative three-HOF twin ([[quantizeInt8]]) stays as
+    // the property-tested semantic oracle
+    val widen = (v: Column) => graft.functions.QuantizeInt8(v)
     val q = queries.select(col(idCol).as("query_id"),
       widen(col(vecCol)).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
