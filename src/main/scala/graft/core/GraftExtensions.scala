@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ArrayDot, CharBigramCounts, CompressionRatio, HilbertIndex, MinhashSig, NgramCounts, SegmentHashes, ShingleHashes, SimhashSig, TokenCounts, WordShingles}
+import graft.functions.{ArrayDot, CharBigramCounts, CompressionRatio, HilbertIndex, MinhashSig, NgramCounts, QuantizeInt8, SegmentHashes, ShingleHashes, SimhashSig, TokenCounts, WordShingles}
 
 /** Engine extensions registered through the sanctioned
   * `SparkSessionExtensions` hook (`spark.sql.extensions=graft.core.
@@ -28,6 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => ArrayDot(a, b)
         case _ => throw new IllegalArgumentException("array_dot(a, b)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("quantize_int8"),
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "quantize_int8"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => QuantizeInt8(v)
+        case _ => throw new IllegalArgumentException("quantize_int8(vec)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),

@@ -42,6 +42,13 @@ class QuantizeInt8Spec extends SparkSpec {
     finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("registered as a SQL function via SparkSessionExtensions") {
+    import spark.implicits._
+    Seq(Seq(0.5f, -1.0f)).toDF("v").createOrReplaceTempView("qz_sql_t")
+    assert(spark.sql("SELECT quantize_int8(v) FROM qz_sql_t").head()
+      .getSeq[Double](0) == Seq(64.0, -127.0))
+  }
+
   test("empty and all-zero vectors match the twin (round NULLs the NaN scale)") {
     import spark.implicits._
     val df = Seq(Seq.empty[Double], Seq(0.0, 0.0)).toDF("v")
