@@ -56,4 +56,22 @@ class SessionsSpec extends SparkSpec {
     assert(ev.schema("ts").dataType.typeName == "long")
     assert(ev.count() > 0)
   }
+
+  test("EventTs.toNanos folds both physical ts encodings to the same nanos") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a long-ns frame passes through untouched
+    val asLong = Seq((1L, 1700000000123456000L)).toDF("event_id", "ts")
+    assert(graft.core.EventTs.toNanos(asLong).collect()
+      .map(_.getLong(1)).toSeq == Seq(1700000000123456000L))
+    // the same instant as TIMESTAMP (µs precision) folds to identical nanos
+    val asTs = asLong.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    assert(asTs.schema("ts").dataType.typeName == "timestamp")
+    assert(graft.core.EventTs.toNanos(asTs).collect()
+      .map(_.getLong(1)).toSeq == Seq(1700000000123456000L))
+    // frames without a ts column are untouched
+    val noTs = Seq((1L, "x")).toDF("event_id", "payload")
+    assert(graft.core.EventTs.toNanos(noTs).schema.fieldNames.toSeq ==
+      Seq("event_id", "payload"))
+  }
 }
