@@ -436,13 +436,23 @@ object ScaleOps {
     * touched exactly once. */
   def psiDrift(df: DataFrame, groupCol: String, binCol: Column,
       smoothing: Long = 1L): DataFrame = {
-    require(smoothing >= 1, "smoothing >= 1 (zero bins would divide by zero)")
     // persisted: the grid derives distinct groups AND distinct bins from this
     // bounded frame — unpersisted, Catalyst prunes each subtree back to its
     // own full corpus scan (3 passes over the raw rows instead of 1)
     val counts = graft.core.CacheScope.persist(df
       .select(col(groupCol).as("g"), binCol.cast("long").as("bin"))
       .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("c")))
+    psiFromCounts(counts, smoothing).withColumnRenamed("g", groupCol)
+  }
+
+  /** The PSI grid math over an already-aggregated (g, bin, c) counts frame —
+    * the shared tail of [[psiDrift]] (batch, counts from one corpus
+    * aggregate) and a streaming drift monitor (counts maintained
+    * incrementally by a windowed streaming aggregate). The input must be
+    * bounded |groups|·|bins| — every window below is grid-local. The caller
+    * owns persistence of `counts` (it is consumed three times). */
+  def psiFromCounts(counts: DataFrame, smoothing: Long = 1L): DataFrame = {
+    require(smoothing >= 1, "smoothing >= 1 (zero bins would divide by zero)")
     // dense grid over the observed bin alphabet — bounded |groups|×|bins|
     val grid = counts.select("g").distinct()
       .crossJoin(counts.select("bin").distinct())
@@ -460,7 +470,7 @@ object ScaleOps {
     val pb = (d(col("glob_bin") - col("c")) + smoothing) /
       (d(col("glob") - col("tot_g")) + lit(smoothing) * d(col("nb")))
     enriched
-      .groupBy(col("g").as(groupCol))
+      .groupBy(col("g"))
       .agg(sum(round((pa - pb) * log(pa / pb) * 1000000.0, 0).cast("long"))
         .as("psi_micro"))
   }

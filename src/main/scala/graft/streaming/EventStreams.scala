@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -246,6 +246,55 @@ object EventStreams {
           }
         }
         () // lambda must be Unit; the applied flag matters only to metrics
+      }
+      .start()
+  }
+
+  /** Streaming distribution-drift monitor — the live twin of
+    * [[graft.operators.ScaleOps.psiDrift]]: per micro-batch, fold the
+    * batch's (group, bin) histogram into a standing counts table (the
+    * [[runningAggSink]] merge-swap, effectively-once on replay), then
+    * recompute every group's PSI against the pooled rest over the MERGED
+    * counts and append one (batch_id, group, psi_micro) generation to
+    * `metricsDir` — an ingest pipeline watches the latest generation and
+    * gates a source the moment its cumulative distribution drifts past
+    * 0.1/0.25, instead of discovering it at the nightly batch run.
+    *
+    * Scale shape: the only event-volume work is the batch's own partial
+    * histogram; the standing table, the PSI grid, and the appended metrics
+    * are all bounded |groups|·|bins| — identical arithmetic to the batch
+    * operator via the shared [[graft.operators.ScaleOps.psiFromCounts]]
+    * tail (integer micro-unit terms, fold-order-free). */
+  def driftMonitorSink(events: DataFrame, groupCol: String, binCol: Column,
+      countsDir: String, metricsDir: String, checkpointDir: String,
+      smoothing: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery = {
+    events.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        mergeSwap(spark, countsDir, batchId) { current =>
+          val delta = batch
+            .select(col(groupCol).as("g"), binCol.cast("long").as("bin"))
+            .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("c"))
+          current match {
+            case Some(cur) =>
+              cur.select(col("g"), col("bin"), col("c"))
+                .unionByName(delta)
+                .groupBy(col("g"), col("bin")).agg(sum(col("c")).as("c"))
+            case None => delta
+          }
+        }
+        // PSI over the merged standing counts (bounded; persisted because
+        // the grid consumes it three times), one generation per batch
+        val merged = graft.core.CacheScope.persist(
+          spark.read.parquet(countsDir))
+        graft.operators.ScaleOps.psiFromCounts(merged, smoothing)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(metricsDir)
+        graft.core.CacheScope.drain()
+        ()
       }
       .start()
   }

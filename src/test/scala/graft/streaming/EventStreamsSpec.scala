@@ -264,6 +264,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Set(("click", 3L, 7.0), ("view", 1L, 8.0)))
   }
 
+  test("driftMonitorSink: merged counts drive a per-batch PSI generation " +
+      "that matches the batch operator") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val in = MemoryStream[Event]
+    def run(): Unit = {
+      val q = EventStreams.driftMonitorSink(in.toDF(), "event_type",
+        floor(col("value")), s"$dir/counts", s"$dir/metrics", s"$dir/chk")
+      q.awaitTermination()
+    }
+    val batch1 = Seq(
+      Event(1, ts(0), 1, "click", 0.5), Event(2, ts(1), 1, "click", 0.7),
+      Event(3, ts(2), 2, "view", 1.5))
+    val batch2 = Seq(
+      Event(4, ts(3), 2, "click", 1.2), Event(5, ts(4), 3, "view", 0.2))
+    in.addData(batch1: _*); run()
+    in.addData(batch2: _*); run()
+    // standing counts = histogram of ALL events seen so far
+    val counts = spark.read.parquet(s"$dir/counts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(counts == Set(("click", 0L, 2L), ("click", 1L, 1L),
+      ("view", 1L, 1L), ("view", 0L, 1L)))
+    // two generations appended; the latest must equal the batch operator
+    // over the full event set
+    val metrics = spark.read.parquet(s"$dir/metrics")
+    assert(metrics.select("batch_id").distinct().count() == 2)
+    val latest = metrics.where(col("batch_id") === 1)
+      .select("g", "psi_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batchTwin = graft.operators.ScaleOps.psiDrift(
+        (batch1 ++ batch2).toDF(), "event_type", floor(col("value")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(latest == batchTwin, s"stream=$latest batch=$batchTwin")
+  }
+
   test("runningAggSink: recovers history from a crash between the swap renames") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
