@@ -435,12 +435,23 @@ object ScaleOps {
     * lives on that bounded frame via tiny windows. The raw rows are
     * touched exactly once. */
   def psiDrift(df: DataFrame, groupCol: String, binCol: Column,
-      smoothing: Long = 1L): DataFrame = {
+      smoothing: Long = 1L): DataFrame =
+    psiDriftBinned(df, groupCol, binCol.cast("long"), smoothing)
+
+  /** [[psiDrift]] over CATEGORICAL bins (language, license, format, …): the
+    * bin key is used as-is — the grid math never needed numeric bins, only
+    * the numeric entry point canonicalizes doubles through a long cast. */
+  def psiDriftCategorical(df: DataFrame, groupCol: String, binCol: Column,
+      smoothing: Long = 1L): DataFrame =
+    psiDriftBinned(df, groupCol, binCol, smoothing)
+
+  private def psiDriftBinned(df: DataFrame, groupCol: String, bin: Column,
+      smoothing: Long): DataFrame = {
     // persisted: the grid derives distinct groups AND distinct bins from this
     // bounded frame — unpersisted, Catalyst prunes each subtree back to its
     // own full corpus scan (3 passes over the raw rows instead of 1)
     val counts = graft.core.CacheScope.persist(df
-      .select(col(groupCol).as("g"), binCol.cast("long").as("bin"))
+      .select(col(groupCol).as("g"), bin.as("bin"))
       .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("c")))
     psiFromCounts(counts, smoothing).withColumnRenamed("g", groupCol)
   }
@@ -491,7 +502,9 @@ object ScaleOps {
       .withColumn("tot_g", sum(col("c")).over(Window.partitionBy(col("g"))))
       .withColumn("glob_bin", sum(col("c")).over(Window.partitionBy(col("bin"))))
       .withColumn("glob", sum(col("c")).over(
-        Window.partitionBy(col("bin") * lit(0))))
+        // constant key (bin-type-agnostic) → one partition holding the whole
+        // bounded grid; fine because the frame is |groups|·|bins|, never data
+        Window.partitionBy(lit(0))))
     val pa = (d(col("c")) + smoothing) /
       (d(col("tot_g")) + lit(smoothing) * d(col("nb")))
     val pb = (d(col("glob_bin") - col("c")) + smoothing) /

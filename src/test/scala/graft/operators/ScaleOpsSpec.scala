@@ -507,6 +507,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(zeros.forall(_ == 0L))
   }
 
+  test("psiDriftCategorical: string bins score identically to their numeric twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq.fill(8)(("A", "en")) ++ Seq.fill(2)(("A", "de")) ++
+      Seq.fill(2)(("B", "en")) ++ Seq.fill(8)(("B", "de"))
+    val cat = ScaleOps.psiDriftCategorical(rows.toDF("src", "lang"),
+        "src", col("lang"))
+      .orderBy("src").collect().map(r => (r.getString(0), r.getLong(1)))
+    // same histogram as the numeric hand-computed case → same PSI
+    val perBin = math.round(0.5 * math.log(3.0) * 1e6)
+    assert(cat.toSeq == Seq(("A", 2 * perBin), ("B", 2 * perBin)))
+  }
+
   test("quantileBins: ~equal-frequency on skewed data, composes with psiDrift") {
     import org.apache.spark.sql.functions._
     val ev = graft.core.EventTs.toNanos(spark.read.parquet(s"$sfDir/events.parquet"))
