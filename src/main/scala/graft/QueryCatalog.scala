@@ -3267,6 +3267,40 @@ object QueryCatalog {
           AS BIGINT)) AS BIGINT) AS psi_micro
       FROM terms GROUP BY 1 ORDER BY 1"""))
 
+  /** Categorical PSI drift ([[graft.operators.ScaleOps.psiDriftCategorical]]):
+    * per-source drift of the LANGUAGE distribution vs the pooled rest —
+    * the q118 grid arithmetic with the bin key passed through as a string
+    * (language/license/format gates need no numeric binning). */
+  private val q120 = QuerySpec(
+    "q120_psi_lang",
+    (s, dir) => graft.operators.ScaleOps.psiDriftCategorical(
+        t(s, dir, "documents"), "source", col("lang"))
+      .orderBy(col("source")),
+    Some("""WITH counts AS (SELECT source AS g, lang AS bin,
+        count(*) AS c FROM documents GROUP BY 1, 2),
+      gs AS (SELECT DISTINCT g FROM counts),
+      bs AS (SELECT DISTINCT bin FROM counts),
+      grid AS (SELECT gs.g, bs.bin, coalesce(counts.c, 0) AS c
+        FROM gs CROSS JOIN bs
+        LEFT JOIN counts ON counts.g = gs.g AND counts.bin = bs.bin),
+      tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS tot_g, count(*) AS nb
+        FROM grid GROUP BY 1),
+      bint AS (SELECT bin, CAST(sum(c) AS BIGINT) AS glob_bin
+        FROM grid GROUP BY 1),
+      gt AS (SELECT CAST(sum(c) AS BIGINT) AS grand FROM grid),
+      terms AS (SELECT grid.g,
+          (CAST(grid.c AS DOUBLE) + 1)
+            / (CAST(tot.tot_g AS DOUBLE) + 1 * CAST(tot.nb AS DOUBLE)) AS pa,
+          (CAST(bint.glob_bin - grid.c AS DOUBLE) + 1)
+            / (CAST(gt.grand - tot.tot_g AS DOUBLE)
+               + 1 * CAST(tot.nb AS DOUBLE)) AS pb
+        FROM grid JOIN tot ON tot.g = grid.g
+        JOIN bint ON bint.bin = grid.bin CROSS JOIN gt)
+      SELECT g AS source,
+        CAST(sum(CAST(round((pa - pb) * ln(pa / pb) * 1000000.0, 0)
+          AS BIGINT)) AS BIGINT) AS psi_micro
+      FROM terms GROUP BY 1 ORDER BY 1"""))
+
   /** Last-touch conversion attribution
     * ([[graft.operators.EventOps.lastTouchAttribution]]): each purchase is
     * credited to the user's most recent prior click/view ("direct" when
@@ -3303,5 +3337,5 @@ object QueryCatalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
-    q110, q111, q112, q113, q114, q115, q116, q117, q118, q119)
+    q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
 }

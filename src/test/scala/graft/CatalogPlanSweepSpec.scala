@@ -28,9 +28,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "q111_cluster_quality",   // prototype × prototype nearest-other pass:
                               //   #labels² rows by construction, never corpus
     "q112_unigram_drift",     // (tot_a, tot_b) scalars: two 1-row broadcasts
-    "q118_psi_drift")         // dense-grid build: distinct groups × distinct
+    "q118_psi_drift",         // dense-grid build: distinct groups × distinct
                               //   bins over the persisted counts — bounded
                               //   |groups|·|bins|, never corpus rows
+    "q120_psi_lang")          // same bounded grid, categorical bins
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>
