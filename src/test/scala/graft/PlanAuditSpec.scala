@@ -343,8 +343,11 @@ class PlanAuditSpec extends SparkSpec {
                              //   1 partial row/partition, never corpus rows
       "q109_nb_predict",     // (n_docs, |vocab|) global counts: 1 partial
                              //   row/partition each, never corpus rows
-      "q112_unigram_drift"   // (tot_a, tot_b) token-count totals + the
+      "q112_unigram_drift",  // (tot_a, tot_b) token-count totals + the
                              //   final TakeOrdered(k) rank: bounded both
+      "q118_psi_drift",      // grand-total window over the |groups|·|bins|
+                             //   grid (constant partition key by design)
+      "q120_psi_lang"        // same bounded grid, categorical bins
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")
