@@ -27,10 +27,15 @@ object Bench {
     // spikes a ~3-minute single-pass session collects from unrelated machine
     // activity (measured round 6: the same query swings 1.3 s ↔ 5.4 s across
     // identical fresh sessions while stable over 6 reps in isolation).
+    val errored = scala.collection.mutable.SortedSet.empty[String]
     val results = ordered.map { case (name, fn) =>
       val dt = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a crashed query must not masquerade as a fast one: record it for
+        // the JSON's errors field (the harness keeps only a short output
+        // tail, so a mid-run stack trace alone can scroll away unseen)
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => errored += name; -1L }
         val t = (System.nanoTime() - t0) / 1e9
         // per-query cache release is part of session hygiene, not query
         // compute — drained outside the timed region
@@ -49,7 +54,8 @@ object Bench {
       "\"" + short + "\":" + f3(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
