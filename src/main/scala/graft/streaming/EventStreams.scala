@@ -292,6 +292,12 @@ object EventStreams {
           spark.read.parquet(countsDir))
         graft.operators.ScaleOps.psiFromCounts(merged, smoothing)
           .withColumn("batch_id", lit(batchId))
+          // the conventional gates, pre-derived so a consumer filters on
+          // flag != 'ok' without re-encoding the thresholds
+          .withColumn("flag",
+            when(col("psi_micro") >= 250000L, "major")
+              .when(col("psi_micro") >= 100000L, "moderate")
+              .otherwise("ok"))
           .write.mode("append").parquet(metricsDir)
         graft.core.CacheScope.drain()
         ()

@@ -298,6 +298,11 @@ class EventStreamsSpec extends SparkSpec {
         (batch1 ++ batch2).toDF(), "event_type", floor(col("value")))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(latest == batchTwin, s"stream=$latest batch=$batchTwin")
+    // flags encode the conventional 0.1/0.25 gates over psi_micro
+    assert(metrics.where(col("flag") === "ok" && col("psi_micro") >= 100000L)
+      .isEmpty)
+    assert(metrics.where(col("flag") =!= "ok" && col("psi_micro") < 100000L)
+      .isEmpty)
   }
 
   test("runningAggSink: recovers history from a crash between the swap renames") {
