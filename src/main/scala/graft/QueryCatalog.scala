@@ -3301,6 +3301,47 @@ object QueryCatalog {
           AS BIGINT)) AS BIGINT) AS psi_micro
       FROM terms GROUP BY 1 ORDER BY 1"""))
 
+  /** Reference-based PSI ([[graft.operators.ScaleOps.psiVsReference]]): each
+    * source's length distribution vs the FULL corpus histogram — the
+    * textbook current-vs-expected stability form (q118 is vs pooled rest);
+    * reference = the whole-corpus n_chars histogram, so a source matching
+    * the corpus mix scores ~0 and an outlier source pops. */
+  private val q121 = QuerySpec(
+    "q121_psi_vs_reference",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.select(expr("n_chars div 50").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+      graft.operators.ScaleOps.psiVsReference(
+          docs, "source", expr("n_chars div 50"), ref)
+        .orderBy(col("source"))
+    },
+    Some("""WITH counts AS (SELECT source AS g, n_chars // 50 AS bin,
+        count(*) AS c FROM documents GROUP BY 1, 2),
+      ref AS (SELECT n_chars // 50 AS bin, count(*) AS rc
+        FROM documents GROUP BY 1),
+      gs AS (SELECT DISTINCT g FROM counts),
+      bs AS (SELECT DISTINCT bin FROM
+        (SELECT bin FROM counts UNION SELECT bin FROM ref)),
+      grid AS (SELECT gs.g, bs.bin, coalesce(counts.c, 0) AS c,
+          coalesce(ref.rc, 0) AS rc
+        FROM gs CROSS JOIN bs
+        LEFT JOIN counts ON counts.g = gs.g AND counts.bin = bs.bin
+        LEFT JOIN ref ON ref.bin = bs.bin),
+      tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS tot_g, count(*) AS nb
+        FROM grid GROUP BY 1),
+      rt AS (SELECT CAST(sum(rc) AS BIGINT) AS ref_tot FROM ref),
+      terms AS (SELECT grid.g,
+          (CAST(grid.c AS DOUBLE) + 1)
+            / (CAST(tot.tot_g AS DOUBLE) + 1 * CAST(tot.nb AS DOUBLE)) AS pa,
+          (CAST(grid.rc AS DOUBLE) + 1)
+            / (CAST(rt.ref_tot AS DOUBLE) + 1 * CAST(tot.nb AS DOUBLE)) AS pb
+        FROM grid JOIN tot ON tot.g = grid.g CROSS JOIN rt)
+      SELECT g AS source,
+        CAST(sum(CAST(round((pa - pb) * ln(pa / pb) * 1000000.0, 0)
+          AS BIGINT)) AS BIGINT) AS psi_micro
+      FROM terms GROUP BY 1 ORDER BY 1"""))
+
   /** Last-touch conversion attribution
     * ([[graft.operators.EventOps.lastTouchAttribution]]): each purchase is
     * credited to the user's most recent prior click/view ("direct" when
@@ -3337,5 +3378,5 @@ object QueryCatalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
-    q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
+    q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
 }

@@ -483,6 +483,49 @@ object ScaleOps {
     }
   }
 
+  /** PSI of each group against a FIXED reference histogram — the textbook
+    * population-stability form ([[psiDrift]] compares against the pooled
+    * rest; this compares against an expected distribution: the vetted
+    * training snapshot, last quarter's mix, a contract with a data vendor).
+    * `reference` is an already-aggregated (bin, c) frame — tiny by
+    * construction, broadcast into the grid joins. Bin alphabet = union of
+    * observed and reference bins (a bin present on one side only is exactly
+    * where drift lives — add-`smoothing` keeps its term finite). Same
+    * integer micro-unit determinism contract as [[psiDrift]].
+    *
+    * Scale shape: ONE (group, bin) aggregate over the raw rows (persisted,
+    * three grid consumers); everything else lives on |groups|·|bins|. */
+  def psiVsReference(df: DataFrame, groupCol: String, binCol: Column,
+      reference: DataFrame, smoothing: Long = 1L): DataFrame = {
+    require(smoothing >= 1, "smoothing >= 1 (zero bins would divide by zero)")
+    val counts = graft.core.CacheScope.persist(df
+      .select(col(groupCol).as("g"), binCol.as("bin"))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("c")))
+    val ref = graft.core.CacheScope.persist(
+      reference.select(col("bin"), col("c").cast("long").as("rc")))
+    // bin alphabet: observed ∪ reference (distinct on the bounded frames)
+    val bins = counts.select("bin").union(ref.select("bin")).distinct()
+    val grid = counts.select("g").distinct()
+      .crossJoin(bins)
+      .join(counts, Seq("g", "bin"), "left")
+      .join(broadcast(ref), Seq("bin"), "left")
+      .na.fill(0L, Seq("c", "rc"))
+    val d = (c: Column) => c.cast("double")
+    val enriched = grid
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("tot_g", sum(col("c")).over(Window.partitionBy(col("g"))))
+      .withColumn("ref_tot", sum(col("rc")).over(
+        Window.partitionBy(col("g"))))
+    val pa = (d(col("c")) + smoothing) /
+      (d(col("tot_g")) + lit(smoothing) * d(col("nb")))
+    val pb = (d(col("rc")) + smoothing) /
+      (d(col("ref_tot")) + lit(smoothing) * d(col("nb")))
+    enriched
+      .groupBy(col("g").as(groupCol))
+      .agg(sum(round((pa - pb) * log(pa / pb) * 1000000.0, 0).cast("long"))
+        .as("psi_micro"))
+  }
+
   /** The PSI grid math over an already-aggregated (g, bin, c) counts frame —
     * the shared tail of [[psiDrift]] (batch, counts from one corpus
     * aggregate) and a streaming drift monitor (counts maintained

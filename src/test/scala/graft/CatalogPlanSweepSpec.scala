@@ -31,7 +31,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "q118_psi_drift",         // dense-grid build: distinct groups × distinct
                               //   bins over the persisted counts — bounded
                               //   |groups|·|bins|, never corpus rows
-    "q120_psi_lang")          // same bounded grid, categorical bins
+    "q120_psi_lang",          // same bounded grid, categorical bins
+    "q121_psi_vs_reference")  // same bounded grid vs the reference histogram
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

@@ -347,7 +347,8 @@ class PlanAuditSpec extends SparkSpec {
                              //   final TakeOrdered(k) rank: bounded both
       "q118_psi_drift",      // grand-total window over the |groups|·|bins|
                              //   grid (constant partition key by design)
-      "q120_psi_lang"        // same bounded grid, categorical bins
+      "q120_psi_lang",       // same bounded grid, categorical bins
+      "q121_psi_vs_reference" // same bounded grid vs the reference histogram
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")

@@ -507,6 +507,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(zeros.forall(_ == 0L))
   }
 
+  test("psiVsReference: hand-computed drift vs a fixed histogram; matching group scores 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // reference: uniform 5/5 over bins {0,1}. A drifts (8/2), B matches (5/5).
+    val rows = Seq.fill(8)(("A", 0L)) ++ Seq.fill(2)(("A", 1L)) ++
+      Seq.fill(5)(("B", 0L)) ++ Seq.fill(5)(("B", 1L))
+    val ref = Seq((0L, 5L), (1L, 5L)).toDF("bin", "c")
+    val got = ScaleOps.psiVsReference(rows.toDF("src", "bin"), "src",
+        col("bin"), ref)
+      .orderBy("src").collect().map(r => (r.getString(0), r.getLong(1)))
+    // A bin0: pa=9/12, pb=6/12 → 0.25·ln(1.5)  → 101366 micro
+    // A bin1: pa=3/12, pb=6/12 → −0.25·ln(0.5) → 173287 micro
+    val expectA = math.round(0.25 * math.log(1.5) * 1e6) +
+      math.round(0.25 * math.log(2.0) * 1e6)
+    assert(got.toSeq == Seq(("A", expectA), ("B", 0L)))
+    // a reference-only bin (never observed) still contributes finite drift
+    val ref2 = Seq((0L, 5L), (1L, 5L), (2L, 5L)).toDF("bin", "c")
+    val withMissing = ScaleOps.psiVsReference(rows.toDF("src", "bin"), "src",
+        col("bin"), ref2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(withMissing.values.forall(v => v > 0L && v < Long.MaxValue))
+  }
+
   test("psiDriftCategorical: string bins score identically to their numeric twin") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
