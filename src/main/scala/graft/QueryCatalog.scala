@@ -3365,6 +3365,40 @@ object QueryCatalog {
         round(sum(value), 2) AS attributed_value
       FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"""))
 
+  /** Linear multi-touch attribution
+    * ([[graft.operators.EventOps.linearAttribution]]): each purchase's value
+    * split equally across the DISTINCT prior click/view channels ("direct"
+    * when none) — the running distinct-channel set rides a ROWS frame
+    * (bounded by |channels|), never a per-conversion join back. The oracle
+    * necessarily joins (SQL has no frame-local collect_set) — same result,
+    * quadratic shape ours exists to avoid. */
+  private val q122 = QuerySpec(
+    "q122_linear_attribution",
+    (s, dir) => graft.operators.EventOps.linearAttribution(
+        t(s, dir, "events"), "user_id", Seq("ts", "event_id"),
+        "event_type", "value", Seq("click", "view"), "purchase")
+      .orderBy(col("channel")),
+    Some("""WITH conv AS (SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'purchase'),
+      tch AS (SELECT user_id, ts, event_id, event_type FROM events
+        WHERE event_type IN ('click', 'view')),
+      paths AS (SELECT c.user_id, c.event_id AS conv_id, c.value,
+          t.event_type AS channel
+        FROM conv c JOIN tch t ON t.user_id = c.user_id
+          AND (t.ts, t.event_id) < (c.ts, c.event_id)
+        GROUP BY 1, 2, 3, 4),
+      sized AS (SELECT conv_id, value, channel,
+          count(*) OVER (PARTITION BY conv_id) AS n_ch FROM paths),
+      direct AS (SELECT c.event_id AS conv_id, c.value, 'direct' AS channel,
+          1 AS n_ch
+        FROM conv c WHERE NOT EXISTS (SELECT 1 FROM tch t
+          WHERE t.user_id = c.user_id
+            AND (t.ts, t.event_id) < (c.ts, c.event_id))),
+      allc AS (SELECT * FROM sized UNION ALL SELECT * FROM direct)
+      SELECT channel, count(*) AS n_conversions,
+        round(sum(value / n_ch), 2) AS attributed_value
+      FROM allc GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -3378,5 +3412,6 @@ object QueryCatalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83,
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
-    q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
+    q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
+    q122)
 }

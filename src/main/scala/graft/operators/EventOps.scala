@@ -137,6 +137,46 @@ object EventOps {
         round(sum(col(valueCol)), 2).as("attributed_value"))
   }
 
+  /** Linear (equal-split) multi-touch attribution — the companion to
+    * [[lastTouchAttribution]]: each conversion's value splits EQUALLY across
+    * the DISTINCT touch channels seen before it ("direct" when none), so a
+    * channel that only ever opens journeys still earns credit last-touch
+    * structurally denies it. Output is per-channel (n_conversions — counting
+    * fractional participation as 1 each, attributed_value).
+    *
+    * Physical shape: one exchange (entity key) + one window carrying the
+    * RUNNING DISTINCT-CHANNEL SET in a ROWS frame ending at -1
+    * (`collect_set` over the frame — bounded by |touchTypes|, a handful of
+    * strings per row, never event volume), then an explode of that bounded
+    * set on conversion rows only and the final |channels|+1-row aggregate.
+    * The naive form is a per-conversion join back to all prior touches —
+    * quadratic on active users; this never joins. */
+  def linearAttribution(events: DataFrame, keyCol: String,
+      orderCols: Seq[String], typeCol: String, valueCol: String,
+      touchTypes: Seq[String], convType: String): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must pin a deterministic order")
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      "the conversion type cannot also be a touch type")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("touches",
+        collect_set(when(col(typeCol).isin(touchTypes.map(x => x: Any): _*),
+          col(typeCol))).over(w))
+      .where(col(typeCol) === convType)
+      // no prior touch → the whole credit is "direct"
+      .withColumn("touches",
+        when(size(col("touches")) === 0, array(lit("direct")))
+          .otherwise(col("touches")))
+      .select(col(valueCol), explode(col("touches")).as("channel"),
+        size(col("touches")).as("n_ch"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col(valueCol) / col("n_ch")), 2).as("attributed_value"))
+  }
+
   /** Retention cohorts: entities cohorted by their first active day; for
     * each (cohort_day, day_offset) the count of entities active that day.
     * `dayCol` is any integral day number (e.g. `ts div 86 400e9` on a

@@ -421,6 +421,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), "conversion counts combine map-side")
   }
 
+  test("q122 linear attribution carries the channel set in a frame — no join back") {
+    val p = planOf("q122_linear_attribution")
+    // the oracle's shape (conversions × prior touches join) is quadratic on
+    // active users; ours rides a collect_set ROWS frame
+    assert(!p.contains("Join"), s"attribution must not join back:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1)
+    assert(p.contains("Generate explode"), s"credit fan-out missing:\n$p")
+  }
+
   test("epochMix is shuffle-free: explode + case chain, no exchange") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = ScaleOpsAccess.epochMix(docs)

@@ -99,6 +99,24 @@ class EventOpsSpec extends SparkSpec {
     assert(cohorts.where(col("day_offset") < 0).isEmpty)
   }
 
+  test("linearAttribution: equal split across distinct prior channels, direct fallback") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: click + view before a 10.0 purchase → 5.0 each
+      (1L, 1L, "click", 0.0), (1L, 2L, "view", 0.0), (1L, 3L, "purchase", 10.0),
+      // user 2: no prior touch → direct gets all 6.0
+      (2L, 1L, "purchase", 6.0),
+      // user 3: duplicate clicks collapse to ONE distinct channel
+      (3L, 1L, "click", 0.0), (3L, 2L, "click", 0.0), (3L, 3L, "purchase", 4.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = EventOps.linearAttribution(ev, "user_id", Seq("ts"),
+        "event_type", "value", Seq("click", "view"), "purchase")
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("click", 2L, 9.0), ("direct", 1L, 6.0), ("view", 1L, 5.0)))
+  }
+
   test("lastTouchAttribution: last prior touch wins, no touch → direct") {
     import spark.implicits._
     val ev = Seq(
