@@ -556,6 +556,50 @@ object EventStreams {
   /** Per-user last-touch channel (top-level for the state encoder). */
   final case class TouchState(channel: String)
 
+  /** Per-user distinct-touch set (bounded by |touchTypes|). */
+  final case class TouchSetState(channels: Seq[String])
+
+  /** One equal-split credit from a streaming linear attribution. */
+  final case class SplitCredit(user_id: Long, channel: String,
+      value: Double, ts: Timestamp)
+
+  /** Streaming linear (equal-split) attribution — the live twin of
+    * `graft.operators.EventOps.linearAttribution`: per user, the state is
+    * the DISTINCT touch-channel set seen so far (bounded by |touchTypes|,
+    * a handful of strings); each conversion emits one credit row per
+    * participating channel, value / |channels| each ("direct" for the whole
+    * value when the set is empty). Same at-arrival ordering contract as
+    * [[lastTouchAdvances]]. */
+  def linearAdvances(events: Dataset[Event], touchTypes: Seq[String],
+      convType: String): Dataset[SplitCredit] = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      "the conversion type cannot also be a touch type")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touches = touchTypes.toSet
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[TouchSetState]): Iterator[SplitCredit] = {
+      var seen = state.getOption.map(_.channels.toSet).getOrElse(Set.empty)
+      val out = List.newBuilder[SplitCredit]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (touches.contains(e.event_type)) seen += e.event_type
+        else if (e.event_type == convType) {
+          if (seen.isEmpty) out += SplitCredit(userId, "direct", e.value, e.ts)
+          else seen.toSeq.sorted.foreach(ch =>
+            out += SplitCredit(userId, ch, e.value / seen.size, e.ts))
+        }
+      }
+      if (seen.nonEmpty) state.update(TouchSetState(seen.toSeq.sorted))
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** One attributed conversion, emitted the moment it arrives. */
   final case class Attribution(user_id: Long, channel: String,
       value: Double, ts: Timestamp)

@@ -264,6 +264,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Set(("click", 3L, 7.0), ("view", 1L, 8.0)))
   }
 
+  test("linearAdvances: live equal-split credits match the batch attribution") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val batch1 = Seq(
+      Event(1, ts(0), 1, "click", 0), Event(2, ts(1), 1, "view", 0),
+      Event(3, ts(2), 1, "purchase", 10.0),
+      Event(4, ts(0), 2, "purchase", 6.0)) // no touch → direct
+    val batch2 = Seq(
+      // u1's touch SET (click+view) carries across batches into this split
+      Event(5, ts(10), 1, "purchase", 4.0))
+    val in = MemoryStream[Event]
+    val q = EventStreams.linearAdvances(in.toDS(),
+        Seq("click", "view"), "purchase").toDF()
+      .writeStream.format("memory").queryName("linear")
+      .outputMode("append").start()
+    in.addData(batch1: _*); q.processAllAvailable()
+    in.addData(batch2: _*); q.processAllAvailable(); q.stop()
+    val stream = spark.table("linear").groupBy("channel")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchTwin = graft.operators.EventOps.linearAttribution(
+        (batch1 ++ batch2).toDF(), "user_id", Seq("ts", "event_id"),
+        "event_type", "value", Seq("click", "view"), "purchase")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stream == batchTwin, s"stream=$stream batch=$batchTwin")
+    // 10/2 + 4/2 = 7.0 per channel for u1; direct keeps u2's full 6.0
+    assert(stream == Set(("click", 2L, 7.0), ("view", 2L, 7.0),
+      ("direct", 1L, 6.0)))
+  }
+
   test("driftMonitorSink: merged counts drive a per-batch PSI generation " +
       "that matches the batch operator") {
     import spark.implicits._
