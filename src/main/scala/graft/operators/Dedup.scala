@@ -771,8 +771,9 @@ object Dedup {
     * inclusive end of the repeated text itself. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minCount: Long = 2,
-      broadcastRepeated: Boolean = true,
-      joinHint: Option[String] = Some("shuffle_hash")): DataFrame = {
+      joinHint: Option[String] = Some("shuffle_hash"),
+      broadcastRepeated: Option[Boolean] = None,
+      maxBroadcastHashes: Long = 4000000L): DataFrame = {
     // persisted: the occurrence count and the position mark both read it,
     // and each would otherwise re-run the scan + window-hash explode
     // (CacheScope-registered; the session owner drains after the action)
@@ -780,17 +781,25 @@ object Dedup {
       df.select(col(idCol).as("id"),
         posexplode(graft.functions.PositionalShingleHashes(col(textCol), n))
           .as(Seq("pos", "h"))))
-    val repeated = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= minCount).select("h")
-    // broadcast (default): the repeated set is the distinct hashes occurring
-    // >= minCount times — aggregated and small next to the positional
-    // explode, and shipping it map-side spares the full grams exchange on
-    // `h` (the windows below re-shuffle on id anyway, so the semi-join's
-    // hash partitioning buys nothing downstream). broadcastRepeated = false
-    // for corpora where near-everything repeats (boilerplate floods); then
-    // the pinned shuffle_hash bucket join takes over.
+    // Broadcasting the repeated set spares the full grams exchange on `h`
+    // (the spans below re-shuffle on id anyway, so the semi-join's hash
+    // partitioning buys nothing downstream) — but the set is bounded only
+    // by the count of distinct windows occurring >= minCount, which is
+    // data-sized on boilerplate-heavy corpora: an UNCONDITIONAL broadcast
+    // is exactly the ship-the-whole-set failure mode the near-dup paths
+    // warn against. Default (None) therefore GATES on the measured size:
+    // persist the aggregate, count it (one driver long — the aggregate is
+    // reused by the join, so nothing recomputes), and broadcast only under
+    // `maxBroadcastHashes` (4M longs ≈ 32 MB map-side); above it, the
+    // pinned shuffle_hash bucket join takes over. Some(true)/Some(false)
+    // force either path when the corpus shape is known a priori.
+    val repeated = graft.core.CacheScope.persist(
+      grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= minCount).select("h"))
+    val doBroadcast = broadcastRepeated.getOrElse(
+      repeated.count() <= maxBroadcastHashes)
     val hits =
-      if (broadcastRepeated) grams.join(broadcast(repeated), Seq("h"), "left_semi")
+      if (doBroadcast) grams.join(broadcast(repeated), Seq("h"), "left_semi")
       else hinted(grams, joinHint).join(hinted(repeated, joinHint), Seq("h"), "left_semi")
     // merge adjacent repeated positions into maximal spans: a gap in `pos`
     // starts a new span (standard gaps-and-islands, both windows id-local)

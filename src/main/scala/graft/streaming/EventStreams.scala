@@ -274,7 +274,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        mergeSwap(spark, countsDir, batchId) { current =>
+        val applied = mergeSwap(spark, countsDir, batchId) { current =>
           val delta = batch
             .select(col(groupCol).as("g"), binCol.cast("long").as("bin"))
             .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("c"))
@@ -287,19 +287,25 @@ object EventStreams {
           }
         }
         // PSI over the merged standing counts (bounded; persisted because
-        // the grid consumes it three times), one generation per batch
-        val merged = graft.core.CacheScope.persist(
-          spark.read.parquet(countsDir))
-        graft.operators.ScaleOps.psiFromCounts(merged, smoothing)
-          .withColumn("batch_id", lit(batchId))
-          // the conventional gates, pre-derived so a consumer filters on
-          // flag != 'ok' without re-encoding the thresholds
-          .withColumn("flag",
-            when(col("psi_micro") >= 250000L, "major")
-              .when(col("psi_micro") >= 100000L, "moderate")
-              .otherwise("ok"))
-          .write.mode("append").parquet(metricsDir)
-        graft.core.CacheScope.drain()
+        // the grid consumes it three times), one generation per batch —
+        // appended ONLY when the merge landed: a replayed batch (crash
+        // between checkpoint commit and restart) skips both the counts
+        // merge AND the metrics append, so a consumer reading the latest
+        // generation never sees a (batch_id, group) row twice
+        if (applied) {
+          val merged = graft.core.CacheScope.persist(
+            spark.read.parquet(countsDir))
+          graft.operators.ScaleOps.psiFromCounts(merged, smoothing)
+            .withColumn("batch_id", lit(batchId))
+            // the conventional gates, pre-derived so a consumer filters on
+            // flag != 'ok' without re-encoding the thresholds
+            .withColumn("flag",
+              when(col("psi_micro") >= 250000L, "major")
+                .when(col("psi_micro") >= 100000L, "moderate")
+                .otherwise("ok"))
+            .write.mode("append").parquet(metricsDir)
+          graft.core.CacheScope.drain()
+        }
         ()
       }
       .start()
@@ -537,7 +543,7 @@ object EventStreams {
         state: GroupState[FunnelState]): Iterator[FunnelAdvance] = {
       var stage = state.getOption.map(_.stage).getOrElse(0)
       val out = List.newBuilder[FunnelAdvance]
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
         if (stage < stepArr.length && e.event_type == stepArr(stage)) {
           stage += 1
           out += FunnelAdvance(userId, stage, stepArr(stage - 1), e.ts)
@@ -583,7 +589,7 @@ object EventStreams {
         state: GroupState[TouchSetState]): Iterator[SplitCredit] = {
       var seen = state.getOption.map(_.channels.toSet).getOrElse(Set.empty)
       val out = List.newBuilder[SplitCredit]
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
         if (touches.contains(e.event_type)) seen += e.event_type
         else if (e.event_type == convType) {
           if (seen.isEmpty) out += SplitCredit(userId, "direct", e.value, e.ts)
@@ -631,7 +637,7 @@ object EventStreams {
         state: GroupState[TouchState]): Iterator[Attribution] = {
       var channel = state.getOption.map(_.channel).orNull
       val out = List.newBuilder[Attribution]
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
         if (touches.contains(e.event_type)) channel = e.event_type
         else if (e.event_type == convType)
           out += Attribution(userId,

@@ -294,6 +294,37 @@ class EventStreamsSpec extends SparkSpec {
       ("direct", 1L, 6.0)))
   }
 
+  test("lastTouchAdvances: sub-millisecond timestamps order by full precision, " +
+      "matching the batch twin") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // same millisecond, microseconds apart, event_ids in the OPPOSITE order
+    // of time: a millisecond-granularity sort + id tiebreak would process
+    // the conversion first and credit "direct"; full-precision ordering
+    // (and the batch twin, which sorts by the microsecond ts) sees the
+    // touch first and credits "click"
+    val touch = Event(2, Timestamp.valueOf("2024-01-01 10:00:00.000100"),
+      1, "click", 0)
+    val conv = Event(1, Timestamp.valueOf("2024-01-01 10:00:00.000200"),
+      1, "purchase", 5.0)
+    val in = MemoryStream[Event]
+    val q = EventStreams.lastTouchAdvances(in.toDS(),
+        Seq("click"), "purchase").toDF()
+      .writeStream.format("memory").queryName("subms")
+      .outputMode("append").start()
+    in.addData(conv, touch) // arrival order ≠ event-time order
+    q.processAllAvailable(); q.stop()
+    val stream = spark.table("subms")
+      .select("channel", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    val batchTwin = graft.operators.EventOps.lastTouchAttribution(
+        Seq(conv, touch).toDF(), "user_id", Seq("ts", "event_id"),
+        "event_type", "value", Seq("click"), "purchase")
+      .select("channel").collect().map(_.getString(0)).toSet
+    assert(stream == Set(("click", 5.0)), s"stream=$stream")
+    assert(stream.map(_._1) == batchTwin, s"stream=$stream batch=$batchTwin")
+  }
+
   test("driftMonitorSink: merged counts drive a per-batch PSI generation " +
       "that matches the batch operator") {
     import spark.implicits._
@@ -333,6 +364,42 @@ class EventStreamsSpec extends SparkSpec {
       .isEmpty)
     assert(metrics.where(col("flag") =!= "ok" && col("psi_micro") < 100000L)
       .isEmpty)
+  }
+
+  test("driftMonitorSink: a replayed batch appends no duplicate PSI generation") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_replay").toString
+    val in = MemoryStream[Event]
+    def run(chk: String): Unit = {
+      val q = EventStreams.driftMonitorSink(in.toDF(), "event_type",
+        floor(col("value")), s"$dir/counts", s"$dir/metrics", chk)
+      q.awaitTermination()
+    }
+    val batch = Seq(
+      Event(1, ts(0), 1, "click", 0.5), Event(2, ts(1), 1, "click", 1.7),
+      Event(3, ts(2), 2, "view", 0.2))
+    in.addData(batch: _*); run(s"$dir/chk")
+    val before = spark.read.parquet(s"$dir/metrics").collect()
+      .map(r => r.toSeq).toSeq
+    // simulate a crash AFTER the counts swap + metrics append but BEFORE
+    // the checkpoint commit: the restart replays the same data as batchId 0
+    // (a fresh checkpoint restarts numbering at 0 against the standing
+    // table, whose _last_batch marker already says 0 landed)
+    val in2 = MemoryStream[Event]
+    in2.addData(batch: _*)
+    val q2 = EventStreams.driftMonitorSink(in2.toDF(), "event_type",
+      floor(col("value")), s"$dir/counts", s"$dir/metrics", s"$dir/chk2")
+    q2.awaitTermination()
+    // counts unchanged (merge skipped) AND metrics unchanged (append
+    // skipped) — one generation per logical batch, even across replays
+    val counts = spark.read.parquet(s"$dir/counts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(counts == Set(("click", 0L, 1L), ("click", 1L, 1L), ("view", 0L, 1L)))
+    val after = spark.read.parquet(s"$dir/metrics").collect()
+      .map(r => r.toSeq).toSeq
+    assert(after.sortBy(_.toString) == before.sortBy(_.toString),
+      s"replay duplicated metrics: before=${before.size} after=${after.size}")
   }
 
   test("runningAggSink: recovers history from a crash between the swap renames") {
