@@ -2725,40 +2725,63 @@ object QueryCatalog {
               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
       FROM agg ORDER BY source"""))
 
-  /** int8-quantized ANN ([[Similarity.int8TopK]]): the quantized-storage
-    * accuracy checkpoint. All similarity math is exact integer arithmetic
-    * after quantization, so the ranking needs no float fold-order care —
-    * only the quantization rounding itself must match, and it does (both
-    * engines round half away from zero). */
-  private val q101 = QuerySpec(
-    "q101_ann_int8",
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.int8TopK(emb, emb.where(col("vec_id") < 8), k = 5)
-        .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("q_cosine"), 6).as("q_cosine"))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some("""WITH qz AS (SELECT vec_id,
-        list_transform(embedding::DOUBLE[], x -> round(x * 127.0 /
-          list_max(list_transform(embedding::DOUBLE[], y -> abs(y))), 0)) AS v
-        FROM embeddings),
-      q AS (SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 8),
-      c AS (SELECT vec_id AS neighbor_id, v AS cv FROM qz),
-      scored AS (SELECT query_id, neighbor_id,
-          list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]),
-            (x, y) -> x + y) /
-          (sqrt(list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]),
-            (x, y) -> x + y)) *
-           sqrt(list_reduce(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]),
-            (x, y) -> x + y))) AS q_cosine
-        FROM c, q WHERE query_id <> neighbor_id),
-      ranked AS (SELECT query_id, neighbor_id, q_cosine,
-          row_number() OVER (PARTITION BY query_id
-            ORDER BY q_cosine DESC, neighbor_id) AS rank
-        FROM scored)
-      SELECT query_id, rank, neighbor_id, round(q_cosine, 6) AS q_cosine
-      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+  /** int8-quantized IVF ANN ([[Similarity.int8IvfTopK]]): quantized
+    * storage AND bucketed search in one index — cell assignment, probe
+    * ranking, and scoring are all the exact-integer int8 cosine, so the
+    * whole approximate index replays bit-for-bit in the oracle (the
+    * rounding matches: both engines round half away from zero). The
+    * brute-force int8 checkpoint remains as [[Similarity.int8TopK]]
+    * (recall-spec'd against float in OperatorSpecs); the catalog entry is
+    * the scale path — score-everything dies at 100× the corpus, cell
+    * probing doesn't. */
+  private val q101 = {
+    val (nlist, nprobe) = (16, 4)
+    val i8cos = (a: String, b: String) =>
+      s"""list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]),
+          (x, y) -> x + y) /
+        (sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]),
+          (x, y) -> x + y)) *
+         sqrt(list_reduce(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]),
+          (x, y) -> x + y)))"""
+    QuerySpec(
+      "q101_ann_int8",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.int8IvfTopK(emb, emb.where(col("vec_id") < 8), k = 5,
+            nlist = nlist, nprobe = nprobe)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("q_cosine"), 6).as("q_cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH qz AS (SELECT vec_id,
+          list_transform(embedding::DOUBLE[], x -> round(x * 127.0 /
+            list_max(list_transform(embedding::DOUBLE[], y -> abs(y))), 0)) AS v
+          FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cent_vec FROM qz
+          WHERE vec_id < $nlist),
+        c AS (SELECT vec_id AS neighbor_id, v AS cv FROM qz),
+        assigned AS (SELECT neighbor_id, cv, cid FROM (
+            SELECT neighbor_id, cv, cid,
+              row_number() OVER (PARTITION BY neighbor_id
+                ORDER BY ${i8cos("cv", "cent_vec")} DESC, cid) AS rn
+            FROM c CROSS JOIN cent) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 8),
+        probes AS (SELECT query_id, qv, cid FROM (
+            SELECT query_id, qv, cid,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY ${i8cos("qv", "cent_vec")} DESC, cid) AS rn
+            FROM q CROSS JOIN cent) WHERE rn <= $nprobe),
+        scored AS (SELECT query_id, neighbor_id,
+            ${i8cos("qv", "cv")} AS q_cosine
+          FROM assigned JOIN probes USING (cid)
+          WHERE query_id <> neighbor_id),
+        ranked AS (SELECT query_id, neighbor_id, q_cosine,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY q_cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id, round(q_cosine, 6) AS q_cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+  }
 
   /** Cross-corpus LM scoring ([[TextAnalysis.charLmScoreAgainst]]): every
     * document scored under a model trained ONLY on the doc_id%7=0 reference

@@ -414,6 +414,66 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "q_cosine")
   }
 
+  /** IVF-bucketed int8 ANN — the 100-TB form of [[int8TopK]]: quantize
+    * ONCE ([[graft.functions.QuantizeInt8]]), assign every quantized corpus
+    * vector to its nearest seed centroid (first `nlist` ids — the q33
+    * scheme, oracle-replayable), probe `nprobe` cells per query, and score
+    * ONLY those cells' vectors with the exact-integer int8 cosine.
+    *
+    * Why this exists: [[int8TopK]] broadcasts the query set and streams the
+    * WHOLE corpus through the scorer — the right baseline at checkpoint
+    * scale, but score-everything is the killer at 100× the corpus. Here
+    * the only corpus-sized work is the one-time cell assignment (broadcast
+    * nlist-row centroid table, narrow map-side argmax) and the probe join
+    * shuffles on `cid` — scored candidates shrink ~nlist/nprobe-fold, so
+    * search cost scales with |queries| × nprobe × cell size, independent
+    * of corpus size once the index is built (persist `assigned`, or write
+    * it partitioned by cid, to amortize across query batches).
+    *
+    * Every similarity — assignment, probe ranking, final score — is the
+    * integer dot over quantized components (|q| ≤ 127: exact in doubles),
+    * so the whole index is bit-reproducible in any engine; approximation
+    * enters ONLY through which cells a query probes, exactly like float
+    * IVF. Returns (query_id, rank, neighbor_id, q_cosine). */
+  def int8IvfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val widen = (v: Column) => graft.functions.QuantizeInt8(v)
+    val cent = corpus.where(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), widen(col(vecCol)).as("cent_vec"),
+        sqrt(Vectors.dot(widen(col(vecCol)), widen(col(vecCol)))).as("cent_norm"))
+    val qCos = Vectors.dot(col("v"), col("cent_vec")) /
+      (col("nrm") * col("cent_norm"))
+    def nearestCells(side: DataFrame, outId: String, keep: Int): DataFrame = {
+      val byCell = Window.partitionBy(outId)
+        .orderBy(col("cs").desc, col("cid").asc)
+      side.join(broadcast(cent), lit(true))
+        .withColumn("cs", qCos)
+        .withColumn("rn", row_number().over(byCell))
+        .where(col("rn") <= keep)
+        .select(col(outId), col("v"), col("nrm"), col("cid"))
+    }
+    val assigned = nearestCells(
+      corpus.select(col(idCol).as("neighbor_id"), widen(col(vecCol)).as("v"))
+        .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v")))),
+      "neighbor_id", keep = 1)
+      .withColumnRenamed("v", "c_vec").withColumnRenamed("nrm", "c_norm")
+    val probes = nearestCells(
+      queries.select(col(idCol).as("query_id"), widen(col(vecCol)).as("v"))
+        .withColumn("nrm", sqrt(Vectors.dot(col("v"), col("v")))),
+      "query_id", keep = nprobe)
+      .withColumnRenamed("v", "q_vec").withColumnRenamed("nrm", "q_norm")
+    val scored = assigned.join(probes, Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("q_cosine",
+        Vectors.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("q_cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "q_cosine")
+  }
+
   /** Scale path: bucket corpus and queries by sign-LSH signature, join on the
     * bucket (hash shuffle on a small key — no cross join anywhere), then exact
     * cosine re-rank inside buckets. Approximate: recall < 1 by construction. */

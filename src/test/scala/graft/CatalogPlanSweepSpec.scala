@@ -21,7 +21,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "q88_bm25_topk",          // (N, avgdl) scalars: same 1-row broadcast
     "q92_cluster_balanced_sample", // IVF cell assignment: corpus × broadcast(nlist)
     "q93_hard_negatives",     // exhaustive baseline (q22 contract) + label inequality
-    "q101_ann_int8",          // exhaustive baseline on quantized vectors (q22 contract)
+    "q101_ann_int8",          // IVF cell assignment: corpus × broadcast(nlist)
+                              //   (the SCORING join is cell-scoped, q33 shape)
     "q94_temperature_mix",    // (N, Σmicro) scalars: two 1-row broadcasts
     "q109_nb_predict",        // (n_docs, |vocab|) scalars + |vocab|×|classes|
                               //   model build: 1-row / #classes-row broadcasts

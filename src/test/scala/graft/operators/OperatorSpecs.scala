@@ -421,6 +421,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, s"int8 recall@5 too low: $recall")
   }
 
+  test("int8IvfTopK: cell-scoped candidates track the int8 brute force; " +
+      "recall@5 vs float stays high") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.int8IvfTopK(emb, queries, k = 5, nlist = 16, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // approximate in WHICH cells are probed, exact in scoring: recall vs
+    // the float exhaustive answer stays high at nprobe = nlist/2
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.75, s"int8 IVF recall@5 too low: $recall")
+    // every returned neighbor must also be a brute-force int8 candidate
+    // scored identically: the IVF result is a SUBSET-ranking of int8TopK's
+    // scores, never a different similarity
+    val bruteScores = Similarity.int8TopK(emb, queries, k = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val ivfScores = Similarity.int8IvfTopK(emb, queries, k = 5,
+        nlist = 16, nprobe = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    ivfScores.filter(p => bruteScores.contains(p._1)).foreach { case (key, s) =>
+      assert(s == bruteScores(key), s"score drift at $key")
+    }
+  }
+
   test("labelOutliers: the planted off-prototype member ranks first in its label") {
     import spark.implicits._
     // label 0 clusters near (1,0); vec 3 is planted orthogonal — the
