@@ -130,6 +130,37 @@ object StageProbe {
       timeIt("q89_full")(
         graft.operators.Dedup.repeatedSpans(docs, "doc_id", "text").count())
       graft.core.CacheScope.drain()
+
+      // q89 FUSED candidate: fold positions into the count aggregate
+      // (collect_list) — one pass over grams, no cache, no semi-join.
+      // Trade-off being measured: the fused aggregate shuffles the FULL
+      // grams volume on h (collect_list partials don't compress map-side,
+      // where count-only collapses to one row per distinct window per
+      // partition) and a corpus-hot window materializes its whole
+      // position list in ONE aggregation buffer — the skew/volume reasons
+      // the semi-join stays the 100-TB default if this doesn't win big.
+      timeIt("q89_fused") {
+        val byPos = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy("pos")
+        val unb = org.apache.spark.sql.expressions.Window.unboundedPreceding
+        docs.select(col("doc_id").as("id"),
+            posexplode(graft.functions.PositionalShingleHashes(col("text"), 8))
+              .as(Seq("pos", "h")))
+          .groupBy("h").agg(count(lit(1)).as("cnt"),
+            collect_list(struct(col("id"), col("pos"))).as("ps"))
+          .where(col("cnt") >= 2)
+          .select(explode(col("ps")).as("p"))
+          .select(col("p.id").as("id"), col("p.pos").as("pos"))
+          .withColumn("brk",
+            when(col("pos") - lag("pos", 1, -2).over(byPos) === 1, 0L)
+              .otherwise(1L))
+          .withColumn("span", sum("brk").over(byPos.rowsBetween(unb, 0)))
+          .groupBy("id", "span")
+          .agg(min("pos").cast("long").as("span_start"),
+            (max("pos") + lit(8) - 1).cast("long").as("span_end"),
+            count(lit(1)).as("n_windows"))
+          .count()
+      }
     }
     s.stop()
   }
