@@ -623,7 +623,10 @@ object EventStreams {
     * contract is also the same: rows time-sort within each micro-batch, so
     * attribution matches the batch operator whenever event disorder is
     * bounded by the batch interval; a touch surfacing after a conversion
-    * already credited cannot retro-reassign it (at-arrival semantics). */
+    * already credited cannot retro-reassign it (at-arrival semantics —
+    * spec-pinned; [[lastTouchAdvancesOrdered]] is the watermark-buffered
+    * variant that trades latency for exact batch parity under bounded
+    * disorder). */
   def lastTouchAdvances(events: Dataset[Event], touchTypes: Seq[String],
       convType: String): Dataset[Attribution] = {
     require(touchTypes.nonEmpty, "touchTypes must be non-empty")
@@ -650,5 +653,116 @@ object EventStreams {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Watermark-ordered attribution state: the last finalized touch channel
+    * plus the not-yet-finalizable event buffer (top-level for the state
+    * encoder). */
+  final case class OrderedTouchState(channel: String, pending: Seq[Event])
+
+  /** Same, for the linear variant: the finalized distinct-touch set. */
+  final case class OrderedTouchSetState(channels: Seq[String],
+      pending: Seq[Event])
+
+  /** Watermark-ordered last-touch attribution — the EXACT-parity twin of
+    * [[lastTouchAdvances]]: events buffer in state until the watermark
+    * passes their event time, then replay in full event-time order, so a
+    * touch arriving LATE (after its conversion, but within `delay`) still
+    * credits that conversion exactly as the batch operator would.
+    * [[lastTouchAdvances]] trades this for zero latency (at-arrival
+    * credits); this variant trades `delay` of latency for batch parity
+    * under any disorder bounded by the watermark. Disorder BEYOND the
+    * watermark is dropped by the framework on arrival — the standard
+    * contract, identical to [[windowedAgg]]'s late-row drop.
+    *
+    * Scale shape: state per user = one channel string + the events inside
+    * the watermark horizon (bounded by delay × per-user rate, NOT stream
+    * history); finalized events leave state the moment the watermark
+    * passes them, via EventTimeTimeout so even a user with no new events
+    * flushes. Same user_id-hashed state-store distribution as the
+    * at-arrival twin. */
+  def lastTouchAdvancesOrdered(events: Dataset[Event],
+      touchTypes: Seq[String], convType: String,
+      delay: String = "10 minutes"): Dataset[Attribution] = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      "the conversion type cannot also be a touch type")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touches = touchTypes.toSet
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[OrderedTouchState]): Iterator[Attribution] = {
+      val wm = state.getCurrentWatermarkMs()
+      val prev = state.getOption.getOrElse(OrderedTouchState(null, Nil))
+      // finalize strictly below the watermark: a row AT the watermark can
+      // still be joined by an equal-timestamp sibling in a later batch
+      val (ready, defer) = (prev.pending ++ rows)
+        .partition(_.ts.getTime < wm)
+      var channel = prev.channel
+      val out = List.newBuilder[Attribution]
+      ready.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
+        if (touches.contains(e.event_type)) channel = e.event_type
+        else if (e.event_type == convType)
+          out += Attribution(userId,
+            if (channel == null) "direct" else channel, e.value, e.ts)
+      }
+      state.update(OrderedTouchState(channel,
+        defer.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))))
+      // wake this group when the watermark passes its earliest buffered
+      // event, even if the user never sends another row
+      if (defer.nonEmpty)
+        state.setTimeoutTimestamp(defer.map(_.ts.getTime).min + 1)
+      out.result().iterator
+    }
+
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Watermark-ordered linear (equal-split) attribution — the exact-parity
+    * twin of [[linearAdvances]], with the same buffer-until-watermark
+    * replay as [[lastTouchAdvancesOrdered]]: a late touch inside `delay`
+    * joins the split set of every conversion it event-time-precedes,
+    * matching the batch operator exactly under bounded disorder. */
+  def linearAdvancesOrdered(events: Dataset[Event],
+      touchTypes: Seq[String], convType: String,
+      delay: String = "10 minutes"): Dataset[SplitCredit] = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      "the conversion type cannot also be a touch type")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touches = touchTypes.toSet
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[OrderedTouchSetState]): Iterator[SplitCredit] = {
+      val wm = state.getCurrentWatermarkMs()
+      val prev = state.getOption.getOrElse(OrderedTouchSetState(Nil, Nil))
+      val (ready, defer) = (prev.pending ++ rows)
+        .partition(_.ts.getTime < wm)
+      var seen = prev.channels.toSet
+      val out = List.newBuilder[SplitCredit]
+      ready.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
+        if (touches.contains(e.event_type)) seen += e.event_type
+        else if (e.event_type == convType) {
+          if (seen.isEmpty) out += SplitCredit(userId, "direct", e.value, e.ts)
+          else seen.toSeq.sorted.foreach(ch =>
+            out += SplitCredit(userId, ch, e.value / seen.size, e.ts))
+        }
+      }
+      state.update(OrderedTouchSetState(seen.toSeq.sorted,
+        defer.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))))
+      if (defer.nonEmpty)
+        state.setTimeoutTimestamp(defer.map(_.ts.getTime).min + 1)
+      out.result().iterator
+    }
+
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
   }
 }

@@ -366,6 +366,77 @@ class EventStreamsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("lastTouchAdvances vs lastTouchAdvancesOrdered: a cross-batch late touch " +
+      "deviates at-arrival (pinned) and matches batch when ordered") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // batch 1: the conversion arrives FIRST; batch 2: its touch surfaces
+    // late (event time BEFORE the conversion, within the 10-min watermark)
+    val conv = Event(1, ts(5), 1, "purchase", 9.0)
+    val lateTouch = Event(2, ts(2), 1, "click", 0)
+    val flush = Event(3, ts(40), 2, "view", 0) // advances the watermark past ts(5)
+    def feed[T](mk: => (MemoryStream[Event], org.apache.spark.sql.streaming.StreamingQuery)) = {
+      val (in, q) = mk
+      in.addData(conv); q.processAllAvailable()
+      in.addData(lateTouch); q.processAllAvailable()
+      in.addData(flush); q.processAllAvailable()
+      q.processAllAvailable(); q.stop()
+    }
+    // at-arrival twin: the conversion was credited "direct" the moment it
+    // arrived — the documented deviation this test pins
+    val inA = MemoryStream[Event]
+    feed((inA, EventStreams.lastTouchAdvances(inA.toDS(), Seq("click"), "purchase")
+      .toDF().writeStream.format("memory").queryName("at_arrival")
+      .outputMode("append").start()))
+    val atArrival = spark.table("at_arrival")
+      .select("channel").collect().map(_.getString(0)).toList
+    assert(atArrival == List("direct"), s"at-arrival pinned deviation: $atArrival")
+    // ordered twin: the conversion waits for the watermark, the late touch
+    // slots in by event time, and the credit matches the batch operator
+    val inO = MemoryStream[Event]
+    feed((inO, EventStreams.lastTouchAdvancesOrdered(inO.toDS(), Seq("click"),
+        "purchase", delay = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("ordered")
+      .outputMode("append").start()))
+    val ordered = spark.table("ordered")
+      .select("channel").collect().map(_.getString(0)).toList
+    val batchTwin = graft.operators.EventOps.lastTouchAttribution(
+        Seq(conv, lateTouch, flush).toDF(), "user_id", Seq("ts", "event_id"),
+        "event_type", "value", Seq("click"), "purchase")
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(ordered == List("click"), s"ordered=$ordered")
+    assert(batchTwin == Set(("click", 9.0)), s"batch=$batchTwin")
+  }
+
+  test("linearAdvancesOrdered: late touch joins the split set; credits match batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(1), 1, "view", 0),        // on-time touch
+      Event(2, ts(6), 1, "purchase", 8.0),  // conversion, arrives batch 1
+      Event(3, ts(3), 1, "click", 0))       // late touch, arrives batch 2
+    val flush = Event(4, ts(40), 2, "view", 0)
+    val in = MemoryStream[Event]
+    val q = EventStreams.linearAdvancesOrdered(in.toDS(),
+        Seq("click", "view"), "purchase", delay = "10 minutes").toDF()
+      .writeStream.format("memory").queryName("lin_ordered")
+      .outputMode("append").start()
+    in.addData(events(0), events(1)); q.processAllAvailable()
+    in.addData(events(2)); q.processAllAvailable()
+    in.addData(flush); q.processAllAvailable(); q.processAllAvailable(); q.stop()
+    val stream = spark.table("lin_ordered").groupBy("channel")
+      .agg(round(sum("value"), 2).as("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val batchTwin = graft.operators.EventOps.linearAttribution(
+        (events :+ flush).toDF(), "user_id", Seq("ts", "event_id"),
+        "event_type", "value", Seq("click", "view"), "purchase")
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    // click arrived after the conversion but event-time-precedes it →
+    // the 8.0 splits click/view 4.0 each, exactly as batch computes
+    assert(stream == Set(("click", 4.0), ("view", 4.0)), s"stream=$stream")
+    assert(stream == batchTwin, s"stream=$stream batch=$batchTwin")
+  }
+
   test("driftMonitorSink: a replayed batch appends no duplicate PSI generation") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
