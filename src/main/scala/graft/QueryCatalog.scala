@@ -3385,7 +3385,8 @@ object QueryCatalog {
         FROM events)
       SELECT coalesce(channel, 'direct') AS channel,
         count(*) AS n_conversions,
-        round(sum(value), 2) AS attributed_value
+        CAST(floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+            + 5000 AS DOUBLE) / 10000.0) AS DOUBLE) / 100.0 AS attributed_value
       FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"""))
 
   /** Linear multi-touch attribution
@@ -3419,7 +3420,9 @@ object QueryCatalog {
             AND (t.ts, t.event_id) < (c.ts, c.event_id))),
       allc AS (SELECT * FROM sized UNION ALL SELECT * FROM direct)
       SELECT channel, count(*) AS n_conversions,
-        round(sum(value / n_ch), 2) AS attributed_value
+        CAST(floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+              * (2 // n_ch)) + 10000 AS DOUBLE) / 20000.0) AS DOUBLE) / 100.0
+          AS attributed_value
       FROM allc GROUP BY 1 ORDER BY 1"""))
 
   // ----------------------------------------------------------- catalog

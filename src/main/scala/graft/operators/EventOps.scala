@@ -133,8 +133,16 @@ object EventOps {
           col(typeCol)), ignoreNulls = true).over(w))
       .where(col(typeCol) === convType)
       .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      // micro-unit integer sum: floor(x·1e6 + 0.5) per row — floor acts on
+      // the identical binary double in every engine (where round() diverges:
+      // Spark HALF_UPs the SHORTEST-DECIMAL repr via BigDecimal.valueOf,
+      // DuckDB rounds the raw binary) — then sum as longs (fold-order-free)
+      // and reduce to CENTS in integer space too: round(total/1e6, 2) put
+      // half-cent totals right back on the same engine-divergent boundary.
       .agg(count(lit(1)).as("n_conversions"),
-        round(sum(col(valueCol)), 2).as("attributed_value"))
+        (floor((sum(floor(col(valueCol) * 1e6 + 0.5).cast("long")) +
+            lit(5000L)).cast("double") / 10000.0).cast("double") / 100.0)
+          .as("attributed_value"))
   }
 
   /** Linear (equal-split) multi-touch attribution — the companion to
@@ -172,9 +180,28 @@ object EventOps {
           .otherwise(col("touches")))
       .select(col(valueCol), explode(col("touches")).as("channel"),
         size(col("touches")).as("n_ch"))
+      // exact equal-split in integers: value → micros via floor(x·1e6+0.5)
+      // (floor acts on the identical binary double in every engine, where
+      // round() diverges — see lastTouchAttribution), each share scaled by
+      // K/n_ch with K = lcm(1..|touchTypes|) so every share is an exact
+      // long — the sum is fold-order-free, and the cent reduction happens
+      // in integer space ((total + K·5000) div K·10^4) so no float round
+      // ever sits on a half-cent boundary.
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_conversions"),
-        round(sum(col(valueCol) / col("n_ch")), 2).as("attributed_value"))
+        (floor((sum(floor(col(valueCol) * 1e6 + 0.5).cast("long") *
+              (lit(splitLcm(touchTypes.size)) / col("n_ch")).cast("long")) +
+            lit(splitLcm(touchTypes.size) * 5000L)).cast("double") /
+          (splitLcm(touchTypes.size) * 10000.0)).cast("double") / 100.0)
+          .as("attributed_value"))
+  }
+
+  /** lcm(1..n): the common split denominator that makes every equal-split
+    * share an exact integer in micro-units (n is |touchTypes|, single
+    * digits — the lcm stays tiny). */
+  private[graft] def splitLcm(n: Int): Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1 to math.max(n, 1)).foldLeft(1L)((acc, k) => acc / gcd(acc, k) * k)
   }
 
   /** Retention cohorts: entities cohorted by their first active day; for
