@@ -110,8 +110,13 @@ object Multimodal {
     // block-average luma over the 8×8 partition of the real image — the
     // classic aHash downscale (each cell = mean luminance of its block;
     // images smaller than 8×8 map pixels onto cells directly)
-    def grid8(payload: Array[Byte]): Array[Float] = {
-      val img = read(payload)
+    def grid8(payload: Array[Byte]): Array[Float] = grid8Of(read(payload))
+
+    /** The same 8×8 luma grid on an ALREADY-decoded frame — shared by the
+      * single-image path and the multi-frame video path, so a frame and
+      * the identical still image hash identically. */
+    private[operators] def grid8Of(
+        img: java.awt.image.BufferedImage): Array[Float] = {
       val (w, h) = (img.getWidth, img.getHeight)
       val sums = new Array[Float](64); val counts = new Array[Float](64)
       var y = 0
@@ -129,6 +134,28 @@ object Multimodal {
         y += 1
       }
       Array.tabulate(64)(c => if (counts(c) == 0) 0f else sums(c) / counts(c))
+    }
+
+    /** REAL multi-frame decode: every stored frame of an animated GIF (or
+      * any multi-image container ImageIO can read), in order. Frames come
+      * back AS STORED — GIF delta frames are not composited over their
+      * predecessors (the JDK reader exposes no disposal pipeline); encode
+      * fixtures/corpora with full frames, the norm for training-data
+      * stills. A single-frame image yields a 1-element sequence, so the
+      * video path degrades to the image path on still payloads. */
+    def readFrames(payload: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new IllegalArgumentException(
+          s"payload (${payload.length} bytes) is not a decodable image")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n).map(reader.read)
+      } finally { reader.dispose(); iis.close() }
     }
     /** REAL resample: decode → `Graphics2D` bilinear scale → PNG re-encode.
       * PNG (lossless) keeps the round-trip deterministic — the same payload
@@ -313,6 +340,30 @@ object Multimodal {
         .filter { case (_, i) => i % stride == 0 }
         .map { case (chunk, i) => (r.media_id, i, chunk.length, featureStub(chunk)) }
     }.toDF("media_id", "frame_idx", "frame_bytes", "feature")
+  }
+
+  /** REAL video-frame sampling: decode every stored frame of each payload
+    * (animated GIF via [[ImageIoCodec.readFrames]]), keep every `stride`-th,
+    * and emit one narrow row per kept frame — (media_id, frame_idx, width,
+    * height, ahash64). The heavy pixels die inside the task: only the
+    * 8-byte perceptual hash and the frame geometry ever leave, so the
+    * row-explosion stays shuffle-cheap no matter how large the frames are.
+    * Feeding `ahash64` into [[Dedup.bandedHammingPairs]] (keyed on a
+    * media/frame composite) is cross-video frame dedup — the standard
+    * near-duplicate-still cut over video corpora; a frame and the same
+    * image ingested as a still hash IDENTICALLY (shared grid), so mixed
+    * image+video corpora dedup in one pass. */
+  def sampleDecodedFrames(media: Dataset[MediaRow], stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride >= 1")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      ImageIoCodec.readFrames(r.payload).zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .map { case (img, i) =>
+          (r.media_id, i, img.getWidth, img.getHeight,
+            averageHash64(ImageIoCodec.grid8Of(img)))
+        }
+    }.toDF("media_id", "frame_idx", "width", "height", "ahash64")
   }
 
   /** STUB batch encoder — stands in for a model-server / GPU call that

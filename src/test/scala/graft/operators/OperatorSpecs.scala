@@ -1089,6 +1089,62 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.payload.length == 32)
   }
 
+  test("sampleDecodedFrames: real animated GIF — frame count, stride, " +
+      "per-frame aHash dedup, still/frame parity") {
+    import spark.implicits._
+    def scene(seed: Int): java.awt.image.BufferedImage = {
+      val r = new scala.util.Random(seed)
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val block = Array.fill(8, 8)(r.nextInt(256))
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = block(y / 8)(x / 8)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def gif(frames: java.awt.image.BufferedImage*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        w.setOutput(ios)
+        w.prepareWriteSequence(null)
+        frames.foreach(f =>
+          w.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+        w.endWriteSequence()
+      } finally { w.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    // 4 stored frames; frames 0 and 2 are the SAME scene (a looping shot)
+    val anim = gif(scene(1), scene(2), scene(1), scene(3))
+    assert(Multimodal.ImageIoCodec.readFrames(anim).length == 4)
+    val media = Seq(Multimodal.MediaRow(10L, "video", anim)).toDS()
+    val all = Multimodal.sampleDecodedFrames(media)
+      .orderBy("frame_idx").collect()
+    assert(all.length == 4)
+    assert(all.forall(r => r.getInt(2) == 64 && r.getInt(3) == 64))
+    assert(all.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    // stride keeps every 2nd stored frame
+    val strided = Multimodal.sampleDecodedFrames(media, stride = 2)
+      .orderBy("frame_idx").collect()
+    assert(strided.map(_.getInt(1)).toSeq == Seq(0, 2))
+    // per-frame perceptual dedup: the repeated scene pairs at distance 0
+    // through the SAME banded pipeline images use, keyed per frame
+    val sigs = Multimodal.sampleDecodedFrames(media)
+      .select((col("media_id") * 100 + col("frame_idx")).as("fid"),
+        col("ahash64").as("sig"))
+    val pairs = Dedup.bandedHammingPairs(sigs, "fid", "sig",
+        maxHamming = 0, bands = 8, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1000L, 1002L)), s"repeat frame must pair: $pairs")
+    // a frame and the same scene ingested as a single-image GIF hash
+    // identically — mixed image+video corpora dedup in one pass
+    val stillHash = Multimodal.averageHash64(
+      Multimodal.ImageIoCodec.grid8(gif(scene(2))))
+    assert(all(1).getLong(4) == stillHash, "still/frame aHash parity")
+  }
+
   test("perceptualDedup: re-encoded and lightly-edited images pair, distinct scenes don't") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
