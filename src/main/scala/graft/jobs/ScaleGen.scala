@@ -1,0 +1,107 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic N× corpus replication for scale-exponent measurement
+  * (`ScaleGen <srcDir> <outDir> [factor]`): every TESTDATA table rewritten
+  * at `factor`× rows with referential integrity preserved, so the FULL
+  * 122-query bench runs unmodified against the output directory and
+  * per-query times at 1× vs N× give the empirical scaling exponent
+  * (BASELINE.md records them).
+  *
+  * Replication design — the point is measuring ENGINE scaling, not
+  * changing the data's pair structure:
+  *   - Facts replicate with key shifts (orders/lineitem share the orderkey
+  *     shift; customer and orders share the custkey shift; events shift
+  *     event_id AND user_id so per-user journey shapes are preserved and
+  *     the user population grows 10×). Dimension tables (region, nation,
+  *     part, supplier) copy unchanged — at warehouse scale facts grow,
+  *     dims don't, and broadcast-ability must be preserved to test the
+  *     plans honestly.
+  *   - documents: replica r > 0 suffixes EVERY token with "r<r>", so
+  *     replicas are totally dissimilar at shingle level — each replica
+  *     reproduces the original's dup/near-dup pair structure internally
+  *     and contributes ZERO cross-replica pairs. Dedup outputs therefore
+  *     scale exactly linearly by construction, and any super-linear TIME
+  *     is the engine's, not the generator's.
+  *   - embeddings: replica r > 0 perturbs each component with a
+  *     deterministic per-(replica, dim) offset, decorrelating replicas so
+  *     ANN candidate structure stays cell-local instead of stacking 10
+  *     cosine-identical copies of every vector.
+  * Everything is a pure column transform over a crossJoin with
+  * range(factor) — no driver-side data, no randomness, bit-identical
+  * across runs. */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf_x10")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val s = graft.core.Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    s.sparkContext.setLogLevel("WARN")
+
+    def reps(df: DataFrame): DataFrame =
+      df.crossJoin(s.range(factor).select(col("id").as("rep")))
+
+    def write(name: String)(df: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+      println(f"SCALEGEN $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    // dims: copy unchanged (facts grow, dims don't)
+    Seq("region", "nation", "part", "supplier").foreach { name =>
+      write(name)(s.read.parquet(s"$src/$name.parquet"))
+    }
+
+    val custShift = 10000000L
+    val orderShift = 100000000L
+    write("customer")(reps(s.read.parquet(s"$src/customer.parquet"))
+      .select((col("c_custkey") + col("rep") * custShift).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+    write("orders")(reps(s.read.parquet(s"$src/orders.parquet"))
+      .select((col("o_orderkey") + col("rep") * orderShift).as("o_orderkey"),
+        (col("o_custkey") + col("rep") * custShift).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority")))
+    write("lineitem")(reps(s.read.parquet(s"$src/lineitem.parquet"))
+      .select((col("l_orderkey") + col("rep") * orderShift).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate")))
+
+    // events: ts stays (N× traffic density in the same window — the real
+    // growth mode); user shift keeps every journey's internal shape
+    write("events")(reps(s.read.parquet(s"$src/events.parquet"))
+      .select((col("event_id") + col("rep") * 1000000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * custShift).as("user_id"),
+        col("event_type"), col("value"), col("props")))
+
+    // documents: per-token replica suffix → replicas shingle-disjoint
+    val sfx = concat(lit("r"), col("rep").cast("string"))
+    write("documents")(reps(s.read.parquet(s"$src/documents.parquet"))
+      .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(split(col("text"), " "), t => concat(t, sfx))))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long")))
+
+    // embeddings: deterministic per-(rep, dim) perturbation, ±0.1
+    write("embeddings")(reps(s.read.parquet(s"$src/embeddings.parquet"))
+      .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"),
+        when(col("rep") === 0, col("embedding"))
+          .otherwise(zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => x + (pmod(i * lit(2654435761L) + col("rep") * lit(40503L),
+              lit(1000L)).cast("float") / 1000f - 0.5f) * 0.2f))
+          .as("embedding"),
+        col("label")))
+
+    s.stop()
+  }
+}

