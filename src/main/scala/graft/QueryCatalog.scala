@@ -3430,6 +3430,212 @@ object QueryCatalog {
           AS attributed_value
       FROM allc GROUP BY 1 ORDER BY 1"""))
 
+  /** Deequ-style data-quality audit ([[graft.operators.DataChecks]]): a
+    * six-check expectations suite over `orders` — nullability, key
+    * uniqueness, accepted values, range, a custom predicate, and customer
+    * referential integrity — as ONE aggregate pass plus one anti-join
+    * count. The gate a scheduler runs before trusting an ingest. */
+  private val q123 = QuerySpec(
+    "q123_quality_checks",
+    (s, dir) => {
+      import graft.operators.DataChecks
+      DataChecks.audit(t(s, dir, "orders"), Seq(
+        DataChecks.NotNull("orderkey_not_null", "o_orderkey"),
+        DataChecks.Unique("orderkey_unique", Seq("o_orderkey")),
+        DataChecks.AcceptedValues("status_accepted", "o_orderstatus",
+          Seq("F", "O", "P")),
+        DataChecks.InRange("totalprice_range", "o_totalprice", 0.0, 600000.0),
+        DataChecks.Predicate("date_after_epoch",
+          col("o_orderdate") >= lit("1992-01-01").cast("date")),
+        DataChecks.ForeignKey("custkey_fk", "o_custkey",
+          t(s, dir, "customer"), "c_custkey")))
+    },
+    Some("""WITH agg AS (SELECT
+        sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn,
+        count(*) - count(DISTINCT ROW(o_orderkey)) AS uq,
+        sum(CASE WHEN o_orderstatus IS NOT NULL
+          AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS av,
+        sum(CASE WHEN o_totalprice IS NOT NULL
+          AND o_totalprice NOT BETWEEN 0.0 AND 600000.0 THEN 1 ELSE 0 END) AS rg,
+        sum(CASE WHEN NOT coalesce(o_orderdate >= DATE '1992-01-01', false)
+          THEN 1 ELSE 0 END) AS pr
+        FROM orders),
+      fk AS (SELECT count(*) AS v FROM orders o
+        WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      rows0 AS (
+        SELECT 'orderkey_not_null' AS "check", CAST(nn AS BIGINT) AS violations FROM agg
+        UNION ALL SELECT 'orderkey_unique', CAST(uq AS BIGINT) FROM agg
+        UNION ALL SELECT 'status_accepted', CAST(av AS BIGINT) FROM agg
+        UNION ALL SELECT 'totalprice_range', CAST(rg AS BIGINT) FROM agg
+        UNION ALL SELECT 'date_after_epoch', CAST(pr AS BIGINT) FROM agg
+        UNION ALL SELECT 'custkey_fk', CAST(v AS BIGINT) FROM fk)
+      SELECT "check", violations, violations = 0 AS passed
+      FROM rows0 ORDER BY "check""""))
+
+  /** Incremental rollup maintenance ([[graft.operators.Incremental]]):
+    * a standing daily (type, day) rollup for days < 19745 merged with a
+    * fresh batch's partials — counts and integer micro-sums add, min/max
+    * fold, so merging partials IS recomputing, which is exactly what the
+    * oracle asserts by aggregating all raw events directly. The pattern
+    * that lets a 100-TB event history absorb a day's data at
+    * O(|batch| + |rollup|) cost. */
+  private val q124 = QuerySpec(
+    "q124_incremental_rollup",
+    (s, dir) => {
+      import graft.operators.Incremental
+      val ev = t(s, dir, "events")
+        .withColumn("day", expr("ts div 86400000000000"))
+        .select("event_type", "day", "value")
+      val standing = Incremental.rollupPartials(
+        ev.where(col("day") < 19745), Seq("event_type", "day"), "value")
+      val batch = Incremental.rollupPartials(
+        ev.where(col("day") >= 19745), Seq("event_type", "day"), "value")
+      Incremental.mergeRollup(standing, batch, Seq("event_type", "day"))
+        .orderBy("event_type", "day")
+    },
+    Some("""SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        count(value) AS n,
+        sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_micro,
+        min(value) AS min_v, max(value) AS max_v
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** SCD Type-2 dimension build ([[graft.operators.Incremental.scd2]]):
+    * each user's event-type change log collapsed to version intervals
+    * with [valid_from, valid_to) bounds — the Kimball dimension-history
+    * shape, in one key-hashed exchange (lag marks run starts, lead closes
+    * intervals, same window partitioning throughout). */
+  private val q125 = QuerySpec(
+    "q125_scd2_intervals",
+    (s, dir) => graft.operators.Incremental.scd2(
+        t(s, dir, "events").select("user_id", "ts", "event_id", "event_type"),
+        "user_id", Seq("ts", "event_id"), "event_type")
+      .orderBy("user_id", "version"),
+    Some("""WITH o AS (SELECT user_id, epoch_ns(ts) AS ts, event_id,
+        event_type,
+        row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+      r AS (SELECT * FROM o
+        WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+      SELECT user_id, event_type, ts AS valid_from,
+        lead(ts) OVER w2 AS valid_to,
+        lead(ts) OVER w2 IS NULL AS is_current,
+        CAST(row_number() OVER w2 AS INTEGER) AS version
+      FROM r WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, version"""))
+
+  /** Keyed snapshot diff / CDC ([[graft.operators.Incremental.tableDiff]]):
+    * customer v1 vs a derived v2 (every 13th key deleted, every 7th
+    * acctbal bumped, every 11th cloned to a new key) → (op ∈ I/U/D,
+    * changed column list, key). One co-partitioned full-outer join on the
+    * key; unchanged rows never leave the join. */
+  private val q126 = QuerySpec(
+    "q126_table_cdc",
+    (s, dir) => {
+      val v1 = t(s, dir, "customer")
+      val v2 = v1.where(col("c_custkey") % 13 =!= 0)
+        .withColumn("c_acctbal", when(col("c_custkey") % 7 === 0,
+          col("c_acctbal") + 100.0).otherwise(col("c_acctbal")))
+        .unionByName(v1.where(col("c_custkey") % 11 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000), allowMissingColumns = false)
+      graft.operators.Incremental.tableDiff(v1, v2, Seq("c_custkey"),
+          Seq("c_name", "c_nationkey", "c_acctbal"))
+        .orderBy("op", "c_custkey")
+    },
+    Some("""WITH v1 AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        FROM customer),
+      v2 AS (SELECT c_custkey, c_name, c_nationkey,
+          CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+            ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal
+        FROM customer WHERE c_custkey % 11 = 0),
+      j AS (SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+          array_to_string(list_filter([
+            CASE WHEN a.c_name IS DISTINCT FROM b.c_name THEN 'c_name' END,
+            CASE WHEN a.c_nationkey IS DISTINCT FROM b.c_nationkey THEN 'c_nationkey' END,
+            CASE WHEN a.c_acctbal IS DISTINCT FROM b.c_acctbal THEN 'c_acctbal' END],
+            x -> x IS NOT NULL), ',') AS changed_cols
+        FROM v1 a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey)
+      SELECT CASE WHEN ka IS NULL THEN 'I' WHEN kb IS NULL THEN 'D'
+          WHEN changed_cols <> '' THEN 'U' END AS op,
+        changed_cols, coalesce(ka, kb) AS c_custkey
+      FROM j
+      WHERE (CASE WHEN ka IS NULL THEN 'I' WHEN kb IS NULL THEN 'D'
+          WHEN changed_cols <> '' THEN 'U' END) IS NOT NULL
+      ORDER BY op, c_custkey"""))
+
+  /** Robust daily-volume anomaly flags
+    * ([[graft.operators.EventOps.dailyCountAnomalies]]): days whose event
+    * count deviates from the type's median by more than k×MAD —
+    * median/MAD so the anomalies can't mask themselves the way they shift
+    * a mean/stddev gate. All-integer positional medians over the bounded
+    * |types|×|days| grid; ONE corpus-sized aggregate. */
+  private val q127 = QuerySpec(
+    "q127_anomaly_mad",
+    (s, dir) => graft.operators.EventOps.dailyCountAnomalies(
+        t(s, dir, "events"), "event_type",
+        expr("ts div 86400000000000"), k = 2)
+      .orderBy("etype", "day"),
+    Some("""WITH grid AS (SELECT event_type AS etype,
+        epoch_ns(ts) // 86400000000000 AS day, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT etype, n AS med FROM (
+        SELECT etype, n,
+          row_number() OVER (PARTITION BY etype ORDER BY n, day) AS rn,
+          count(*) OVER (PARTITION BY etype) AS ct FROM grid)
+        WHERE rn = (ct + 1) // 2),
+      d AS (SELECT g.etype, g.day, g.n, m.med, abs(g.n - m.med) AS abs_dev
+        FROM grid g JOIN m USING (etype)),
+      md AS (SELECT etype, abs_dev AS mad FROM (
+        SELECT etype, abs_dev, day,
+          row_number() OVER (PARTITION BY etype ORDER BY abs_dev, day) AS rn,
+          count(*) OVER (PARTITION BY etype) AS ct FROM d)
+        WHERE rn = (ct + 1) // 2)
+      SELECT d.etype, d.day, d.n, d.med, md.mad, d.abs_dev
+      FROM d JOIN md USING (etype)
+      WHERE d.abs_dev > 2 * md.mad
+      ORDER BY d.etype, d.day"""))
+
+  /** PMI collocation mining
+    * ([[graft.operators.TextAnalysis.pmiCollocations]]): top-50 bigrams by
+    * pointwise mutual information at min count 5 — integer micro-nat
+    * scores off exact counts, min-count cut before any join, top-k as
+    * TakeOrdered. The multi-word-unit signal for tokenizer vocabularies
+    * and crawl drift. */
+  private val q128 = QuerySpec(
+    "q128_pmi_collocations",
+    (s, dir) => graft.operators.TextAnalysis.pmiCollocations(
+        t(s, dir, "documents"), "text", minCount = 5, k = 50)
+      .orderBy("rnk"),
+    Some("""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        FROM documents),
+      bg AS (SELECT (CASE WHEN len(tk) <= 2 THEN text
+          ELSE tk[g] || ' ' || tk[g + 1] END) AS bigram
+        FROM toks, LATERAL (SELECT unnest(generate_series(1,
+          CASE WHEN len(tk) <= 2 THEN 1 ELSE len(tk) - 1 END)) AS g) s),
+      bgc AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY 1),
+      totb AS (SELECT sum(c12) AS tot_b FROM bgc),
+      unic AS (SELECT tok, count(*) AS c FROM
+        (SELECT unnest(tk) AS tok FROM toks) GROUP BY 1),
+      totn AS (SELECT sum(c) AS tot_n FROM unic),
+      scored AS (SELECT b.bigram, b.c12, u1.c AS c1, u2.c AS c2,
+          CAST(floor(ln(CAST(b.c12 AS DOUBLE) * CAST(totn.tot_n AS DOUBLE)
+              * CAST(totn.tot_n AS DOUBLE)
+            / (CAST(totb.tot_b AS DOUBLE) * CAST(u1.c AS DOUBLE)
+              * CAST(u2.c AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
+            AS pmi_micro
+        FROM bgc b
+        JOIN unic u1 ON u1.tok = string_split(b.bigram, ' ')[1]
+        JOIN unic u2 ON u2.tok =
+          string_split(b.bigram, ' ')[len(string_split(b.bigram, ' '))],
+        totb, totn
+        WHERE b.c12 >= 5)
+      SELECT bigram, c12, c1, c2, pmi_micro,
+        row_number() OVER (ORDER BY pmi_micro DESC, bigram) AS rnk
+      FROM scored ORDER BY pmi_micro DESC, bigram LIMIT 50"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -3444,5 +3650,5 @@ object QueryCatalog {
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122)
+    q122, q123, q124, q125, q126, q127, q128)
 }

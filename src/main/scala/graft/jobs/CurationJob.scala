@@ -114,9 +114,52 @@ object CurationJob {
     * `benchmark`: optional held-out set — documents leaking ≥5 trigrams into
     * it are removed right after the quality gate (cheapest point: the gate
     * already shrank the corpus, and dedup need not pay for docs that are
-    * leaving anyway). */
+    * leaving anyway).
+    * `outDir`: when set, the shipped table is written to parquet there
+    * (partitioned by shard when `outputShards` is on) and the RE-READ frame
+    * is returned — the cluster-scale contract. Without it, every stage
+    * boundary below lives only as cache + lineage, and a caller action on
+    * the returned frame after the internal caches drain replays the whole
+    * job; worse, because most optional stages are `X gated by f(X)`
+    * two-consumer shapes, the un-cut lineage DOUBLES per stage and a
+    * 10-gate config makes the final plan exponentially large — the driver
+    * then spends minutes just RENDERING plan strings per action (measured:
+    * a full-gate 100k-doc run pinned one driver core in generateTreeString
+    * before any executor did real work). Stage persists below bound the
+    * EXECUTED work either way; only the parquet write bounds the PLAN for
+    * post-drain consumers. */
   def run(docs: DataFrame, cfg: Config = Config(),
-      benchmark: Option[DataFrame] = None): (DataFrame, Stats) = {
+      benchmark: Option[DataFrame] = None,
+      outDir: Option[String] = None,
+      scratchDir: Option[String] = None): (DataFrame, Stats) = {
+    // Every optional gate is `X filtered by a derivative of X` — two
+    // consumers of X inside one action, and several X's span multiple
+    // funnel-count actions, so each enabled boundary must materialize or
+    // the executed work doubles per stage.
+    //
+    // `scratchDir` picks the materialization: a parquet checkpoint (write
+    // + re-read — lineage truncated to a scan leaf) vs an in-memory
+    // persist (CacheScope, drained at the end). The checkpoint is the one
+    // that survives a full-gate config: persisted plans still EMBED their
+    // child plans (InMemoryRelation.innerChildren), so although execution
+    // reuses the cache, the plan STRING Spark renders per action
+    // (SQLExecution's listener planDescription) grows 2^stages and pins
+    // the driver in generateTreeString — a measured 100k-doc full-gate
+    // run burned 12+ driver-minutes rendering plans against ~1 minute of
+    // executor work. Parquet boundaries are also the cluster posture:
+    // recompute-safe after executor loss, resumable, and each stage is
+    // one job. Light configs (a few gates) are fine on the persist path.
+    var stageN = 0
+    def stage(df: DataFrame, on: Boolean): DataFrame =
+      if (!on) df
+      else scratchDir match {
+        case None => graft.core.CacheScope.persist(df)
+        case Some(sd) =>
+          stageN += 1
+          val p = s"$sd/stage$stageN"
+          df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+          docs.sparkSession.read.parquet(p)
+      }
     val input = docs.count()
 
     // 0. optional boilerplate gate — segment document frequencies over the
@@ -153,7 +196,8 @@ object CurationJob {
       else rowGate1 &&
         graft.functions.PolicyHits(col("text"), cfg.blockedPatterns)
           .getField("n_hits") <= cfg.maxPolicyHits
-    val rowGated0 = boilerGated.where(rowGate)
+    val rowGated0 = stage(boilerGated.where(rowGate),
+      on = cfg.keepTopQualityFrac.isDefined)
     val rowGated = cfg.keepTopQualityFrac match {
       case None => rowGated0
       case Some(frac) =>
@@ -163,22 +207,24 @@ object CurationJob {
     }
     // optional LM gate: one corpus pass trains the char-bigram model, one
     // broadcast join scores; keep docs at-or-above the floor
+    val rowGatedS = stage(rowGated, on = cfg.minLmScore.isDefined)
     val qualityGated = cfg.minLmScore match {
-      case None => rowGated
+      case None => rowGatedS
       case Some(floor) =>
-        val ok = TextAnalysis.charLmScore(rowGated, "doc_id", "text")
+        val ok = TextAnalysis.charLmScore(rowGatedS, "doc_id", "text")
           .where(col("lm_score") >= floor)
           .select(col("id").as("doc_id"))
-        rowGated.join(ok, Seq("doc_id"), "left_semi")
+        rowGatedS.join(ok, Seq("doc_id"), "left_semi")
     }
 
     // 1b. structured-PII scrub (optional) — in-place rewrite, so every later
     // stage (dedup hashes, chunk text, quality-proportional sampling) sees
     // the scrubbed corpus
-    val scrubbed =
+    val scrubbed = stage(
       if (cfg.redactClasses.isEmpty) qualityGated
       else qualityGated.withColumn("text",
-        TextAnalysis.redact(col("text"), cfg.redactClasses))
+        TextAnalysis.redact(col("text"), cfg.redactClasses)),
+      on = benchmark.isDefined)
 
     // 1c. benchmark decontamination (optional)
     val (gated0, nDecon, leakyHandle) = benchmark match {
@@ -191,8 +237,7 @@ object CurationJob {
         val n = leaky.count()
         (scrubbed.join(leaky, Seq("doc_id"), "left_anti"), n, Some(leaky))
     }
-    val gated = gated0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gated = stage(gated0, on = true)
     val afterQuality = gated.count()
     // gated's cache now holds the anti-joined rows; the leak list has no
     // further consumer (same release discipline as gated/exact below)
@@ -201,10 +246,9 @@ object CurationJob {
     // 2. exact dedup — keep each content group's smallest doc_id
     val keepers = Dedup.exactGroups(gated, "doc_id", "text")
       .select(col("keeper_id").as("doc_id"))
-    val exact = gated.join(keepers, "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = stage(gated.join(keepers, "doc_id"), on = true)
     val afterExact = exact.count()
-    gated.unpersist()
+    gated.unpersist() // no-op on the checkpoint path; early release otherwise
 
     // 3. near-dup removal over MinHash+LSH candidate pairs
     val dupPairs = Dedup.minhashCandidates(exact, "doc_id", "text",
@@ -220,25 +264,26 @@ object CurationJob {
         // pairwise: drop the larger id of each pair (keeps local minima; the
         // global min of a cluster never appears as the larger side)
         dupPairs.select(col("id_b").as("doc_id")).distinct()
-    val unique0 = exact.join(losers, Seq("doc_id"), "left_anti")
+    val unique0 = stage(exact.join(losers, Seq("doc_id"), "left_anti"),
+      on = cfg.containmentThreshold.isDefined)
 
     // 3b. containment pass (optional) — over the near-dup SURVIVORS (the
     // contained side of a pair the minhash stage already dropped needs no
     // second look); drops each contained doc, keeps its container
-    val unique1 = cfg.containmentThreshold match {
+    val unique1 = stage(cfg.containmentThreshold match {
       case None => unique0
       case Some(thr) =>
         val contained = Dedup.containmentPairs(unique0, "doc_id", "text",
             minContainment = thr)
           .select(col("contained_id").as("doc_id")).distinct()
         unique0.join(contained, Seq("doc_id"), "left_anti")
-    }
+    }, on = cfg.maxDupChunkShare.isDefined)
 
     // 3c. chunk-grain duplication gate (optional) — CDC chunks over the
     // surviving docs, then drop docs whose duplicated-chunk share exceeds
     // the cap. The chunk table is narrow (three longs per chunk) and feeds
     // both the dup set and the per-doc share in one persisted pass.
-    val unique = cfg.maxDupChunkShare match {
+    val unique = stage(cfg.maxDupChunkShare match {
       case None => unique1
       case Some(cap) =>
         val ch = graft.core.CacheScope.persist(
@@ -254,7 +299,7 @@ object CurationJob {
           .where(col("n_dup").cast("double") / col("n_chunks") > cap)
           .select(col("id").as("doc_id"))
         unique1.join(heavy, Seq("doc_id"), "left_anti")
-    }
+    }, on = true) // spans the funnel count AND every downstream stage
     val afterNearDup = unique.count()
 
     // 3d. token-budget cut (optional) — the best-N-tokens subset of the
@@ -271,30 +316,32 @@ object CurationJob {
     // 3e. leakage-free split assignment (optional) — cluster-grain labels
     // over the final doc set; the edge pass reuses the minhash machinery at
     // the looser splitJaccard threshold
+    val budgetedS = stage(budgeted, on = cfg.splitPermilles.isDefined)
     val labeled = cfg.splitPermilles match {
-      case None => budgeted
+      case None => budgetedS
       case Some(pm) =>
-        val edges = Dedup.minhashCandidates(budgeted, "doc_id", "text",
+        val edges = Dedup.minhashCandidates(budgetedS, "doc_id", "text",
             bands = cfg.minhashBands, maxBucketSize = cfg.maxBucketSize)
           .where(col("est_jaccard") >= cfg.splitJaccard)
-        val lab = Components.componentSplit(budgeted, "doc_id", edges,
+        val lab = Components.componentSplit(budgetedS, "doc_id", edges,
           "id_a", "id_b", pm)
-        budgeted.join(lab.select(col("doc_id"), col("split")), Seq("doc_id"))
+        budgetedS.join(lab.select(col("doc_id"), col("split")), Seq("doc_id"))
     }
 
     // 4. chunking — one row per context window (split label, when present,
     // rides the doc row into every chunk)
     val carried = cfg.splitPermilles.map(_ => col("split")).toSeq
-    val chunked = labeled.select(Seq(col("doc_id")) ++ carried :+
+    val chunked = stage(labeled.select(Seq(col("doc_id")) ++ carried :+
         posexplode(TextAnalysis.chunk(col("text"), cfg.chunkTokens, cfg.chunkOverlap)): _*)
       .select(Seq(col("doc_id")) ++ carried :+ col("pos").as("chunk_idx") :+
-        col("col").as("chunk"): _*)
+        col("col").as("chunk"): _*),
+      on = true) // spans the chunk count, the sample, and the ship action
     val chunks = chunked.count()
 
     // 5. deterministic sampling to the target budget (reproducible mixing):
     // uniform by default; quality-proportional when importanceRate is set
     // (key = doc:chunk so each chunk decides independently but stably)
-    val sampled = cfg.importanceRate match {
+    val sampled = stage(cfg.importanceRate match {
       case None => ScaleOps.hashSample(chunked, "doc_id", cfg.samplePermille)
       case Some(rate) =>
         ScaleOps.importanceSample(
@@ -302,7 +349,8 @@ object CurationJob {
               concat_ws(":", col("doc_id"), col("chunk_idx"))),
             "_ck", TextAnalysis.qualityScore(col("chunk")), rate)
           .drop("_ck")
-    }
+    }, on = (cfg.samplePermille != 1000 || cfg.importanceRate.isDefined) &&
+      cfg.outputShards.isDefined) // else a single consumer reads it once
     val nSampled =
       if (cfg.samplePermille == 1000 && cfg.importanceRate.isEmpty) chunks
       else sampled.count()
@@ -319,14 +367,27 @@ object CurationJob {
           .drop("_sk")
     }
 
-    // the job ran its terminal actions (the funnel counts), so it owns the
-    // CacheScope drain — composed operators' persists release here, and a
-    // rerun re-persisting identical plans no longer trips CacheManager's
-    // "already cached" plan-match. The returned frame stays valid: a later
-    // consumer just recomputes the released intermediates.
+    // ship: with outDir the final table lands in parquet BEFORE the caches
+    // drain (one pass over cached parents), and the caller gets the re-read
+    // frame — a one-node plan no matter how many gates ran
+    val shipped = outDir.map { dir =>
+      val w = out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      cfg.outputShards match {
+        case Some(_) => w.partitionBy("shard").parquet(dir)
+        case None => w.parquet(dir)
+      }
+      docs.sparkSession.read.parquet(dir)
+    }.getOrElse(out)
+
+    // the job ran its terminal actions (the funnel counts and the optional
+    // ship write), so it owns the CacheScope drain — composed operators'
+    // persists release here, and a rerun re-persisting identical plans no
+    // longer trips CacheManager's "already cached" plan-match. Without
+    // outDir the returned frame stays valid but replays the released
+    // intermediates on its next action (see the run() scaladoc).
     graft.core.CacheScope.drain()
 
-    (out, Stats(input, afterQuality, afterExact, afterNearDup, chunks,
+    (shipped, Stats(input, afterQuality, afterExact, afterNearDup, chunks,
       nSampled, decontaminated = nDecon))
   }
 }

@@ -195,6 +195,64 @@ object StressMain {
         stats = st; st.sampled
       })
       println(s"STRESS funnel: $stats")
+    } else if (args.headOption.contains("curationfull")) {
+      // EVERY gate of the composed pipeline on, at 5-10M docs: the
+      // end-to-end volume run VERDICT r9 item 6 asks for. The replica
+      // corpus mixes exact dups (rep%5==0 copies the base), near-dup
+      // variants, PII-carrying rows (rep%7==0 appends an email+phone so
+      // the redaction stage has real matches and PII-only variants
+      // collapse to exact dups), and blocklisted rows (rep%101==0 gets a
+      // banned token → the policy gate drops ~1%). Token budget and the
+      // funnel scale with `replicas`, so 1x-vs-2x wall times give the
+      // end-to-end scaling slope directly.
+      val replicas = args.lift(1).map(_.toInt).getOrElse(1000)
+      val docs = s.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val big = docs.crossJoin(s.range(replicas).select(col("id").as("rep")))
+        .select(
+          (col("rep") * 5000 + col("doc_id")).as("doc_id"),
+          concat(
+            when(col("rep") % 5 === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" variant"),
+                (col("rep") % 5).cast("string"))),
+            when(col("rep") % 7 === 0,
+              lit(" contact bob@example.com or 555-1234")).otherwise(lit("")),
+            when(col("rep") % 101 === 0, lit(" badwordx")).otherwise(lit("")))
+            .as("text"),
+          col("lang"))
+        .repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"materialize ${replicas}x docs")(big.count())
+      val bench = docs.where(col("doc_id") % 997 === 0)
+        .select(col("text")) // held-out set: decontamination has real work
+      var stats: CurationJob.Stats = null
+      var outN = 0L
+      time(s"CurationJob FULL-GATE end-to-end (${replicas}x)")({
+        val (out, st) = CurationJob.run(big, CurationJob.Config(
+          minQuality = 0.3,
+          maxBoilerplateShare = Some(0.9),
+          maxTopTokenShare = Some(0.5),
+          compressionBounds = Some((0.5, 50.0)),
+          minLmScore = Some(-10.0),
+          redactClasses = Seq(
+            ("EMAIL", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+            ("PHONE", "\\b\\d{3}-\\d{4}\\b")),
+          blockedPatterns = Seq("badwordx", "spamtokenz"),
+          nearDupJaccard = 0.8,
+          containmentThreshold = Some(0.9),
+          maxDupChunkShare = Some(0.95),
+          tokenBudget = Some(12L * 5000L * replicas),
+          splitPermilles = Some(Seq(("train", 900), ("val", 50), ("test", 50))),
+          importanceRate = Some(1.5),
+          outputShards = Some(64),
+          transitive = true), benchmark = Some(bench),
+          outDir = Some(s"/tmp/graft_curationfull_$replicas"),
+          scratchDir = Some(s"/tmp/graft_curation_scratch_$replicas"))
+        stats = st
+        outN = out.count() // counts the shipped parquet, not a replay
+        st.sampled
+      })
+      println(s"STRESS funnel: $stats shipped=$outN")
+      big.unpersist()
     } else if (args.headOption.contains("graph")) {
       // Chain-heavy graph: diameter ~chainLen inside every cluster — per-hop
       // label propagation would need ~chainLen Spark rounds; the union-find

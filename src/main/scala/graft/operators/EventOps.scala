@@ -229,4 +229,55 @@ object EventOps {
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Robust time-series anomaly flags on daily event volume: per
+    * `typeCol`, a day is anomalous when its count deviates from the type's
+    * median daily count by more than `k` × the median absolute deviation
+    * (MAD). Median/MAD instead of mean/stddev because volume anomalies are
+    * exactly the rows that wreck the mean — one ingest outage or bot flood
+    * shifts mean ± stddev enough to mask itself; the breakdown point of
+    * the median is 50%.
+    *
+    * Everything is INTEGER arithmetic end to end (counts, positional
+    * medians, absolute deviations, the k·mad compare), so the result is
+    * fold-order-free and engine-exact — no float quantile interpolation to
+    * disagree across engines. The median is the positional lower median
+    * (row_number == (n+1)/2 over (value, day)), i.e. percentile_disc(0.5)
+    * semantics with a deterministic tiebreak.
+    *
+    * Scale shape: the raw event table is touched by exactly ONE
+    * (type, day)-keyed aggregate (map-side combine applies); every window
+    * and join after that operates on the bounded |types| × |days| grid —
+    * the same bounded-grid design as [[eventTransitions]]' normalization
+    * and ScaleOps.psiDrift. mad == 0 (over half the days share the median
+    * count) makes ANY deviating day anomalous — the conventional reading. */
+  def dailyCountAnomalies(events: DataFrame, typeCol: String,
+      dayCol: Column, k: Int = 3): DataFrame = {
+    require(k >= 1, "k >= 1")
+    // the one corpus-sized pass; persisted — the grid feeds the median
+    // calc, the deviation calc, and the final flag scan
+    val grid = graft.core.CacheScope.persist(
+      events.select(col(typeCol).as("etype"), dayCol.cast("long").as("day"))
+        .groupBy("etype", "day").agg(count(lit(1)).as("n")))
+
+    def lowerMedian(df: DataFrame, valueCol: String,
+        outCol: String): DataFrame = {
+      val byType = Window.partitionBy(col("etype"))
+      val ordered = byType.orderBy(col(valueCol), col("day"))
+      df.withColumn("_rn", row_number().over(ordered))
+        .withColumn("_ct", count(lit(1)).over(byType))
+        .where(col("_rn") === floor((col("_ct") + 1) / 2)) // lower median
+        .select(col("etype"), col(valueCol).as(outCol))
+    }
+
+    val med = lowerMedian(grid, "n", "med")
+    val dev = grid.join(med, "etype")
+      .withColumn("abs_dev", abs(col("n") - col("med")))
+    val mad = lowerMedian(dev.select(col("etype"), col("day"),
+      col("abs_dev").as("n")), "n", "mad")
+    dev.join(mad, "etype")
+      .where(col("abs_dev") > col("mad") * k)
+      .select(col("etype"), col("day"), col("n"), col("med"), col("mad"),
+        col("abs_dev"))
+  }
 }

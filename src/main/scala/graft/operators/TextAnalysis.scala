@@ -826,4 +826,60 @@ object TextAnalysis {
       round(slope, 6).as("slope"),
       round((col("sy") - slope * col("sx")) / nd, 6).as("intercept"))
   }
+
+  /** Top-`k` collocations by pointwise mutual information: bigrams whose
+    * corpus probability beats the independence of their parts —
+    * pmi = ln(p(w1,w2) / (p(w1)·p(w2))) with p from raw counts. The
+    * classic phrase-mining signal (Church & Hanks 1990): high-PMI pairs
+    * ("San Francisco", "machine learning") are the multi-word units a
+    * tokenizer-vocabulary or stop-phrase list wants; a drift in the top
+    * PMI table between crawls names new jargon/spam the unigram movers
+    * (q112) can't see.
+    *
+    * `minCount` cuts the bigram table BEFORE any join — rare pairs
+    * dominate raw PMI (a 1-count pair of two 1-count words maxes the
+    * score) and dominate the table size; at web scale the cut is the
+    * difference between joining |distinct bigrams| rows and a bounded
+    * head. PMI rounds to integer micro-nats off exact int64 counts with
+    * one canonical parenthesization, so both engines compute bit-equal
+    * scores (the q109/q118 construction).
+    *
+    * Physical shape: two corpus passes ([[graft.functions.NgramCounts]] /
+    * TokenCounts — per-doc counting inside the row, map-side combine in
+    * the agg), both persisted; the totals are 1-row broadcast scalars
+    * (designed BNLJ, q112 contract); the two unigram joins run on the
+    * CUT bigram head against the vocab-bounded unigram table. Top-k via
+    * orderBy+limit = TakeOrderedAndProject, never a full sort. */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    require(k >= 1 && minCount >= 1, "k >= 1, minCount >= 1")
+    val bgc = graft.core.CacheScope.persist(df
+      .select(explode(graft.functions.NgramCounts(col(textCol), 2)).as("bc"))
+      .groupBy(col("bc.tok").as("bigram")).agg(sum("bc.tf").as("c12")))
+    val ugc = graft.core.CacheScope.persist(df
+      .select(explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .groupBy(col("tc.tok").as("tok")).agg(sum("tc.tf").as("c")))
+    val totB = bgc.agg(sum("c12").as("tot_b")) // 1-row scalars
+    val totN = ugc.agg(sum("c").as("tot_n"))
+    val d = (c: Column) => c.cast("double")
+    bgc.where(col("c12") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(ugc.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(ugc.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(totN).crossJoin(totB)
+      .select(col("bigram"), col("c12"), col("c1"), col("c2"),
+        // ONE canonical parenthesization, doubles from exact int64s —
+        // mirrored verbatim in the oracle SQL so ln matches bit-for-bit;
+        // floor(x·1e6 + 0.5) not round(): floor acts identically on the
+        // identical double in both engines, where round() half-up rules
+        // diverge (the q122 money-math lesson)
+        floor(log(d(col("c12")) * d(col("tot_n")) * d(col("tot_n")) /
+          (d(col("tot_b")) * d(col("c1")) * d(col("c2")))) * 1e6 + 0.5)
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bigram"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(Window.partitionBy(lit(0))
+        .orderBy(col("pmi_micro").desc, col("bigram"))).cast("long"))
+  }
 }

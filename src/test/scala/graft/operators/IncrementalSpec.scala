@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Incremental-maintenance + audit invariants: merging rollup partials IS
+  * recomputing, SCD2 intervals tile each key's timeline, the snapshot diff
+  * finds exactly the injected changes, the check suite counts exactly the
+  * injected violations, and PMI ranks the designed collocation first. */
+class IncrementalSpec extends SparkSpec {
+
+  test("mergeRollup: partials merged == one-shot recompute, any split") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), pmod(col("event_id"), lit(7)).as("day"),
+        col("value"))
+    val full = Incremental.rollupPartials(ev, Seq("event_type", "day"), "value")
+      .orderBy("event_type", "day").collect().toSeq
+    for (cut <- Seq(0, 3, 7)) { // empty-standing, mid, empty-batch splits
+      val a = Incremental.rollupPartials(
+        ev.where(col("day") < cut), Seq("event_type", "day"), "value")
+      val b = Incremental.rollupPartials(
+        ev.where(col("day") >= cut), Seq("event_type", "day"), "value")
+      val merged = Incremental.mergeRollup(a, b, Seq("event_type", "day"))
+        .orderBy("event_type", "day").collect().toSeq
+      assert(merged == full, s"cut=$cut diverged")
+    }
+  }
+
+  test("mergeRollup: merge is associative across three batches") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), pmod(col("event_id"), lit(5)).as("day"),
+        col("value"))
+    def part(lo: Int, hi: Int) = Incremental.rollupPartials(
+      ev.where(col("day") >= lo && col("day") < hi),
+      Seq("event_type", "day"), "value")
+    val leftFold = Incremental.mergeRollup(
+      Incremental.mergeRollup(part(0, 2), part(2, 4), Seq("event_type", "day")),
+      part(4, 5), Seq("event_type", "day"))
+    val rightFold = Incremental.mergeRollup(part(0, 2),
+      Incremental.mergeRollup(part(2, 4), part(4, 5), Seq("event_type", "day")),
+      Seq("event_type", "day"))
+    assert(leftFold.orderBy("event_type", "day").collect().toSeq ==
+      rightFold.orderBy("event_type", "day").collect().toSeq)
+  }
+
+  test("scd2: runs collapse, intervals tile, first-NULL attr survives") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, 1L, "A"), (1L, 2L, 2L, "A"), // same value: one run
+      (1L, 3L, 3L, "B"), (1L, 4L, 4L, "A"), // back to A = NEW version
+      (2L, 5L, 5L, null.asInstanceOf[String]) // first value NULL (rn guard)
+    ).toDF("k", "ts", "event_id", "attr")
+    val got = Incremental.scd2(log, "k", Seq("ts", "event_id"), "attr")
+      .orderBy("k", "version")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getBoolean(4), r.getInt(5)))
+    assert(got.toSeq == Seq(
+      (1L, Some("A"), 1L, 3L, false, 1),
+      (1L, Some("B"), 3L, 4L, false, 2),
+      (1L, Some("A"), 4L, -1L, true, 3),
+      (2L, None, 5L, -1L, true, 1)))
+  }
+
+  test("scd2: every event's attr equals its covering version's attr") {
+    import spark.implicits._
+    val ev = graft.core.EventTs.toNanos(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val v = Incremental.scd2(ev, "user_id", Seq("ts", "event_id"),
+      "event_type")
+    // join each event to the version interval containing its ts; the
+    // covering version must carry the event's type (intervals that tile
+    // and order correctly are exactly what makes this hold)
+    val covered = ev.alias("e").join(v.alias("v"),
+      col("e.user_id") === col("v.user_id") &&
+        col("e.ts") >= col("v.valid_from") &&
+        (col("v.valid_to").isNull || col("e.ts") < col("v.valid_to")))
+    // ties in ts (same-nanos events of one user) can straddle a version
+    // boundary, so compare at the grain the operator defines: strictly
+    // ordered rows. The synthetic events have distinct nanos per user.
+    val bad = covered.where(col("e.event_type") =!= col("v.event_type"))
+    assert(bad.count() == 0)
+    // interval count conservation: versions = type-change points per user
+    val expected = ev.selectExpr("user_id", "ts", "event_id", "event_type")
+      .withColumn("prev", lag("event_type", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")))
+      .where(col("prev").isNull || col("prev") =!= col("event_type"))
+      .count()
+    assert(v.count() == expected)
+  }
+
+  test("tableDiff: finds exactly the injected I/U/D set") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val v2 = Seq((1L, "a", 10.0), (2L, "B", 20.0), (4L, "d", 40.0))
+      .toDF("k", "name", "bal")
+    val got = Incremental.tableDiff(v1, v2, Seq("k"), Seq("name", "bal"))
+      .orderBy("k").collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("U", "name", 2L), ("D", "name,bal", 3L), ("I", "name,bal", 4L)))
+  }
+
+  test("tableDiff: identical snapshots diff to nothing; NULLs compare null-safely") {
+    import spark.implicits._
+    val v = Seq((1L, null.asInstanceOf[String]), (2L, "x"))
+      .toDF("k", "name")
+    assert(Incremental.tableDiff(v, v, Seq("k"), Seq("name")).count() == 0)
+    val v2 = Seq((1L, "now-set"), (2L, null.asInstanceOf[String]))
+      .toDF("k", "name")
+    val ops = Incremental.tableDiff(v, v2, Seq("k"), Seq("name"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(ops.toSeq == Seq(("U", 1L), ("U", 2L))) // NULL↔set both real changes
+  }
+
+  test("DataChecks.audit: counts exactly the injected violations") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("F"), 10.0, Some(100L)),
+      (Some(2L), Some("O"), 20.0, Some(999L)), // FK orphan
+      (Some(2L), Some("Z"), -5.0, Some(100L)), // dup key, bad status, low range
+      (None, Some("F"), 1e9, None)             // null key, high range, null FK ok
+    ).toDF("k", "status", "amount", "fk")
+    val dim = Seq(100L, 101L).toDF("id")
+    val got = DataChecks.audit(df, Seq(
+        DataChecks.NotNull("k_not_null", "k"),
+        DataChecks.Unique("k_unique", Seq("k")),
+        DataChecks.AcceptedValues("status_ok", "status", Seq("F", "O")),
+        DataChecks.InRange("amount_range", "amount", 0.0, 1000.0),
+        DataChecks.Predicate("amount_positive", col("amount") > 0),
+        DataChecks.ForeignKey("fk_ok", "fk", dim, "id")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      ("amount_positive", 1L, false),
+      ("amount_range", 2L, false),
+      ("fk_ok", 1L, false),
+      ("k_not_null", 1L, false),
+      ("k_unique", 1L, false),
+      ("status_ok", 1L, false)))
+  }
+
+  test("DataChecks.audit: clean table passes every check; empty table too") {
+    import spark.implicits._
+    val df = Seq((1L, "F"), (2L, "O")).toDF("k", "status")
+    val checks = Seq(
+      DataChecks.NotNull("k_not_null", "k"),
+      DataChecks.Unique("k_unique", Seq("k")),
+      DataChecks.AcceptedValues("status_ok", "status", Seq("F", "O")))
+    assert(DataChecks.audit(df, checks).where(!col("passed")).count() == 0)
+    val empty = df.where(col("k") < 0)
+    val onEmpty = DataChecks.audit(empty, checks).collect()
+    assert(onEmpty.length == 3 && onEmpty.forall(_.getBoolean(2)))
+  }
+
+  test("dailyCountAnomalies: hand-computed median/MAD flags") {
+    import spark.implicits._
+    // type A: 10,10,10,10,100 → med 10, MAD 0 → only the 100-day flags
+    // type B: 1,2,3,4,5 → med 3, MAD 1 → no |dev| > 2·1 (max dev is 2)
+    val rows =
+      (Seq.fill(10)((1, "A")) ++ Seq.fill(10)((2, "A")) ++
+       Seq.fill(10)((3, "A")) ++ Seq.fill(10)((4, "A")) ++
+       Seq.fill(100)((5, "A")) ++
+       (1 to 1).map(_ => (1, "B")) ++ (1 to 2).map(_ => (2, "B")) ++
+       (1 to 3).map(_ => (3, "B")) ++ (1 to 4).map(_ => (4, "B")) ++
+       (1 to 5).map(_ => (5, "B")))
+    val ev = rows.toDF("day", "event_type")
+    val got = EventOps.dailyCountAnomalies(ev, "event_type", col("day"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("A", 5L, 100L, 10L, 0L)))
+  }
+
+  test("pmiCollocations: the designed collocation ranks first") {
+    import spark.implicits._
+    // "aa bb" co-occurs 6 times and aa/bb never appear apart; filler
+    // tokens pair arbitrarily — the dependent pair must out-PMI them
+    val docs = (Seq.fill(6)("aa bb") ++
+      Seq("cc dd ee ff gg", "dd cc ff ee gg", "ee gg cc ff dd",
+        "ff ee gg dd cc", "gg ff dd cc ee", "cc ee dd gg ff"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "text", minCount = 5, k = 3)
+      .orderBy("rnk").collect()
+    assert(got.head.getString(0) == "aa bb")
+    assert(got.head.getLong(1) == 6L) // c12
+    assert(got.head.getLong(4) > 0L)  // pmi_micro strictly positive
+  }
+}
