@@ -765,4 +765,59 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** One (from, to) row per consecutive event pair of a user. */
+  final case class TransitionAdvance(user_id: Long, prev_type: String,
+      next_type: String, ts: Timestamp)
+
+  /** Watermark-ordered transition state: the last finalized event type
+    * plus the in-horizon buffer (top-level for the state encoder). */
+  final case class OrderedTypeState(lastType: String, pending: Seq[Event])
+
+  /** Live first-order transition feed — the streaming twin of
+    * [[graft.operators.EventOps.eventTransitions]] (q114): one
+    * TransitionAdvance row per consecutive event pair of a user, emitted
+    * once the watermark finalizes the pair's order. A downstream
+    * `groupBy(prev_type, next_type).count()` over the emitted rows equals
+    * the batch adjacency exactly under any disorder bounded by `delay`
+    * (the [[lastTouchAdvancesOrdered]] buffer-replay contract: rows
+    * finalize strictly below the watermark, replay in full
+    * (ts, nanos, event_id) event-time order, and EventTimeTimeout wakes
+    * quiet users).
+    *
+    * Scale shape: state per user = ONE type string + the in-horizon
+    * buffer (bounded by delay × per-user rate); emitted rows are the
+    * event stream's own cardinality minus one per user — the live feed a
+    * session-health monitor folds into its |types|² matrix at bounded
+    * memory. */
+  def transitionAdvancesOrdered(events: Dataset[Event],
+      delay: String = "10 minutes"): Dataset[TransitionAdvance] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[OrderedTypeState]): Iterator[TransitionAdvance] = {
+      val wm = state.getCurrentWatermarkMs()
+      val prev = state.getOption.getOrElse(OrderedTypeState(null, Nil))
+      val (ready, defer) = (prev.pending ++ rows)
+        .partition(_.ts.getTime < wm)
+      var last = prev.lastType
+      val out = List.newBuilder[TransitionAdvance]
+      ready.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
+        if (last != null)
+          out += TransitionAdvance(userId, last, e.event_type, e.ts)
+        last = e.event_type
+      }
+      state.update(OrderedTypeState(last,
+        defer.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))))
+      if (defer.nonEmpty)
+        state.setTimeoutTimestamp(defer.map(_.ts.getTime).min + 1)
+      out.result().iterator
+    }
+
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

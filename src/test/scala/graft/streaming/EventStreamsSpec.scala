@@ -628,4 +628,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(stream == Set(("click", 1L, 10.0), ("direct", 1L, 5.0),
       ("view", 2L, 8.0)))
   }
+
+  test("transitionAdvancesOrdered: adjacency counts match the batch matrix, " +
+      "late row slots in by event time") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val batch1 = Seq(
+      Event(1, ts(0), 1, "signup", 0), Event(2, ts(2), 1, "view", 0),
+      Event(3, ts(3), 1, "purchase", 0),
+      Event(4, ts(0), 2, "view", 0))
+    // u1's click arrives a batch LATE but event-time sits between signup
+    // and view — ordered replay must produce signup→click→view, never the
+    // arrival-order signup→view→…→click
+    val late = Event(5, ts(1), 1, "click", 0)
+    val batch2 = Seq(Event(6, ts(10), 2, "view", 0))
+    val flush = Event(7, ts(40), 3, "view", 0)
+    val in = MemoryStream[Event]
+    val q = EventStreams.transitionAdvancesOrdered(in.toDS(),
+        delay = "10 minutes").toDF()
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    in.addData(batch1: _*); q.processAllAvailable()
+    in.addData(late); in.addData(batch2: _*); q.processAllAvailable()
+    in.addData(flush); q.processAllAvailable(); q.processAllAvailable(); q.stop()
+    val stream = spark.table("transitions")
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batchTwin = graft.operators.EventOps.eventTransitions(
+        (batch1 ++ Seq(late) ++ batch2 ++ Seq(flush)).toDF(),
+        "user_id", Seq("ts", "event_id"), "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(stream == batchTwin, s"stream=$stream batch=$batchTwin")
+    assert(stream == Set(
+      ("signup", "click", 1L), ("click", "view", 1L),
+      ("view", "purchase", 1L), ("view", "view", 1L)))
+  }
 }
