@@ -3636,6 +3636,90 @@ object QueryCatalog {
         row_number() OVER (ORDER BY pmi_micro DESC, bigram) AS rnk
       FROM scored ORDER BY pmi_micro DESC, bigram LIMIT 50"""))
 
+  /** Conversion-latency percentiles per acquisition channel
+    * ([[graft.operators.EventOps.timeToConvert]] →
+    * [[graft.operators.ScaleOps.groupQuantiles]]): first-touch →
+    * first-conversion whole-second deltas, exact p50/p90/p99 via the
+    * bounded-histogram read-off — funnel velocity with no per-channel
+    * sort of user rows. */
+  private val q129 = QuerySpec(
+    "q129_time_to_convert",
+    (s, dir) => {
+      val d = graft.operators.EventOps.timeToConvert(
+        t(s, dir, "events"), "user_id", Seq("click", "view"), "purchase")
+      graft.operators.ScaleOps.groupQuantiles(
+          d, "channel", col("delta_sec"), Seq(500, 900, 990))
+        .orderBy("channel", "p_permille")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id,
+        event_type FROM events),
+      ft AS (SELECT user_id, ts AS t0, event_type AS channel FROM (
+        SELECT user_id, ts, event_id, event_type,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM e WHERE event_type IN ('click', 'view')) WHERE rn = 1),
+      fc AS (SELECT user_id, min(ts) AS t1 FROM e
+        WHERE event_type = 'purchase' GROUP BY 1),
+      d AS (SELECT channel, (t1 - t0) // 1000000000 AS v
+        FROM ft JOIN fc USING (user_id) WHERE t1 >= t0),
+      hist AS (SELECT channel, v, count(*) AS c FROM d GROUP BY 1, 2),
+      cum AS (SELECT channel, v, c,
+          sum(c) OVER (PARTITION BY channel ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          sum(c) OVER (PARTITION BY channel) AS n FROM hist),
+      q AS (
+        SELECT channel, CAST(500 AS BIGINT) AS p_permille, min(v) AS q
+        FROM cum WHERE cum >= (n * 500 + 999) // 1000 GROUP BY 1
+        UNION ALL
+        SELECT channel, CAST(900 AS BIGINT), min(v)
+        FROM cum WHERE cum >= (n * 900 + 999) // 1000 GROUP BY 1
+        UNION ALL
+        SELECT channel, CAST(990 AS BIGINT), min(v)
+        FROM cum WHERE cum >= (n * 990 + 999) // 1000 GROUP BY 1)
+      SELECT channel, p_permille, q FROM q ORDER BY channel, p_permille"""))
+
+  /** Exact triangle census of the co-purchase graph
+    * ([[graft.operators.Components.triangleCount]]): parts co-occurring in
+    * a high-quantity order are edges; the degree-ordered node-iterator
+    * counts every triangle once with O(√m)-bounded wedge fanout. The
+    * closed-wedge ratio (global clustering coefficient, integer micro) is
+    * the basket-affinity / dup-graph-collapse gauge. */
+  private val q130 = QuerySpec(
+    "q130_triangle_census",
+    (s, dir) => {
+      val items = t(s, dir, "lineitem").where(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items.as("i").join(items.as("j"),
+          col("i.o") === col("j.o") && col("i.p") < col("j.p"))
+        .select(col("i.p").as("a"), col("j.p").as("b"))
+      graft.operators.Components.triangleCount(pairs, "a", "b")
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_quantity >= 40),
+      canon AS (SELECT DISTINCT least(i.p, j.p) AS a, greatest(i.p, j.p) AS b
+        FROM items i JOIN items j ON i.o = j.o AND i.p < j.p),
+      deg AS (SELECT id, count(*) AS deg FROM
+        (SELECT a AS id FROM canon UNION ALL SELECT b FROM canon) GROUP BY 1),
+      o AS (SELECT
+          CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND c.a < c.b)
+            THEN c.a ELSE c.b END AS u,
+          CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND c.a < c.b)
+            THEN c.b ELSE c.a END AS v
+        FROM canon c JOIN deg da ON da.id = c.a JOIN deg db ON db.id = c.b),
+      wg AS (SELECT l.u, l.v, r.v AS w FROM o l
+        JOIN o r ON l.u = r.u AND l.v < r.v),
+      tri AS (SELECT count(*) AS n_triangles FROM wg
+        WHERE EXISTS (SELECT 1 FROM canon cc
+          WHERE cc.a = wg.v AND cc.b = wg.w)),
+      tot AS (SELECT (sum(deg) // 2) AS n_edges,
+          sum(deg * (deg - 1) // 2) AS n_wedges FROM deg)
+      SELECT CAST(tot.n_edges AS BIGINT) AS n_edges,
+        CAST(tot.n_wedges AS BIGINT) AS n_wedges, tri.n_triangles,
+        CASE WHEN tot.n_wedges > 0 THEN CAST(floor(
+          tri.n_triangles * 3000000.0 / tot.n_wedges + 0.5) AS BIGINT)
+        END AS closure_micro
+      FROM tot, tri"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -3650,5 +3734,5 @@ object QueryCatalog {
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128)
+    q122, q123, q124, q125, q126, q127, q128, q129, q130)
 }

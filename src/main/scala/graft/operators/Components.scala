@@ -261,4 +261,61 @@ object Components {
     }
     ranks
   }
+
+  /** Exact triangle count + global clustering coefficient over an
+    * undirected edge list — the dup-graph / co-occurrence-graph quality
+    * gauge: a near-dup edge set whose triangle density suddenly jumps is
+    * collapsing into mega-clusters (boilerplate storm); a co-purchase
+    * graph's closed-wedge ratio is the basket-affinity signal.
+    *
+    * Algorithm: the degree-ordered node-iterator. Edges canonicalize
+    * (a<b, dedup, self-loops dropped), then each edge ORIENTS from its
+    * lower-(degree, id) endpoint to the higher — every node's out-degree
+    * is then O(√m) regardless of raw skew (a hub of degree d keeps only
+    * neighbors of degree ≥ d), so the wedge self-join is Σ outdeg² ≤
+    * m^1.5 instead of Σ deg² (quadratic in the hub degree). Wedges close
+    * against the oriented edge set with one more equi-join. Three
+    * shuffles total (degree agg, wedge join, closing join); every
+    * triangle is counted exactly once because orientation is acyclic.
+    * Returns one row: (n_edges, n_wedges, n_triangles,
+    * closure_micro = ⌊3·triangles·1e6 / open-wedge-count + 0.5⌋ over
+    * UNDIRECTED wedges Σ C(deg,2), the standard global clustering
+    * coefficient, NULL when wedge-free). */
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = graft.core.CacheScope.persist(edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct())
+    val deg = canon.select(col("a").as("id"))
+      .unionAll(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) → high-(deg, id); (deg, id) is a total order
+    val oriented = graft.core.CacheScope.persist(canon
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("v")))
+    // wedges at u: unordered out-neighbor pairs (v < w); close on (v, w)
+    val l = oriented.select(col("u"), col("v"))
+    val r = oriented.select(col("u"), col("v").as("w"))
+    val wedges = l.join(r, "u").where(col("v") < col("w"))
+    // the closing edge of an id-ordered wedge (v < w) is exactly a
+    // canonical (a, b) row — no re-canonicalization of `oriented` needed
+    val closing = canon.select(col("a").as("v"), col("b").as("w"))
+    val nTri = wedges.join(closing, Seq("v", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val openWedges = deg.agg( // undirected wedge count Σ C(deg, 2)
+      coalesce(sum(col("deg") * (col("deg") - 1) / 2), lit(0.0))
+        .cast("long").as("n_wedges"), // coalesce: edgeless graph → 0, not NULL
+      coalesce(sum(col("deg")) / 2, lit(0.0)).cast("long").as("n_edges"))
+    openWedges.crossJoin(nTri) // two 1-row frames
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          floor(col("n_triangles") * lit(3000000.0) / col("n_wedges") + 0.5)
+            .cast("long")).as("closure_micro"))
+  }
 }

@@ -230,6 +230,41 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-user conversion latency, attributed to the FIRST touch: one row
+    * per user who touched (any of `touchTypes`) and later converted
+    * (`convType`), carrying the first touch's channel and the whole-second
+    * delta from first touch to first conversion. The funnel-velocity
+    * complement of the attribution family (q119/q122 say WHO gets credit;
+    * this says HOW LONG conversion takes per acquisition channel) — feed
+    * the output to [[ScaleOps.groupQuantiles]] for per-channel latency
+    * percentiles without any per-channel sort.
+    *
+    * Scale shape: two user-keyed aggregates over disjoint row subsets
+    * (touches, conversions) + one user-grain join — nothing wider than a
+    * (user, ts, channel) triple shuffles, and the first-touch argmin rides
+    * `min(struct(ts, event_id, type))`'s map-side partial aggregate
+    * instead of a row_number window over the touch stream. `tsCol` must
+    * be epoch-nanos (the engine convention); deltas floor to whole
+    * seconds, so the output is integer-exact. */
+  def timeToConvert(events: DataFrame, keyCol: String,
+      touchTypes: Seq[String], convType: String): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      "the conversion type cannot also be a touch type")
+    val firstTouch = events.where(col("event_type").isin(touchTypes: _*))
+      .groupBy(col(keyCol))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("ft"))
+      .select(col(keyCol), col("ft.ts").as("t0"),
+        col("ft.event_type").as("channel"))
+    val firstConv = events.where(col("event_type") === convType)
+      .groupBy(col(keyCol)).agg(min(col("ts")).as("t1"))
+    firstTouch.join(firstConv, keyCol)
+      .where(col("t1") >= col("t0"))
+      .select(col(keyCol), col("channel"),
+        expr("(t1 - t0) div 1000000000").as("delta_sec"))
+  }
+
   /** Robust time-series anomaly flags on daily event volume: per
     * `typeCol`, a day is anomalous when its count deviates from the type's
     * median daily count by more than `k` × the median absolute deviation

@@ -175,6 +175,50 @@ class IncrementalSpec extends SparkSpec {
     assert(got.toSeq == Seq(("A", 5L, 100L, 10L, 0L)))
   }
 
+  test("timeToConvert: first-touch channel and whole-second delta, " +
+      "non-converters and pre-touch converters excluded") {
+    import spark.implicits._
+    val G = 1000000000L // nanos per second
+    val ev = Seq(
+      (1L, 10 * G, 1L, "click", 0.0), (2L, 12 * G, 1L, "view", 0.0),
+      (3L, 50 * G, 1L, "purchase", 9.0),       // u1: click first, Δ40s
+      (4L, 20 * G, 2L, "view", 0.0),           // u2: never converts
+      (5L, 15 * G, 3L, "purchase", 1.0),       // u3: converts BEFORE the
+      (6L, 20 * G, 3L, "view", 0.0),           //     first touch → excluded
+      (7L, 30 * G, 4L, "purchase", 2.0)        // u4: no touch at all
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.timeToConvert(ev, "user_id", Seq("click", "view"),
+        "purchase")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "click", 40L)))
+  }
+
+  test("triangleCount: K4 + path, with duplicate/reversed/self-loop noise") {
+    import spark.implicits._
+    val k4 = for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong)
+    val noise = Seq((2L, 1L), (3L, 1L), (5L, 5L)) // reversed dups + self-loop
+    val path = Seq((5L, 6L), (6L, 7L))
+    val edges = (k4 ++ noise ++ path).toDF("a", "b")
+    val r = Components.triangleCount(edges, "a", "b").collect().head
+    // K4: 6 edges, 4 triangles, Σ C(3,2)=12 wedges; path adds 2 edges,
+    // 1 wedge, 0 triangles → closure = floor(3·4·1e6/13 + 0.5)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (8L, 13L, 4L, 923077L))
+  }
+
+  test("triangleCount: triangle-free bipartite graph counts zero; " +
+      "edgeless input yields NULL closure") {
+    import spark.implicits._
+    val bip = (for (a <- 1 to 3; b <- 4 to 6) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val r = Components.triangleCount(bip, "a", "b").collect().head
+    assert(r.getLong(2) == 0L && !r.isNullAt(3)) // wedges exist, closure 0
+    assert(r.getLong(3) == 0L)
+    val empty = Seq((1L, 1L)).toDF("a", "b") // only a self-loop → no edges
+    val e = Components.triangleCount(empty, "a", "b").collect().head
+    assert(e.getLong(0) == 0L && e.isNullAt(3))
+  }
+
   test("pmiCollocations: the designed collocation ranks first") {
     import spark.implicits._
     // "aa bb" co-occurs 6 times and aa/bb never appear apart; filler
