@@ -3720,6 +3720,85 @@ object QueryCatalog {
         END AS closure_micro
       FROM tot, tri"""))
 
+  /** 3-core of the co-purchase graph
+    * ([[graft.operators.Components.kCore]]): synchronous degree peeling,
+    * defined as exactly 6 peel rounds so the oracle can unroll them — the
+    * Spark side early-exits at the fixpoint, which is value-identical
+    * because survivor sets shrink monotonically. Dense-core membership is
+    * the dup-graph collapse gauge (template storms survive peeling). */
+  private val q131 = QuerySpec(
+    "q131_kcore",
+    (s, dir) => {
+      val items = t(s, dir, "lineitem").where(col("l_quantity") >= 35)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items.as("i").join(items.as("j"),
+          col("i.o") === col("j.o") && col("i.p") < col("j.p"))
+        .select(col("i.p").as("a"), col("j.p").as("b"))
+      graft.operators.Components.kCore(pairs, "a", "b", k = 3, rounds = 6)
+        .orderBy("id")
+    },
+    Some("""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_quantity >= 35),
+      e0 AS MATERIALIZED (SELECT DISTINCT least(i.p, j.p) AS a, greatest(i.p, j.p) AS b
+        FROM items i JOIN items j ON i.o = j.o AND i.p < j.p),
+      s1 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0)
+        GROUP BY 1 HAVING count(*) >= 3),
+      e1 AS MATERIALIZED (SELECT a, b FROM e0 WHERE a IN (SELECT id FROM s1)
+        AND b IN (SELECT id FROM s1)),
+      s2 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1)
+        GROUP BY 1 HAVING count(*) >= 3),
+      e2 AS MATERIALIZED (SELECT a, b FROM e1 WHERE a IN (SELECT id FROM s2)
+        AND b IN (SELECT id FROM s2)),
+      s3 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2)
+        GROUP BY 1 HAVING count(*) >= 3),
+      e3 AS MATERIALIZED (SELECT a, b FROM e2 WHERE a IN (SELECT id FROM s3)
+        AND b IN (SELECT id FROM s3)),
+      s4 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3)
+        GROUP BY 1 HAVING count(*) >= 3),
+      e4 AS MATERIALIZED (SELECT a, b FROM e3 WHERE a IN (SELECT id FROM s4)
+        AND b IN (SELECT id FROM s4)),
+      s5 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e4 UNION ALL SELECT b FROM e4)
+        GROUP BY 1 HAVING count(*) >= 3),
+      e5 AS MATERIALIZED (SELECT a, b FROM e4 WHERE a IN (SELECT id FROM s5)
+        AND b IN (SELECT id FROM s5)),
+      s6 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM e5 UNION ALL SELECT b FROM e5)
+        GROUP BY 1 HAVING count(*) >= 3),
+      e6 AS MATERIALIZED (SELECT a, b FROM e5 WHERE a IN (SELECT id FROM s6)
+        AND b IN (SELECT id FROM s6))
+      SELECT CAST(id AS BIGINT) AS id, count(*) AS deg FROM
+        (SELECT a AS id FROM e6 UNION ALL SELECT b FROM e6)
+      GROUP BY 1 HAVING count(*) >= 3 ORDER BY id"""))
+
+  /** Top-25 within-session event-type trigrams
+    * ([[graft.operators.EventOps.sessionTrigrams]]): gap-based sessions
+    * (q30's ≥-30-min convention), three-step journeys counted in one
+    * user-keyed exchange — the lag/sum/lead windows all share one window
+    * spec, and look-aheads carry the session id so no (user, session)
+    * re-shuffle exists. Count space is bounded |event types|³. */
+  private val q132 = QuerySpec(
+    "q132_session_trigrams",
+    (s, dir) => graft.operators.EventOps.sessionTrigrams(
+        t(s, dir, "events"), "user_id", gapSec = 1800, topK = 25)
+      .orderBy("rnk"),
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id,
+        event_type FROM events),
+      marked AS (SELECT user_id, ts, event_id, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+            OR ts - lag(ts) OVER w >= 1800000000000 THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      grp AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM marked),
+      tri AS (SELECT event_type, sid,
+          lead(event_type, 1) OVER w2 AS t1, lead(event_type, 2) OVER w2 AS t2,
+          lead(sid, 1) OVER w2 AS s1, lead(sid, 2) OVER w2 AS s2
+        FROM grp WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      c AS (SELECT event_type || ' ' || t1 || ' ' || t2 AS trigram,
+          count(*) AS n FROM tri WHERE s1 = sid AND s2 = sid GROUP BY 1),
+      ranked AS (SELECT trigram, n,
+          row_number() OVER (ORDER BY n DESC, trigram) AS rnk FROM c)
+      SELECT trigram, n, rnk FROM ranked WHERE rnk <= 25 ORDER BY rnk"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -3734,5 +3813,5 @@ object QueryCatalog {
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128, q129, q130)
+    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
 }

@@ -281,6 +281,68 @@ object Components {
     * closure_micro = ⌊3·triangles·1e6 / open-wedge-count + 0.5⌋ over
     * UNDIRECTED wedges Σ C(deg,2), the standard global clustering
     * coefficient, NULL when wedge-free). */
+  /** k-core membership by synchronous peeling: repeatedly drop nodes whose
+    * degree in the surviving subgraph is below `k` (and their edges) until
+    * fixpoint or `rounds` peels, then return the surviving `(id, deg)` rows
+    * with `deg` computed over the final edge set. The k-core is the
+    * standard density gauge for dup/co-occurrence graphs: a near-dup edge
+    * set whose 3-core suddenly swells is collapsing into template storms,
+    * and "docs in a dense core" is itself a curation signal (boilerplate
+    * families survive peeling; one-off pairs do not).
+    *
+    * Defined semantics are exactly `rounds` peel iterations — NOT
+    * "converge, whatever it takes" — so an unrolled SQL twin is
+    * value-identical at every scale. The early exit below is a pure
+    * optimization: survivor sets shrink monotonically (edges only leave,
+    * degrees only fall), so an unchanged survivor COUNT means an unchanged
+    * SET, and every further peel is a no-op; stopping early returns the
+    * same frame the full `rounds` unrolling would.
+    *
+    * Scale shape per round: one degree aggregate (node-id exchange over
+    * surviving edges) + two semi-joins of edges against the survivor set —
+    * all hash exchanges on node id, no all-pairs anywhere, O(m) bytes per
+    * round with m shrinking monotonically. Each round's edge set is
+    * materialized through [[checkpointed]] and the superseded round
+    * released, same as the components loop: an 8-round lineage otherwise
+    * replans the whole history every iteration. */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int = 6): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(rounds >= 1, "rounds >= 1")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    var (e, ids) = checkpointed(edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct())
+    var survivors = -1L
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      val keep = degrees(e).where(col("deg") >= k).select("id")
+      val n = keep.count()
+      if (n == survivors) converged = true
+      else {
+        survivors = n
+        val (e2, ids2) = checkpointed(
+          e.join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi"))
+        release(e, ids); e = e2; ids = ids2
+      }
+      round += 1
+    }
+    // Final degree filter over the last peeled edge set (≥ k already holds
+    // at fixpoint; the filter matters only when `rounds` capped the peel).
+    // The result is backed by the loop's pinned blocks — hand their release
+    // to the session owner, same as connectedComponents: drain runs after
+    // the query's action, and a late read recomputes from shuffle files.
+    val (finalE, finalIds) = (e, ids)
+    graft.core.CacheScope.onDrain(() => release(finalE, finalIds))
+    degrees(finalE).where(col("deg") >= k)
+  }
+
   def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val canon = graft.core.CacheScope.persist(edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),

@@ -315,4 +315,49 @@ object EventOps {
       .select(col("etype"), col("day"), col("n"), col("med"), col("mad"),
         col("abs_dev"))
   }
+
+  /** Top-k within-session event-type trigrams — behavioral sequence mining:
+    * which three-step journeys dominate (view→click→purchase vs
+    * view→view→view), the input to journey clustering, bot-pattern
+    * screens, and next-event models. Sessions are gap-based with q30's
+    * convention (a new session starts when the gap is ≥ `gapSec`); a
+    * trigram never crosses a session boundary.
+    *
+    * Physical shape: ONE entity-keyed exchange total. The session marker
+    * (lag), the running session-id sum, and the two look-aheads of
+    * (event_type, session_id) are all windows over the SAME
+    * `partitionBy(key) orderBy(ts, event_id)` spec, so Catalyst collapses
+    * them into a single sort within a single exchange — no
+    * `partitionBy(key, session)` re-shuffle (the look-ahead's session ids
+    * are compared in a filter instead, which is equivalent and free). The
+    * trigram count then partial-aggregates map-side into the bounded
+    * |event types|³ space, and top-k is an orderBy+limit (TakeOrdered) on
+    * that tiny frame, never a global sort of data rows. */
+  def sessionTrigrams(events: DataFrame, keyCol: String,
+      gapSec: Long = 1800, topK: Int = 25): DataFrame = {
+    require(gapSec >= 1 && topK >= 1, "gapSec >= 1, topK >= 1")
+    val gapNanos = gapSec * 1000000000L
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // lag == null (first event) → the comparison is null → otherwise(1)
+    val marked = events
+      .select(col(keyCol), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(col("ts") - lag(col("ts"), 1).over(w) < gapNanos, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("sid", sum(col("new_s")).over(run))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .withColumn("s1", lead(col("sid"), 1).over(w))
+      .withColumn("s2", lead(col("sid"), 2).over(w))
+    marked
+      .where(col("s1") === col("sid") && col("s2") === col("sid"))
+      .select(concat_ws(" ", col("event_type"), col("t1"), col("t2"))
+        .as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram"))
+      .limit(topK)
+      .withColumn("rnk", row_number().over(Window.partitionBy(lit(0))
+        .orderBy(col("n").desc, col("trigram"))).cast("long"))
+  }
 }

@@ -348,7 +348,15 @@ class PlanAuditSpec extends SparkSpec {
       "q118_psi_drift",      // grand-total window over the |groups|·|bins|
                              //   grid (constant partition key by design)
       "q120_psi_lang",       // same bounded grid, categorical bins
-      "q121_psi_vs_reference" // same bounded grid vs the reference histogram
+      "q121_psi_vs_reference", // same bounded grid vs the reference histogram
+      "q123_quality_checks", // per-table expectation totals: ONE aggregate
+                             //   row per table funnels, never data rows
+      "q128_pmi_collocations", // (tot_b, tot_n) 1-row corpus totals + the
+                             //   final TakeOrdered(k) rank window
+      "q130_triangle_census", // (n_edges, n_wedges) and n_triangles 1-row
+                             //   aggregates stitched by a scalar crossJoin
+      "q132_session_trigrams" // rank over the ≤|types|³ count frame after
+                             //   the TakeOrdered(k) cut
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")

@@ -158,4 +158,59 @@ class ComponentsSpec extends SparkSpec {
       .head().getString(1)
     assert(byId(12L) == plain)
   }
+
+  test("kCore: clique survives, tails and cycles peel by k") {
+    // K4 {1,2,3,4} (deg 3 each) + tail 4-5-6 + C4 cycle {10..13} (deg 2)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L)).toDF("a", "b")
+    val core3 = Components.kCore(edges, "a", "b", k = 3)
+      .as[(Long, Long)].collect().toMap
+    // only the clique survives k=3, each at its internal degree 3 (the
+    // tail edge 4-5 is gone, so node 4's degree drops back to 3)
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val core2 = Components.kCore(edges, "a", "b", k = 2)
+      .as[(Long, Long)].collect().toMap
+    // k=2 keeps the clique AND the cycle; the tail (deg 1 endpoints
+    // cascade) still peels — node 4 keeps deg 3, cycle nodes deg 2
+    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 2L, 11L -> 2L, 12L -> 2L, 13L -> 2L))
+  }
+
+  test("kCore: a path cascades to empty over multiple peel rounds") {
+    // path 1-2-3-4-5 for k=2: endpoints peel, new endpoints peel, empty —
+    // a 3-round cascade, so this exercises the loop, not just one filter
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assert(Components.kCore(path, "a", "b", k = 2).count() == 0L)
+  }
+
+  test("kCore matches a driver-side peel on a random-ish graph, " +
+      "including noise canonicalization") {
+    // deterministic pseudo-random multigraph with dup/reversed/self edges
+    val raw = (0 until 150).map { i =>
+      val a = (i * 53 + 7) % 40
+      val b = (i * 29 + 13) % 40
+      (a.toLong, b.toLong)
+    }
+    val got = Components.kCore(raw.toDF("a", "b"), "a", "b", k = 3)
+      .as[(Long, Long)].collect().toMap
+    // reference peel: same canonicalization, loop to fixpoint (the spec's
+    // graphs converge well inside the operator's 6-round cap)
+    var es = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    var changed = true
+    while (changed) {
+      val deg = es.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val next = es.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next.size != es.size
+      es = next
+    }
+    val want = es.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      .filter(_._2 >= 3)
+    assert(got == want)
+  }
 }

@@ -138,4 +138,40 @@ class EventOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       ("click", 2L, 17.0), ("direct", 1L, 5.0), ("view", 1L, 1.0)))
   }
+
+  test("sessionTrigrams: counts within sessions, never across the gap") {
+    import spark.implicits._
+    val m = 60L * 1000000000L // one minute in nanos
+    // u1 session A: v c v c → trigrams (v c v), (c v c); 31-min gap;
+    // session B: v c p → (v c p). u2: only two events — no trigram.
+    val ev = Seq(
+      (1L, 0 * m, 1L, "v"), (1L, 1 * m, 2L, "c"), (1L, 2 * m, 3L, "v"),
+      (1L, 3 * m, 4L, "c"),
+      (1L, 34 * m, 5L, "v"), (1L, 35 * m, 6L, "c"), (1L, 36 * m, 7L, "p"),
+      (2L, 0 * m, 8L, "v"), (2L, 1 * m, 9L, "c")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.sessionTrigrams(ev, "user_id", gapSec = 1800, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("c v c", 1L, 1L), ("v c p", 1L, 2L), ("v c v", 1L, 3L)))
+  }
+
+  test("sessionTrigrams: exactly-30-min gap starts a new session (q30 convention)") {
+    import spark.implicits._
+    val m = 60L * 1000000000L
+    val ev = Seq(
+      (1L, 0 * m, 1L, "a"), (1L, 1 * m, 2L, "b"), (1L, 31 * m, 3L, "c")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    // the third event is exactly 30 min after the second → new session →
+    // the only candidate trigram straddles the boundary and must not count
+    assert(EventOps.sessionTrigrams(ev, "user_id", gapSec = 1800, topK = 10)
+      .count() == 0L)
+    // one second inside the gap keeps the session together
+    val ev2 = Seq(
+      (1L, 0 * m, 1L, "a"), (1L, 1 * m, 2L, "b"),
+      (1L, 31 * m - 1000000000L, 3L, "c")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.sessionTrigrams(ev2, "user_id", gapSec = 1800, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a b c", 1L)))
+  }
 }
