@@ -3799,6 +3799,124 @@ object QueryCatalog {
           row_number() OVER (ORDER BY n DESC, trigram) AS rnk FROM c)
       SELECT trigram, n, rnk FROM ranked WHERE rnk <= 25 ORDER BY rnk"""))
 
+  /** Exponentially-decayed activity score
+    * ([[graft.operators.EventOps.decayScore]]): per-user halving-weighted
+    * sum of the trailing-24 event values at each user's latest event. α=1/2
+    * over a bounded window makes every weight a power of two, so the score
+    * is ONE exact long in both engines — no float decay products. */
+  private val q133 = QuerySpec(
+    "q133_decay_score",
+    (s, dir) => graft.operators.EventOps.decayScore(
+        t(s, dir, "events"), "user_id", Seq("ts", "event_id"), "value",
+        window = 24)
+      .orderBy("user_id"),
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, value
+        FROM events),
+      r AS (SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+      s AS (SELECT user_id, count(*) AS n_recent,
+          CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+            * (CAST(1 AS BIGINT) << (24 - rn))) AS BIGINT) AS units
+        FROM r WHERE rn <= 24 GROUP BY 1)
+      SELECT user_id, n_recent,
+        CAST((units + 41943040000) // 83886080000 AS DOUBLE) / 100.0
+          AS decay_value
+      FROM s ORDER BY user_id"""))
+
+  /** Position-based (U-shaped 40/20/40) attribution
+    * ([[graft.operators.EventOps.positionAttribution]]): first-seen and
+    * last-seen channels take 40% each, distinct middles split 20%; the
+    * no-middle fold-back makes 2-channel journeys 50/50 and single-channel
+    * 100%. Same window-frame no-join-back shape as q119/q122; the oracle
+    * necessarily joins conversions to prior touches. Weights hardcoded for
+    * lcm(1..3)=6: 40%→12, both-ends→24, fold-backs +3/+6, middles 6/m,
+    * direct 30, all in micro·30 units. */
+  private val q134 = QuerySpec(
+    "q134_position_attribution",
+    (s, dir) => graft.operators.EventOps.positionAttribution(
+        t(s, dir, "events"), "user_id", Seq("ts", "event_id"),
+        "event_type", "value", Seq("click", "view", "signup"), "purchase")
+      .orderBy("channel"),
+    Some("""WITH conv AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, value
+        FROM events WHERE event_type = 'purchase'),
+      tch AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type
+        FROM events WHERE event_type IN ('click', 'view', 'signup')),
+      pri AS (SELECT c.user_id, c.event_id AS conv_id, c.value,
+          t.event_type AS channel, t.ts, t.event_id AS tid
+        FROM conv c JOIN tch t ON t.user_id = c.user_id
+          AND (t.ts, t.event_id) < (c.ts, c.event_id)),
+      ranked AS (SELECT conv_id, value, channel,
+          row_number() OVER (PARTITION BY conv_id ORDER BY ts, tid) AS rn_a,
+          row_number() OVER (PARTITION BY conv_id
+            ORDER BY ts DESC, tid DESC) AS rn_d
+        FROM pri),
+      fl AS (SELECT conv_id,
+          max(CASE WHEN rn_a = 1 THEN channel END) AS f,
+          max(CASE WHEN rn_d = 1 THEN channel END) AS l
+        FROM ranked GROUP BY 1),
+      chs AS (SELECT DISTINCT conv_id, value, channel FROM pri),
+      sized AS (SELECT s.conv_id, s.value, s.channel, fl.f, fl.l,
+          sum(CASE WHEN s.channel <> fl.f AND s.channel <> fl.l
+            THEN 1 ELSE 0 END) OVER (PARTITION BY s.conv_id) AS m
+        FROM chs s JOIN fl ON fl.conv_id = s.conv_id),
+      credit AS (SELECT channel, value,
+          CASE WHEN channel = f AND channel = l
+                 THEN 24 + CASE WHEN m = 0 THEN 6 ELSE 0 END
+               WHEN channel = f OR channel = l
+                 THEN 12 + CASE WHEN m = 0 THEN 3 ELSE 0 END
+               ELSE 6 // m END AS wgt
+        FROM sized
+        UNION ALL
+        SELECT 'direct', c.value, 30 FROM conv c
+        WHERE NOT EXISTS (SELECT 1 FROM tch t WHERE t.user_id = c.user_id
+          AND (t.ts, t.event_id) < (c.ts, c.event_id)))
+      SELECT channel, count(*) AS n_conversions,
+        CAST(floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+            * wgt) + 150000 AS DOUBLE) / 300000.0) AS DOUBLE) / 100.0
+          AS attributed_value
+      FROM credit GROUP BY 1 ORDER BY 1"""))
+
+  /** Common-neighbor link prediction over the q130 co-purchase graph
+    * ([[graft.operators.Components.linkPrediction]]): top-50 non-adjacent
+    * part pairs by shared-neighbor count, with true degrees (Jaccard
+    * numerator/denominator as exact integers). Wedge centers above the
+    * degree cap generate no candidates — the hub cull both engines apply
+    * identically. */
+  private val q135 = QuerySpec(
+    "q135_link_prediction",
+    (s, dir) => {
+      val items = t(s, dir, "lineitem").where(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items.as("i").join(items.as("j"),
+          col("i.o") === col("j.o") && col("i.p") < col("j.p"))
+        .select(col("i.p").as("a"), col("j.p").as("b"))
+      graft.operators.Components.linkPrediction(pairs, "a", "b",
+          topK = 50, maxCenterDegree = 1024)
+        .orderBy("rnk")
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_quantity >= 40),
+      canon AS (SELECT DISTINCT least(i.p, j.p) AS a, greatest(i.p, j.p) AS b
+        FROM items i JOIN items j ON i.o = j.o AND i.p < j.p),
+      adj AS (SELECT a AS z, b AS x FROM canon
+        UNION ALL SELECT b, a FROM canon),
+      deg AS (SELECT z AS id, count(*) AS deg FROM adj GROUP BY 1),
+      culled AS (SELECT z, x FROM adj
+        WHERE z IN (SELECT id FROM deg WHERE deg <= 1024)),
+      cand AS (SELECT i.x AS u, j.x AS v, count(*) AS cn
+        FROM culled i JOIN culled j ON i.z = j.z AND i.x < j.x
+        GROUP BY 1, 2),
+      open AS (SELECT * FROM cand WHERE NOT EXISTS
+        (SELECT 1 FROM canon WHERE canon.a = cand.u AND canon.b = cand.v)),
+      ranked AS (SELECT u, v, cn, du.deg AS deg_u, dv.deg AS deg_v,
+          row_number() OVER (ORDER BY cn DESC, u, v) AS rnk
+        FROM open JOIN deg du ON du.id = open.u
+          JOIN deg dv ON dv.id = open.v)
+      SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, cn,
+        deg_u, deg_v, rnk
+      FROM ranked WHERE rnk <= 50 ORDER BY rnk"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -3813,5 +3931,6 @@ object QueryCatalog {
     q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97,
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
+    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
+    q133, q134, q135)
 }

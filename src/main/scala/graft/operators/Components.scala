@@ -343,6 +343,57 @@ object Components {
     degrees(finalE).where(col("deg") >= k)
   }
 
+  /** Common-neighbor link prediction: for every non-adjacent node pair
+    * (u < v) sharing at least one neighbor, the number of shared neighbors
+    * plus both true degrees — the classic "people you may know" /
+    * missing-edge score (cn, and Jaccard = cn/(deg_u+deg_v-cn) derivable
+    * from the integer outputs). Top `topK` pairs by (cn desc, u, v).
+    *
+    * Scale shape: candidates come from a wedge join on the CENTER node —
+    * each center z of degree d contributes C(d, 2) pairs, so hub centers
+    * are quadratic. `maxCenterDegree` culls them deterministically: centers
+    * with deg > cap generate no candidates (their wedge contribution is
+    * dropped, a documented bounded under-count on hub-heavy graphs; exact
+    * whenever no node exceeds the cap — mirror of the near-dup paths'
+    * maxBucketSize). Degrees reported are TRUE degrees, cull-independent.
+    * Everything else is node-id hash exchanges; the adjacency never
+    * replicates beyond the 2m directed rows. */
+  def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
+      topK: Int = 50, maxCenterDegree: Int = 1024): DataFrame = {
+    require(topK >= 1 && maxCenterDegree >= 2, "topK >= 1, cap >= 2")
+    val canon = graft.core.CacheScope.persist(edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct())
+    val adj = canon.select(col("a").as("z"), col("b").as("x"))
+      .unionAll(canon.select(col("b").as("z"), col("a").as("x")))
+    val deg = graft.core.CacheScope.persist(
+      adj.groupBy(col("z").as("id")).agg(count(lit(1)).as("deg")))
+    // wedge join on low-degree centers only
+    val okCenters = deg.where(col("deg") <= maxCenterDegree)
+      .select(col("id").as("z"))
+    val culled = adj.join(okCenters, Seq("z"), "left_semi")
+    val cand = culled.as("i").join(culled.as("j"),
+        col("i.z") === col("j.z") && col("i.x") < col("j.x"))
+      .groupBy(col("i.x").as("u"), col("j.x").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    // candidate (u, v) with u < v is already canonical → direct anti-join
+    val open = cand.join(
+      canon.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"),
+      "left_anti")
+    open
+      .join(deg.select(col("id").as("u"), col("deg").as("deg_u")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("deg_v")), "v")
+      .orderBy(col("cn").desc, col("u"), col("v"))
+      .limit(topK)
+      .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0))
+          .orderBy(col("cn").desc, col("u"), col("v"))).cast("long")
+          .as("rnk"))
+  }
+
   def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val canon = graft.core.CacheScope.persist(edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),

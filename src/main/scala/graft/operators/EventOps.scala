@@ -333,6 +333,106 @@ object EventOps {
     * trigram count then partial-aggregates map-side into the bounded
     * |event types|³ space, and top-k is an orderBy+limit (TakeOrdered) on
     * that tiny frame, never a global sort of data rows. */
+  /** Position-based ("U-shaped") multi-touch attribution — the third model
+    * next to [[lastTouchAttribution]] and [[linearAttribution]]: 40% of each
+    * conversion's value to the FIRST-seen channel, 40% to the LAST-seen
+    * channel, 20% split equally across the remaining distinct channels.
+    * Channel-grain: F = channel of the earliest prior touch event, L =
+    * channel of the latest, M = distinct prior channels \ {F, L}. A channel
+    * that is both first and last stacks both 40s; when M is empty the 20%
+    * pot folds back into F/L (10% each — so a two-channel journey is 50/50
+    * and a one-channel journey is 100%); no prior touch → "direct".
+    *
+    * Physical shape: identical to [[linearAttribution]] — one entity-key
+    * exchange, three window columns over the same ROWS frame (first/last
+    * ignoreNulls + the bounded collect_set), explode on conversion rows
+    * only, final |channels|+1-row aggregate. No join back to touches.
+    *
+    * Money math: all shares are exact longs in units of micro·5·lcm —
+    * 40% = 2·lcm, the M split = lcm/|M| (|M| ≤ |touchTypes| divides the
+    * lcm), the fold-back halves need lcm even (true whenever a 2-channel
+    * journey can exist) — summed fold-order-free and reduced to cents in
+    * integer space, exactly the [[linearAttribution]] discipline. */
+  def positionAttribution(events: DataFrame, keyCol: String,
+      orderCols: Seq[String], typeCol: String, valueCol: String,
+      touchTypes: Seq[String], convType: String): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must pin a deterministic order")
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      "the conversion type cannot also be a touch type")
+    val lc = splitLcm(touchTypes.size) // even whenever touchTypes.size >= 2
+    val S = 5 * lc                     // one conversion's total credit units
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(
+      col(typeCol).isin(touchTypes.map(x => x: Any): _*), col(typeCol))
+    events
+      .withColumn("f_ch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("l_ch", last(touch, ignoreNulls = true).over(w))
+      .withColumn("chs", collect_set(touch).over(w))
+      .where(col(typeCol) === convType)
+      .withColumn("chs",
+        when(size(col("chs")) === 0, array(lit("direct")))
+          .otherwise(col("chs")))
+      .withColumn("n_mid",
+        size(array_except(col("chs"), array(col("f_ch"), col("l_ch")))))
+      .select(col(valueCol), col("f_ch"), col("l_ch"), col("n_mid"),
+        explode(col("chs")).as("channel"))
+      .withColumn("wgt",
+        when(col("f_ch").isNull, lit(S.toLong)) // no touches → direct, 100%
+          .when(col("channel") === col("f_ch") &&
+              col("channel") === col("l_ch"),
+            lit(4L * lc) + when(col("n_mid") === 0, lit(lc.toLong))
+              .otherwise(lit(0L)))
+          .when(col("channel") === col("f_ch") ||
+              col("channel") === col("l_ch"),
+            lit(2L * lc) + when(col("n_mid") === 0, lit(lc / 2))
+              .otherwise(lit(0L)))
+          .otherwise((lit(lc.toLong) / col("n_mid")).cast("long")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        (floor((sum(floor(col(valueCol) * 1e6 + 0.5).cast("long") *
+              col("wgt")) + lit(S * 5000L)).cast("double") /
+          (S * 10000.0)).cast("double") / 100.0).as("attributed_value"))
+  }
+
+  /** Per-entity exponentially-decayed activity score (α = 1/2, trailing
+    * `window` events): at each entity's LATEST event, the halving-weighted
+    * sum of its last `window` event values — weight 2^(window-1) for the
+    * newest, halving per step back. The recency-weighted engagement gauge
+    * (session scoring, churn features, freshness-weighted sampling keys).
+    *
+    * α = 1/2 over a bounded trailing window is the exactness trick: every
+    * weight is a power of two, so score = Σ value_micros · 2^(window-rank)
+    * is a single exact long both engines compute identically — no float
+    * decay products, no fold-order sensitivity. Reduced to cents by integer
+    * division (half-denominator added first = round-half-up).
+    *
+    * Physical shape: one entity-key exchange, a row_number window DESC, a
+    * rank filter, one aggregate — the rank cut means only `window` rows per
+    * entity survive into partial aggregation. Overflow bound (documented,
+    * not just assumed): window ≤ 24 keeps Σ ≤ maxValue·1e6·2^24·24, safe
+    * to |value| ≈ 2.3e4 — far above the catalog's value domain. */
+  def decayScore(events: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, window: Int = 24): DataFrame = {
+    require(window >= 1 && window <= 24, "window in [1, 24] (overflow bound)")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    val denom = (1L << (window - 1)) * 10000L // units per cent
+    events
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= window)
+      // weight 2^(window - rn): rn = 1 (newest) → 2^(window-1), halving back
+      .withColumn("units", floor(col(valueCol) * 1e6 + 0.5).cast("long") *
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($window - rn AS INT))"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_recent"), sum(col("units")).as("units"))
+      .select(col(keyCol), col("n_recent"),
+        (expr(s"(units + ${denom / 2}L) div ${denom}L").cast("double")
+          / 100.0).as("decay_value"))
+  }
+
   def sessionTrigrams(events: DataFrame, keyCol: String,
       gapSec: Long = 1800, topK: Int = 25): DataFrame = {
     require(gapSec >= 1 && topK >= 1, "gapSec >= 1, topK >= 1")

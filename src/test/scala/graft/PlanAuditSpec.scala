@@ -355,8 +355,9 @@ class PlanAuditSpec extends SparkSpec {
                              //   final TakeOrdered(k) rank window
       "q130_triangle_census", // (n_edges, n_wedges) and n_triangles 1-row
                              //   aggregates stitched by a scalar crossJoin
-      "q132_session_trigrams" // rank over the ≤|types|³ count frame after
+      "q132_session_trigrams", // rank over the ≤|types|³ count frame after
                              //   the TakeOrdered(k) cut
+      "q135_link_prediction" // rank over the ≤topK TakeOrdered survivors
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")

@@ -213,4 +213,45 @@ class ComponentsSpec extends SparkSpec {
       .filter(_._2 >= 3)
     assert(got == want)
   }
+
+  test("linkPrediction: square graph scores both diagonals, nothing else") {
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4) share two neighbors each;
+    // every adjacent pair is excluded
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val got = Components.linkPrediction(edges, "a", "b", topK = 10)
+      .select("u", "v", "cn", "deg_u", "deg_v")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 2L, 2L, 2L), (2L, 4L, 2L, 2L, 2L)))
+  }
+
+  test("linkPrediction: adjacent pairs never surface even with shared neighbors") {
+    // triangle: every pair shares a neighbor but all are adjacent
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(Components.linkPrediction(tri, "a", "b").count() == 0L)
+  }
+
+  test("linkPrediction: hub cull silences over-cap wedge centers") {
+    // star center 100 over spokes 1..5: every spoke pair is a candidate
+    // through the center — unless the center's degree exceeds the cap
+    val star = (1L to 5L).map(s => (100L, s)).toDF("a", "b")
+    assert(Components.linkPrediction(star, "a", "b",
+      maxCenterDegree = 5).count() == 10L) // C(5,2)
+    assert(Components.linkPrediction(star, "a", "b",
+      maxCenterDegree = 4).count() == 0L)
+    // true degrees are reported cull-independent
+    val row = Components.linkPrediction(star, "a", "b", maxCenterDegree = 5)
+      .where(col("u") === 1L && col("v") === 2L).head
+    assert(row.getLong(3) == 1L && row.getLong(4) == 1L)
+  }
+
+  test("linkPrediction: rank order is (cn desc, u, v) with exact top-k cut") {
+    // path 1-2-3-4-5: (1,3),(2,4),(3,5) each cn=1; square 10-11-12-13 adds
+    // two cn=2 diagonals that must rank first
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)) ++
+      Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))).toDF("a", "b")
+    val got = Components.linkPrediction(edges, "a", "b", topK = 3)
+      .orderBy("rnk").select("u", "v", "cn")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 12L, 2L), (11L, 13L, 2L), (1L, 3L, 1L)))
+  }
 }

@@ -174,4 +174,73 @@ class EventOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("a b c", 1L)))
   }
+
+  test("positionAttribution: every U-shape branch hand-computed") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: one channel → 100%
+      (1L, 1L, 1L, "click", 0.0), (1L, 2L, 2L, "purchase", 10.0),
+      // u2: two channels, no middle → 50/50
+      (2L, 1L, 3L, "click", 0.0), (2L, 2L, 4L, "view", 0.0),
+      (2L, 3L, 5L, "purchase", 10.0),
+      // u3: click both ends (80%), view the lone middle (20%)
+      (3L, 1L, 6L, "click", 0.0), (3L, 2L, 7L, "view", 0.0),
+      (3L, 3L, 8L, "click", 0.0), (3L, 4L, 9L, "purchase", 9.0),
+      // u4: strict U — 40 / 20 / 40
+      (4L, 1L, 10L, "click", 0.0), (4L, 2L, 11L, "signup", 0.0),
+      (4L, 3L, 12L, "view", 0.0), (4L, 4L, 13L, "purchase", 10.0),
+      // u5: no prior touch → direct
+      (5L, 1L, 14L, "purchase", 3.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = EventOps.positionAttribution(ev, "user_id",
+        Seq("ts", "event_id"), "event_type", "value",
+        Seq("click", "view", "signup"), "purchase")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got == Map(
+      "click" -> ((4L, 10.0 + 5.0 + 7.2 + 4.0)),
+      "view" -> ((3L, 5.0 + 1.8 + 4.0)),
+      "signup" -> ((1L, 2.0)),
+      "direct" -> ((1L, 3.0))))
+  }
+
+  test("positionAttribution conserves total conversion value on real events") {
+    val ev = graft.core.EventTs.toNanos(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    val channels = EventOps.positionAttribution(ev, "user_id",
+        Seq("ts", "event_id"), "event_type", "value",
+        Seq("click", "view", "signup"), "purchase")
+      .collect()
+    val attributed = channels.map(_.getDouble(2)).sum
+    val total = ev.where(col("event_type") === "purchase")
+      .agg(sum(col("value"))).head.getDouble(0)
+    // per-channel cent rounding is the only slack
+    assert(math.abs(attributed - total) <= 0.01 * channels.length + 1e-9,
+      s"$attributed vs $total")
+  }
+
+  test("decayScore: halving weights, window truncation, n_recent") {
+    import spark.implicits._
+    val ev =
+      // u1: values 1, 2, 4 oldest→newest: 4·1 + 2·½ + 1·¼ = 5.25
+      Seq((1L, 1L, 1L, 1.0), (1L, 2L, 2L, 2.0), (1L, 3L, 3L, 4.0)) ++
+      // u2: 30 ones — only the trailing 24 count: Σ 2^-k = 2 − 2^-23 → 2.00
+      (0 until 30).map(i => (2L, 10L + i, 100L + i, 1.0))
+    val got = EventOps.decayScore(ev.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", Seq("ts", "event_id"), "value", window = 24)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got == Map(1L -> ((3L, 5.25)), 2L -> ((24L, 2.0))))
+  }
+
+  test("decayScore: ignores events beyond the window entirely") {
+    import spark.implicits._
+    def score(n: Int): Double = {
+      val ev = (0 until n).map(i => (1L, i.toLong, i.toLong, 7.5))
+        .toDF("user_id", "ts", "event_id", "value")
+      EventOps.decayScore(ev, "user_id", Seq("ts", "event_id"), "value")
+        .head.getDouble(2)
+    }
+    assert(score(24) == score(40)) // identical trailing-24 content
+  }
 }
