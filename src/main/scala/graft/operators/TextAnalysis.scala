@@ -520,13 +520,20 @@ object TextAnalysis {
           lit(true).as("keep"))
       case Some(row) =>
         val (cutoff, tokensAbove) = (row.getDouble(0), row.getLong(1))
+        // Only the BOUNDARY group needs the running-sum ranking — rows above
+        // the cutoff keep unconditionally, rows below drop unconditionally.
+        // Filter before the window: the sort covers corpus/|bins| rows, not
+        // the corpus (windowing all rows partitioned by score was the one
+        // measurably super-linear stage in the 10× scale run — per-score
+        // partitions are data-sized, and their per-key sorts grow n log n).
         val inGroup = Window.partitionBy("score").orderBy(col("id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        scored
+        val boundaryRows = scored.where(col("score") === cutoff)
           .withColumn("keep",
-            col("score") > cutoff ||
-              (col("score") === cutoff &&
-                sum("n_tokens").over(inGroup) <= lit(budgetTokens - tokensAbove)))
+            sum("n_tokens").over(inGroup) <= lit(budgetTokens - tokensAbove))
+        scored.where(col("score") =!= cutoff)
+          .withColumn("keep", col("score") > cutoff)
+          .unionByName(boundaryRows)
           .select(col("id"), col("score"), col("n_tokens"), col("keep"))
     }
   }
