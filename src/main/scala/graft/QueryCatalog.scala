@@ -3917,6 +3917,40 @@ object QueryCatalog {
         deg_u, deg_v, rnk
       FROM ranked WHERE rnk <= 50 ORDER BY rnk"""))
 
+  /** Peak concurrent sessions per day
+    * ([[graft.operators.EventOps.peakConcurrency]]): sweep-line over
+    * session start/end deltas instead of the quadratic interval self-join.
+    * The Spark side is a DISTRIBUTED prefix scan (in-day windows parallel
+    * across day partitions + a bounded |days|-row cross-day carry); the
+    * oracle is the textbook single ordered sweep — value-identical because
+    * the carry is constant within a day. */
+  private val q136 = QuerySpec(
+    "q136_peak_concurrency",
+    (s, dir) => graft.operators.EventOps.peakConcurrency(
+        t(s, dir, "events"), "user_id", gapSec = 1800)
+      .orderBy("day"),
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id
+        FROM events),
+      marked AS (SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+            OR ts - lag(ts) OVER w >= 1800000000000 THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      grp AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM marked),
+      sess AS (SELECT user_id, sid, min(ts) AS s_ts, max(ts) AS e_ts
+        FROM grp GROUP BY 1, 2),
+      deltas AS (SELECT s_ts AS ts, 1 AS d FROM sess
+        UNION ALL SELECT e_ts, -1 FROM sess),
+      swept AS (SELECT ts // 86400000000000 AS day, d,
+          CAST(sum(d) OVER (ORDER BY ts, d DESC ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS conc
+        FROM deltas)
+      SELECT day, CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_starts,
+        CAST(sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends,
+        max(conc) AS max_concurrent
+      FROM swept GROUP BY day ORDER BY day"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -3932,5 +3966,5 @@ object QueryCatalog {
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135)
+    q133, q134, q135, q136)
 }

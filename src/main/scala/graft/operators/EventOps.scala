@@ -433,6 +433,62 @@ object EventOps {
           / 100.0).as("decay_value"))
   }
 
+  /** Peak concurrent sessions per day — the sweep-line replacement for the
+    * interval self-join ("how many sessions overlap instant t" as a
+    * time-range join is quadratic on busy windows). Sessions come from the
+    * q30 gap rule (new session at gap ≥ `gapSec`); each contributes +1 at
+    * its first event and −1 at its last (+1 sorts before −1 at the same
+    * instant, so an instantaneous single-event session peaks at 1 and a
+    * back-to-back end/start at one instant counts both). `max_concurrent`
+    * is the max post-delta concurrency among that day's boundary events.
+    *
+    * Scale shape — a distributed prefix scan, NOT a global running sum:
+    * in-day running totals window on PARTITION BY day (parallel across
+    * days); the cross-day carry is a cumulative sum over the |days|-row
+    * per-day net frame (the only single-partition step, bounded by the
+    * calendar); peak(day) = carry + max(in-day running). Equal to the
+    * single-ordered-sweep definition because the carry is constant within
+    * a day, and tie groups (equal ts, equal delta) reach an
+    * order-invariant max (monotone within the group). */
+  def peakConcurrency(events: DataFrame, keyCol: String,
+      gapSec: Long = 1800): DataFrame = {
+    require(gapSec >= 1, "gapSec >= 1")
+    val gapNanos = gapSec * 1000000000L
+    val dayNanos = 86400000000000L
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = events
+      .select(col(keyCol), col("ts"), col("event_id"))
+      .withColumn("new_s",
+        when(col("ts") - lag(col("ts"), 1).over(w) < gapNanos, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("sid", sum(col("new_s")).over(run))
+      .groupBy(col(keyCol), col("sid"))
+      .agg(min(col("ts")).as("s_ts"), max(col("ts")).as("e_ts"))
+    val deltas = sessions.select(col("s_ts").as("ts"), lit(1L).as("d"))
+      .unionAll(sessions.select(col("e_ts").as("ts"), lit(-1L).as("d")))
+      .withColumn("day", expr(s"ts div ${dayNanos}L"))
+    // in-day running concurrency, parallel across day partitions
+    val inDay = Window.partitionBy(col("day"))
+      .orderBy(col("ts"), col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = deltas
+      .withColumn("running", sum(col("d")).over(inDay))
+      .groupBy(col("day"))
+      .agg(max(col("running")).as("in_day_peak"),
+        sum(col("d")).as("net"),
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("d") === -1L, 1L).otherwise(0L)).as("n_ends"))
+    // cross-day carry: cumulative prior-day net over the bounded |days| frame
+    val carried = peaks
+      .withColumn("carry",
+        coalesce(sum(col("net"))
+          .over(Window.partitionBy(lit(0)).orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    carried.select(col("day"), col("n_starts"), col("n_ends"),
+      (col("carry") + col("in_day_peak")).as("max_concurrent"))
+  }
+
   def sessionTrigrams(events: DataFrame, keyCol: String,
       gapSec: Long = 1800, topK: Int = 25): DataFrame = {
     require(gapSec >= 1 && topK >= 1, "gapSec >= 1, topK >= 1")

@@ -357,7 +357,9 @@ class PlanAuditSpec extends SparkSpec {
                              //   aggregates stitched by a scalar crossJoin
       "q132_session_trigrams", // rank over the ≤|types|³ count frame after
                              //   the TakeOrdered(k) cut
-      "q135_link_prediction" // rank over the ≤topK TakeOrdered survivors
+      "q135_link_prediction", // rank over the ≤topK TakeOrdered survivors
+      "q136_peak_concurrency" // cross-day carry: cumsum over the bounded
+                             //   |days|-row per-day net frame
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")

@@ -243,4 +243,57 @@ class EventOpsSpec extends SparkSpec {
     }
     assert(score(24) == score(40)) // identical trailing-24 content
   }
+
+  test("peakConcurrency: overlap, midnight carry, instantaneous sessions") {
+    import spark.implicits._
+    val day = 86400000000000L
+    val h = 3600000000000L
+    val ev = Seq(
+      // day 0: three overlapping sessions (u1 01:00-03:00 via two events,
+      // u2 02:00-02:30, u3 02:15 instantaneous) → peak 3
+      (1L, 1 * h, 1L), (1L, 3 * h, 2L),
+      (2L, 2 * h, 3L), (2L, 2 * h + h / 2, 4L),
+      (3L, 2 * h + h / 4, 5L),
+      // u4 spans midnight: starts day 0 23:30, ends day 1 00:10 → day 1's
+      // carry-in is 1, and its lone delta that day is the −1
+      (4L, day - h / 2, 6L), (4L, day + h / 6, 7L)
+    ).toDF("user_id", "ts", "event_id")
+    // gap 7201 s: u1's exactly-2h stride stays one session (gap rule is >=)
+    val got = EventOps.peakConcurrency(ev, "user_id", gapSec = 7201)
+      .orderBy("day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // day 0: 4 starts, 3 ends, peak 3; day 1: 0 starts, 1 end, peak
+    // carry(1) + in-day max(−1) = 0 (post-delta definition)
+    assert(got == Seq((0L, 4L, 3L, 3L), (1L, 0L, 1L, 0L)))
+  }
+
+  test("peakConcurrency equals a brute-force per-instant count on real events") {
+    val ev = graft.core.EventTs.toNanos(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    val got = EventOps.peakConcurrency(ev, "user_id", gapSec = 1800)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // brute force on the driver: global sweep over collected session bounds
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = ev.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_s",
+        when(col("ts") - lag(col("ts"), 1).over(w) < 1800000000000L, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("s"), max("ts").as("e"))
+      .select("s", "e").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deltas = (sess.map(x => (x._1, 1L)) ++ sess.map(x => (x._2, -1L)))
+      .sortBy { case (ts, d) => (ts, -d) } // +1 before −1 at equal ts
+    var conc = 0L
+    val best = scala.collection.mutable.Map[Long, Long]()
+    deltas.foreach { case (ts, d) =>
+      conc += d
+      val day = ts / 86400000000000L
+      best(day) = math.max(best.getOrElse(day, Long.MinValue), conc)
+    }
+    assert(got == best.toMap)
+  }
 }
