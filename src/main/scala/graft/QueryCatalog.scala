@@ -3951,6 +3951,70 @@ object QueryCatalog {
         max(conc) AS max_concurrent
       FROM swept GROUP BY day ORDER BY day"""))
 
+  /** Hybrid retrieval by reciprocal-rank fusion
+    * ([[graft.operators.Retrieval.rrfFuse]]): BM25 top-100 (q88's exact
+    * integer-micro scoring) ⊕ coordinate-match top-100 (distinct-term
+    * count, shorter docs first — all integers), fused as
+    * Σ 1e6 div (60 + rank). Every rank and every fused score is exact
+    * integer arithmetic, so the hybrid list is bit-identical across
+    * engines; the fusion stages run over O(lists·100) rows, never the
+    * corpus. */
+  private val q137 = {
+    val terms = Seq("hash", "stream", "vector", "big")
+    val termList = terms.map(p => s"'$p'").mkString("(", ",", ")")
+    QuerySpec(
+      "q137_rrf_hybrid",
+      (s, dir) => {
+        import graft.operators.Retrieval
+        val docs = t(s, dir, "documents")
+        val wTop = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+        val bm = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 100)
+          .withColumn("rank", row_number().over(
+            wTop.orderBy(col("score_micro").desc, col("id"))))
+          .select("id", "rank")
+        val coord = Retrieval
+          .coordinateTopK(docs, "doc_id", "text", terms, k = 100)
+          .select("id", "rank")
+        Retrieval.rrfFuse(Seq(bm, coord), k = 20)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("rnk")
+      },
+      Some(s"""WITH docs AS (SELECT doc_id,
+          len(str_split(text, ' ')) AS dl, str_split(text, ' ') AS toks
+          FROM documents),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+        tf AS (SELECT doc_id, any_value(dl) AS dl, tok, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM docs)
+          WHERE tok IN $termList GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        term_scores AS (SELECT doc_id,
+            CAST(round(ln(((n_docs - df) + 0.5) / (df + 0.5) + 1.0) *
+              ((tf * (1.2 + 1.0)) /
+               (tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                 (CAST(dl AS DOUBLE) / avgdl)))) * 1000000.0, 0) AS BIGINT)
+              AS micro
+          FROM tf JOIN dfreq USING (tok) CROSS JOIN stats),
+        bm_scores AS (SELECT doc_id, sum(micro) AS score_micro
+          FROM term_scores GROUP BY 1),
+        bm_ranked AS (SELECT doc_id, row_number()
+            OVER (ORDER BY score_micro DESC, doc_id) AS rank FROM bm_scores),
+        coord AS (SELECT doc_id, count(*) AS n_match, any_value(dl) AS dl
+          FROM tf GROUP BY 1),
+        coord_ranked AS (SELECT doc_id, row_number()
+            OVER (ORDER BY n_match DESC, dl, doc_id) AS rank FROM coord),
+        fused AS (SELECT doc_id, 1000000 // (60 + rank) AS micro
+            FROM bm_ranked WHERE rank <= 100
+          UNION ALL
+          SELECT doc_id, 1000000 // (60 + rank) FROM coord_ranked
+            WHERE rank <= 100),
+        agg AS (SELECT doc_id, CAST(sum(micro) AS BIGINT) AS rrf_micro,
+            CAST(count(*) AS BIGINT) AS n_lists FROM fused GROUP BY 1),
+        final AS (SELECT doc_id, rrf_micro, n_lists, row_number()
+            OVER (ORDER BY rrf_micro DESC, doc_id) AS rnk FROM agg)
+        SELECT doc_id, rrf_micro, n_lists, rnk FROM final
+        WHERE rnk <= 20 ORDER BY rnk"""))
+  }
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -3966,5 +4030,5 @@ object QueryCatalog {
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136)
+    q133, q134, q135, q136, q137)
 }

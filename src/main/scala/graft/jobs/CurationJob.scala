@@ -58,6 +58,13 @@ object CurationJob {
       // codegen'd scan-side, ONE text pass regardless of list size.
       blockedPatterns: Seq[String] = Nil,
       maxPolicyHits: Long = 0L,
+      // scale-safe decontamination cull: when set, the benchmark-shingle
+      // hot cut is this FRACTION of corpus size instead of
+      // [[Dedup.contaminatedIds]]'s absolute default — REQUIRED at corpus
+      // scale, where a duplicated benchmark doc's shingles outgrow any
+      // absolute cap and the cull deletes the leakage evidence (measured:
+      // 3× recall drop 5M→10M docs under the absolute default).
+      deconMaxDocFreqFrac: Option[Double] = None,
       nearDupJaccard: Double = 0.8,
       // second dedup axis: drop docs CONTAINED in a surviving doc
       // ([[Dedup.containmentPairs]], shared/min(|A|,|B|) >= this) — catches
@@ -231,7 +238,8 @@ object CurationJob {
       case None => (scrubbed, 0L, None)
       case Some(ref) =>
         val leaky = Dedup.contaminatedIds(scrubbed, "doc_id", "text",
-            ref, "text", n = 3, minShared = 5)
+            ref, "text", n = 3, minShared = 5,
+            maxDocFreqFrac = cfg.deconMaxDocFreqFrac)
           .select(col("id").as("doc_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = leaky.count()

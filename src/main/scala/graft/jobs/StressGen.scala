@@ -233,6 +233,9 @@ object StressMain {
           maxTopTokenShare = Some(0.5),
           compressionBounds = Some((0.5, 50.0)),
           minLmScore = Some(-10.0),
+          // fraction-of-corpus cull: decon recall must not depend on the
+          // replica count (the absolute default lost 3x recall 1000->2000x)
+          deconMaxDocFreqFrac = Some(0.1),
           redactClasses = Seq(
             ("EMAIL", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
             ("PHONE", "\\b\\d{3}-\\d{4}\\b")),

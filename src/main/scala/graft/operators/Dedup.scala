@@ -465,16 +465,37 @@ object Dedup {
   def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String,
       n: Int = 5, minShared: Long = 5, maxDocFreq: Long = 1000,
-      broadcastHot: Boolean = true): DataFrame = {
+      broadcastHot: Boolean = true,
+      maxDocFreqFrac: Option[Double] = None): DataFrame = {
     // both sides of the semi-join carry the 8-byte shingle hash, not the
     // string ([[graft.functions.ShingleHashes]]) — see [[ngramJaccardPairs]]
     val corpusSh = corpus.select(col(idCol).as("id"),
       explode(graft.functions.ShingleHashes(col(textCol), n)).as("sh"))
     // same aggregated df-cut as [[ngramJaccardPairs]] — the windowed
     // count-over-shingle formulation has no map-side combine; broadcastHot
-    // = false hands the anti-join strategy to AQE for unbounded hot sets
-    val hot = corpusSh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDocFreq).select("sh")
+    // = false hands the anti-join strategy to AQE for unbounded hot sets.
+    //
+    // `maxDocFreqFrac` replaces the ABSOLUTE cap with a fraction of corpus
+    // size — the scale-safe setting for large corpora. An absolute cap is
+    // scale-DEPENDENT in the worst way for this operator: when a benchmark
+    // doc has been duplicated across the corpus (leakage at its most
+    // rampant), its shingles' df grows with the corpus, crosses any fixed
+    // cap, and the cull silently deletes the evidence — measured on the
+    // 2000× curation stress, decon recall DROPPED 3× vs 1000× under the
+    // absolute default. A shingle in >frac of all docs is boilerplate at
+    // every scale; one in 0.02% is a leak signature at every scale. The
+    // cutoff rides a broadcast 1-row corpus count — no driver action.
+    val hotBase = corpusSh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val hot = maxDocFreqFrac match {
+      case None => hotBase.where(col("df") > maxDocFreq).select("sh")
+      case Some(frac) =>
+        hotBase
+          .crossJoin(broadcast(
+            corpus.agg(count(lit(1)).as("n_corpus"))))
+          .where(col("df").cast("double") >
+            col("n_corpus").cast("double") * frac)
+          .select("sh")
+    }
     val culled = cullHot(corpusSh, hot, broadcastHot)
     val refSh = reference
       .select(explode(graft.functions.ShingleHashes(col(refTextCol), n)).as("sh"))

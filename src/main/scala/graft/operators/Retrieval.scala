@@ -74,4 +74,53 @@ object Retrieval {
       .orderBy(col("score_micro").desc, col("id"))
       .limit(k)
   }
+
+  /** Coordinate-match (boolean-coordination) top-`k`: rank documents by how
+    * many DISTINCT query terms they contain, shorter documents first among
+    * ties — the all-integer second opinion next to [[bm25TopK]] (no idf, no
+    * length smoothing; exactly what [[rrfFuse]] wants as a diverse lens).
+    * Same scan-stage postings cut as BM25; returns (id, n_match, dl, rank)
+    * with rank dense from 1 by (n_match desc, dl asc, id). */
+  def coordinateTopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct.size == queryTerms.size,
+      "coordinateTopK needs a non-empty, duplicate-free term list")
+    val ord = Seq(col("n_match").desc, col("dl"), col("id"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("dl"),
+        explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .where(col("tc.tok").isin(queryTerms: _*))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_match"), first(col("dl")).as("dl"))
+      .orderBy(ord: _*)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0)).orderBy(ord: _*)))
+  }
+
+  /** Reciprocal-rank fusion of N rankings of the same id space: per doc,
+    * `rrf_micro = Σ_lists 1e6 div (kRrf + rank)` — the standard hybrid-
+    * retrieval combiner (BM25 ⊕ coordinate match ⊕ ANN …), all integer
+    * division so the fused score is an order-free exact long. Each input
+    * needs (id, rank); docs absent from a list simply contribute nothing.
+    * Returns the top `k` by (rrf_micro desc, id) with (n_lists, rnk).
+    *
+    * Scale shape: inputs are already top-k' cuts (bounded), so the union,
+    * the id-keyed aggregate, and the final TakeOrdered all run over
+    * O(N·k') rows — never the corpus. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty && k >= 1 && kRrf >= 0, "bad rrfFuse args")
+    val ord = Seq(col("rrf_micro").desc, col("id"))
+    rankings.map(_.select(col("id"), col("rank")))
+      .reduce(_ unionAll _)
+      .withColumn("micro", expr(s"1000000L div (${kRrf}L + rank)"))
+      .groupBy(col("id"))
+      .agg(sum(col("micro")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+      .orderBy(ord: _*)
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0)).orderBy(ord: _*)).cast("long"))
+  }
 }

@@ -35,7 +35,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "q120_psi_lang",          // same bounded grid, categorical bins
     "q121_psi_vs_reference",  // same bounded grid vs the reference histogram
     "q128_pmi_collocations",  // (tot_n, tot_b) scalars: two 1-row broadcasts
-    "q130_triangle_census")   // (totals × triangles): two 1-row frames
+    "q130_triangle_census",   // (totals × triangles): two 1-row frames
+    "q137_rrf_hybrid")        // (N, avgdl) scalars: q88's 1-row broadcast
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

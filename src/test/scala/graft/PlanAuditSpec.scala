@@ -358,8 +358,10 @@ class PlanAuditSpec extends SparkSpec {
       "q132_session_trigrams", // rank over the ≤|types|³ count frame after
                              //   the TakeOrdered(k) cut
       "q135_link_prediction", // rank over the ≤topK TakeOrdered survivors
-      "q136_peak_concurrency" // cross-day carry: cumsum over the bounded
+      "q136_peak_concurrency", // cross-day carry: cumsum over the bounded
                              //   |days|-row per-day net frame
+      "q137_rrf_hybrid"      // ranks over the two ≤100-row top-k cuts +
+                             //   the (N, avgdl) 1-row corpus stats
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")

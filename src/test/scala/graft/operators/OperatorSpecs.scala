@@ -227,6 +227,31 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) >= 3L)
   }
 
+  test("contaminatedIds: fractional cull keeps recall where the absolute " +
+      "cap deletes the evidence (duplicated-benchmark corpus)") {
+    import spark.implicits._
+    val leak = "the quick brown fox jumps over the lazy dog tonight"
+    val ref = Seq((100L, leak)).toDF("doc_id", "text")
+    // 30 exact copies of the benchmark text + 10 unrelated docs: the leak
+    // shingles' df (30) crosses an absolute cap of 10, but is 75% of corpus
+    val corpus = ((1L to 30L).map(i => (i, leak)) ++ (31L to 40L).map(i =>
+        (i, s"doc $i standalone words nothing shared with anything here")))
+      .toDF("doc_id", "text")
+    // absolute cap: the hot cut removes every leak shingle → zero recall
+    assert(Dedup.contaminatedIds(corpus, "doc_id", "text", ref, "text",
+      n = 3, minShared = 3, maxDocFreq = 10).count() == 0L)
+    // fractional cap (90% of 40 = 36 > 30): all 30 copies flagged
+    val got = Dedup.contaminatedIds(corpus, "doc_id", "text", ref, "text",
+        n = 3, minShared = 3, maxDocFreq = 10,
+        maxDocFreqFrac = Some(0.9))
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == (1L to 30L).toSet)
+    // truly ubiquitous shingles still cull under the fraction
+    assert(Dedup.contaminatedIds(corpus, "doc_id", "text", ref, "text",
+      n = 3, minShared = 3, maxDocFreq = 10,
+      maxDocFreqFrac = Some(0.5)).count() == 0L)
+  }
+
   test("editDistancePairs: blocking isolates groups; threshold and distance exact") {
     import spark.implicits._
     val d = Seq(

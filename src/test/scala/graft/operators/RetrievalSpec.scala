@@ -76,4 +76,61 @@ class RetrievalSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 2, s"postings shuffled more than score-agg needs:\n$p")
   }
+
+  test("coordinateTopK: distinct-term count ranks, shorter docs break ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash stream vector big extra words here"), // 4 terms, dl 7
+      (2L, "hash stream vector big"),                  // 4 terms, dl 4
+      (3L, "hash hash hash hash hash"),                // 1 term (distinct!)
+      (4L, "nothing relevant at all"),                 // 0 → absent
+      (5L, "big stream")                               // 2 terms, dl 2
+    ).toDF("doc_id", "text")
+    val got = Retrieval.coordinateTopK(docs, "doc_id", "text", terms, k = 10)
+      .select("id", "n_match", "rank")
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._3)
+    assert(got == Seq((2L, 4L, 1), (1L, 4L, 2), (5L, 2L, 3), (3L, 1L, 4)))
+  }
+
+  test("rrfFuse: hand-computed fusion, absent-from-one-list docs included") {
+    import spark.implicits._
+    // list A: doc 1 rank 1, doc 2 rank 2; list B: doc 2 rank 1, doc 3 rank 2
+    val a = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .select("id", "rrf_micro", "n_lists", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._4)
+    val r1 = 1000000L / 61  // 16393
+    val r2 = 1000000L / 62  // 16129
+    // doc 2 fuses both lists (r2 + r1); docs 1 and 3 one list each, and the
+    // doc-id tiebreak orders doc 1 before doc 3 at equal micro
+    assert(got == Seq((2L, r1 + r2, 2L, 1L), (1L, r1, 1L, 2L),
+      (3L, r2, 1L, 3L)))
+  }
+
+  test("rrfFuse promotes consensus: a doc mid-ranked in BOTH lists beats " +
+      "a doc topping one list on the real corpus") {
+    val docs = graft.core.EventTs.toNanos(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val wTop = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val bm = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 100)
+      .withColumn("rank", row_number().over(
+        wTop.orderBy(col("score_micro").desc, col("id"))))
+      .select("id", "rank")
+    val coord = Retrieval.coordinateTopK(docs, "doc_id", "text", terms, 100)
+      .select("id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(bm, coord), k = 20).collect()
+    assert(fused.length == 20)
+    // every fused score is exactly the sum of its lists' reciprocal terms
+    val bmR = bm.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val coR = coord.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    fused.foreach { r =>
+      val id = r.getLong(0)
+      val want = bmR.get(id).map(x => 1000000L / (60 + x)).getOrElse(0L) +
+        coR.get(id).map(x => 1000000L / (60 + x)).getOrElse(0L)
+      assert(r.getLong(1) == want, s"doc $id")
+      assert(r.getLong(2) == Seq(bmR.contains(id), coR.contains(id))
+        .count(identity).toLong)
+    }
+  }
 }
