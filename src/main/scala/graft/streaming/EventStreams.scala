@@ -820,4 +820,61 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Trailing value ring for [[decayAdvances]]: newest-first micro-unit
+    * values, ≤ window entries (top-level for the state encoder). */
+  final case class DecayState(recent: Seq[Long])
+
+  final case class DecayAdvance(user_id: Long, ts: Timestamp,
+      n_recent: Int, decay_value: Double)
+
+  /** Live halving-decay activity score — the streaming twin of
+    * `graft.operators.EventOps.decayScore`: per user, the trailing-`window`
+    * value buffer (≤ 24 longs of state, newest first) re-scores on every
+    * event and emits (user, ts, n_recent, decay_value) at event latency.
+    * Same exact-integer contract as the batch operator: power-of-two
+    * weights, micro-unit longs, round-half-up cent reduction — so after
+    * any prefix of in-order events, the LATEST advance per user equals the
+    * batch operator run over that prefix, bit for bit (spec-pinned).
+    *
+    * Ordering contract matches [[funnelAdvances]]: rows sort by full event
+    * time within each micro-batch, so parity holds whenever disorder is
+    * bounded by the batch interval; a cross-batch late event re-scores at
+    * arrival position (at-arrival semantics — the watermark-buffered
+    * pattern of [[lastTouchAdvancesOrdered]] drops in if exact parity
+    * under bounded disorder is needed).
+    *
+    * Scale shape: state is `window` longs per ACTIVE user — no event
+    * history, no timestamps; the state store shards on user_id like every
+    * twin here. */
+  def decayAdvances(events: Dataset[Event], window: Int = 24)
+      : Dataset[DecayAdvance] = {
+    require(window >= 1 && window <= 24, "window in [1, 24] (overflow bound)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val denom = (1L << (window - 1)) * 10000L
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[DecayState]): Iterator[DecayAdvance] = {
+      var recent = state.getOption.map(_.recent.toList).getOrElse(Nil)
+      val out = List.newBuilder[DecayAdvance]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        .foreach { e =>
+          recent = (math.floor(e.value * 1e6 + 0.5).toLong :: recent)
+            .take(window)
+          var units = 0L
+          recent.zipWithIndex.foreach { case (v, k) =>
+            units += v << (window - 1 - k)
+          }
+          out += DecayAdvance(userId, e.ts, recent.size,
+            ((units + denom / 2) / denom).toDouble / 100.0)
+        }
+      state.update(DecayState(recent))
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -598,6 +598,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(done.length == 1 && done(0).getLong(0) == 1L)
   }
 
+  test("decayAdvances: latest live score per user equals the batch operator, " +
+      "ring state carries across batches and truncates at the window") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // u1: 3 events split across batches (state carry); u2: 30 events with
+    // window 24 (truncation exercises the ring's take)
+    val batch1 = Seq(Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 1, "click", 2.0)) ++
+      (0 until 20).map(i => Event(100L + i, ts(2, i), 2, "view", 1.0))
+    val batch2 = Seq(Event(3, ts(10), 1, "click", 4.0)) ++
+      (0 until 10).map(i => Event(200L + i, ts(12, i), 2, "view", 1.0))
+    val in = MemoryStream[Event]
+    val q = EventStreams.decayAdvances(in.toDS(), window = 24).toDF()
+      .writeStream.format("memory").queryName("decay")
+      .outputMode("append").start()
+    in.addData(batch1: _*); q.processAllAvailable()
+    in.addData(batch2: _*); q.processAllAvailable(); q.stop()
+    val all = spark.table("decay").collect()
+    // one advance per event
+    assert(all.length == batch1.length + batch2.length)
+    // latest advance per user (max ts) vs the batch operator on everything
+    val latest = all.map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (u, xs) =>
+        val last = xs.maxBy(x => (x._2.getTime, x._2.getNanos))
+        u -> ((last._3.toLong, last._4))
+      }
+    val batchTwin = graft.operators.EventOps.decayScore(
+        (batch1 ++ batch2).toDF(), "user_id", Seq("ts", "event_id"),
+        "value", window = 24)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(latest == batchTwin, s"stream=$latest batch=$batchTwin")
+    // u1's running scores are the hand-computed halving sequence
+    val u1 = all.filter(_.getLong(0) == 1L)
+      .sortBy(r => r.getTimestamp(1).getTime).map(_.getDouble(3)).toSeq
+    assert(u1 == Seq(1.0, 2.5, 5.25)) // 1; 2+0.5; 4+1+0.25
+  }
+
   test("lastTouchAdvances: live credits match the batch attribution on in-order data") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
