@@ -4015,6 +4015,81 @@ object QueryCatalog {
         WHERE rnk <= 20 ORDER BY rnk"""))
   }
 
+  /** Market-basket association rules
+    * ([[graft.operators.Association.pairRules]]): top-50 part pairs by
+    * lift over order baskets, support/confidence/lift all as integer
+    * division of integer products — no float ratio ever forms, so both
+    * engines emit identical micro values. */
+  private val q138 = QuerySpec(
+    "q138_association_rules",
+    (s, dir) => graft.operators.Association.pairRules(
+        t(s, dir, "lineitem").where(col("l_quantity") >= 30)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        "o", "p", minSupport = 2, topK = 50)
+      .orderBy("rnk"),
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_quantity >= 30),
+      n AS (SELECT count(DISTINCT o) AS n_baskets FROM items),
+      supp AS (SELECT p, count(*) AS s FROM items GROUP BY 1),
+      pairs AS (SELECT i.p AS a, j.p AS b, count(*) AS s_ab
+        FROM items i JOIN items j ON i.o = j.o AND i.p < j.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      scored AS (SELECT a, b, s_ab, sa.s AS s_a, sb.s AS s_b,
+          (1000000 * s_ab) // sa.s AS conf_ab_micro,
+          (1000000 * s_ab) // sb.s AS conf_ba_micro,
+          (1000000 * s_ab * n.n_baskets) // (sa.s * sb.s) AS lift_micro
+        FROM pairs JOIN supp sa ON sa.p = pairs.a
+          JOIN supp sb ON sb.p = pairs.b CROSS JOIN n),
+      ranked AS (SELECT *, row_number()
+          OVER (ORDER BY lift_micro DESC, a, b) AS rnk FROM scored)
+      SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, s_ab,
+        s_a, s_b, CAST(conf_ab_micro AS BIGINT) AS conf_ab_micro,
+        CAST(conf_ba_micro AS BIGINT) AS conf_ba_micro,
+        CAST(lift_micro AS BIGINT) AS lift_micro, rnk
+      FROM ranked WHERE rnk <= 50 ORDER BY rnk"""))
+
+  /** RFM customer segmentation ([[graft.operators.EventOps.rfmScores]]):
+    * threshold-quintile scores off exact percentile boundaries (the
+    * scalable form — boundaries are one broadcast row, scoring a CASE; no
+    * global rank sort). Boundary arithmetic rides the q48 percentile ≡
+    * quantile_cont contract. */
+  private val q139 = QuerySpec(
+    "q139_rfm_scores",
+    (s, dir) => graft.operators.EventOps.rfmScores(
+        t(s, dir, "events"), "user_id", "event_type", "value", "purchase")
+      .orderBy("user_id"),
+    Some("""WITH per AS (SELECT user_id,
+          CAST(max(epoch_ns(ts)) AS DOUBLE) AS r_ts,
+          count(*) AS n_conv,
+          CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS m_micro
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      b AS (SELECT
+          quantile_cont(r_ts, [0.2, 0.4, 0.6, 0.8]) AS rb,
+          quantile_cont(CAST(n_conv AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS fb,
+          quantile_cont(CAST(m_micro AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS mb
+        FROM per),
+      scored AS (SELECT user_id, n_conv,
+          CAST(1 + (CASE WHEN r_ts > rb[1] THEN 1 ELSE 0 END)
+            + (CASE WHEN r_ts > rb[2] THEN 1 ELSE 0 END)
+            + (CASE WHEN r_ts > rb[3] THEN 1 ELSE 0 END)
+            + (CASE WHEN r_ts > rb[4] THEN 1 ELSE 0 END) AS BIGINT)
+            AS r_score,
+          CAST(1 + (CASE WHEN n_conv > fb[1] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_conv > fb[2] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_conv > fb[3] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_conv > fb[4] THEN 1 ELSE 0 END) AS BIGINT)
+            AS f_score,
+          CAST(1 + (CASE WHEN m_micro > mb[1] THEN 1 ELSE 0 END)
+            + (CASE WHEN m_micro > mb[2] THEN 1 ELSE 0 END)
+            + (CASE WHEN m_micro > mb[3] THEN 1 ELSE 0 END)
+            + (CASE WHEN m_micro > mb[4] THEN 1 ELSE 0 END) AS BIGINT)
+            AS m_score
+        FROM per CROSS JOIN b)
+      SELECT user_id, n_conv, r_score, f_score, m_score,
+        r_score * 100 + f_score * 10 + m_score AS rfm_cell
+      FROM scored ORDER BY user_id"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4030,5 +4105,5 @@ object QueryCatalog {
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137)
+    q133, q134, q135, q136, q137, q138, q139)
 }

@@ -36,7 +36,9 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "q121_psi_vs_reference",  // same bounded grid vs the reference histogram
     "q128_pmi_collocations",  // (tot_n, tot_b) scalars: two 1-row broadcasts
     "q130_triangle_census",   // (totals × triangles): two 1-row frames
-    "q137_rrf_hybrid")        // (N, avgdl) scalars: q88's 1-row broadcast
+    "q137_rrf_hybrid",        // (N, avgdl) scalars: q88's 1-row broadcast
+    "q138_association_rules", // N baskets: 1-row broadcast into lift
+    "q139_rfm_scores")        // percentile boundaries: 1-row broadcast
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

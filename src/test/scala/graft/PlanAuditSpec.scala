@@ -360,8 +360,10 @@ class PlanAuditSpec extends SparkSpec {
       "q135_link_prediction", // rank over the ≤topK TakeOrdered survivors
       "q136_peak_concurrency", // cross-day carry: cumsum over the bounded
                              //   |days|-row per-day net frame
-      "q137_rrf_hybrid"      // ranks over the two ≤100-row top-k cuts +
+      "q137_rrf_hybrid",     // ranks over the two ≤100-row top-k cuts +
                              //   the (N, avgdl) 1-row corpus stats
+      "q138_association_rules", // N-baskets 1-row agg + the ≤topK rank
+      "q139_rfm_scores"      // percentile-boundary 1-row aggregate
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")

@@ -244,6 +244,55 @@ class EventOpsSpec extends SparkSpec {
     assert(score(24) == score(40)) // identical trailing-24 content
   }
 
+  test("rfmScores: strictly-increasing metrics score the exact 1..5 ladder") {
+    import spark.implicits._
+    // user k: k purchases of value 10k, latest at ts 1000k → every metric
+    // strictly increasing in k → threshold quintiles give (k, k, k)
+    val ev = (1L to 5L).flatMap { k =>
+      (1L to k).map(i => (100 * k + i, k * 1000L, k, "purchase", k * 10.0))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.rfmScores(ev, "user_id", "event_type", "value",
+        "purchase")
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == (1L to 5L).map(k =>
+      (k, k, k, k, k, 111 * k)))
+  }
+
+  test("associationRules: hand-computed support/confidence/lift") {
+    import spark.implicits._
+    val baskets = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (4L, 4L),
+      (5L, 5L)
+    ).toDF("o", "p")
+    val got = graft.operators.Association.pairRules(baskets, "o", "p",
+        minSupport = 2, topK = 10)
+      .select("a", "b", "s_ab", "s_a", "s_b", "conf_ab_micro",
+        "conf_ba_micro", "lift_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    // only (1,2) reaches support 2: s_ab=3, s_1=3, s_2=3, N=5 →
+    // conf both 1e6, lift = 15e6 div 9 = 1666666
+    assert(got == Seq((1L, 2L, 3L, 3L, 3L, 1000000L, 1000000L, 1666666L)))
+  }
+
+  test("associationRules: duplicate (basket, item) rows don't inflate support") {
+    import spark.implicits._
+    val b = Seq((1L, 7L), (1L, 7L), (1L, 8L), (2L, 7L), (2L, 8L))
+      .toDF("o", "p")
+    val got = graft.operators.Association.pairRules(b, "o", "p",
+        minSupport = 1, topK = 10)
+      .select("a", "b", "s_ab", "lift_micro").collect()
+    assert(got.length == 1)
+    // pair (7,8) in both baskets: s_ab=2, s_7=2, s_8=2, N=2 → lift 1.0
+    assert(got(0).getLong(2) == 2L && got(0).getLong(3) == 1000000L)
+  }
+
   test("peakConcurrency: overlap, midnight carry, instantaneous sessions") {
     import spark.implicits._
     val day = 86400000000000L
