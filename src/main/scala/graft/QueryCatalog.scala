@@ -4090,6 +4090,41 @@ object QueryCatalog {
         r_score * 100 + f_score * 10 + m_score AS rfm_cell
       FROM scored ORDER BY user_id"""))
 
+  /** Incremental connected-components maintenance
+    * ([[graft.operators.Components.connectedComponentsIncremental]]):
+    * standing labels built from 80% of the co-purchase edges, the
+    * remaining 20% absorbed as a batch — touched components re-close via
+    * per-member star edges, untouched ones anti-join through. The oracle
+    * is the FULL recursive closure over all edges: incremental ≡ recompute
+    * is exactly the operator's contract. */
+  private val q140 = QuerySpec(
+    "q140_incremental_components",
+    (s, dir) => {
+      import graft.operators.Components
+      val items = t(s, dir, "lineitem").where(col("l_quantity") >= 35)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items.as("i").join(items.as("j"),
+          col("i.o") === col("j.o") && col("i.p") < col("j.p"))
+        .select(col("i.p").as("a"), col("j.p").as("b"))
+      val old = pairs.where((col("a") + col("b")) % 5 =!= 0)
+      val batch = pairs.where((col("a") + col("b")) % 5 === 0)
+      val standing = Components.connectedComponents(old, "a", "b")
+      Components.connectedComponentsIncremental(standing, batch, "a", "b")
+        .orderBy("id")
+    },
+    Some("""WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS o,
+        l_partkey AS p FROM lineitem WHERE l_quantity >= 35),
+      canon AS (SELECT DISTINCT least(i.p, j.p) AS a, greatest(i.p, j.p) AS b
+        FROM items i JOIN items j ON i.o = j.o AND i.p < j.p),
+      und AS (SELECT a, b FROM canon UNION SELECT b, a FROM canon),
+      walk(id, comp) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.a, w.comp FROM und u JOIN walk w ON w.id = u.b)
+      SELECT CAST(id AS BIGINT) AS id, CAST(min(comp) AS BIGINT) AS comp
+      FROM walk GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4105,5 +4140,5 @@ object QueryCatalog {
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139)
+    q133, q134, q135, q136, q137, q138, q139, q140)
 }

@@ -158,6 +158,50 @@ object Components {
     finalLabels.toDF()
   }
 
+  /** Incremental connected-components maintenance — absorb a batch of new
+    * edges into a standing (id, comp) labeling WITHOUT re-closing the whole
+    * graph. The cluster-scale posture for dedup-graph upkeep: closure over
+    * the full corpus per ingest batch is the cost that kills daily
+    * pipelines, and the incremental answer touches only the components the
+    * batch actually reaches.
+    *
+    * Exactness: a standing component's label is its min member id — itself
+    * a member — so one STAR EDGE (member, comp) per member of a touched
+    * component preserves exactly that component's connectivity, and
+    * re-running [[connectedComponents]] over (star edges ∪ new edges)
+    * yields the same min-label the full recompute would: the min can only
+    * come from member ids, all present. Untouched components pass through
+    * by anti-join. Equality with the full recompute is the operator's spec
+    * AND its oracle (q140).
+    *
+    * Cost: O(|new edges| + Σ members of touched components) — batch-sized
+    * when batches touch few clusters, never corpus-sized; the touched-set
+    * discovery is one semi-join of the standing table against the batch's
+    * endpoint set. */
+  def connectedComponentsIncremental(standing: DataFrame,
+      newEdges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val st = graft.core.CacheScope.persist(
+      standing.select(col("id").cast("long").as("id"),
+        col("comp").cast("long").as("comp")))
+    val e = newEdges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    val endpoints = e.select(explode(array(col("a"), col("b"))).as("id"))
+      .distinct()
+    val touched = st.join(endpoints, Seq("id"), "left_semi")
+      .select(col("comp")).distinct()
+    val members = st.join(touched, Seq("comp"), "left_semi")
+    // star edges re-encode each touched component's connectivity exactly
+    val stars = members.where(col("id") =!= col("comp"))
+      .select(col("id").as("a"), col("comp").as("b"))
+    val recomputed =
+      connectedComponents(stars.unionByName(e), "a", "b")
+    st.join(touched, Seq("comp"), "left_anti")
+      .select(col("id"), col("comp"))
+      .unionByName(recomputed)
+  }
+
   /** Cluster representatives: one keeper per component (the min id), plus the
     * component size — the "which docs survive dedup" projection. */
   def keepers(components: DataFrame): DataFrame =

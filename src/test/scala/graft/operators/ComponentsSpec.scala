@@ -214,6 +214,41 @@ class ComponentsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("connectedComponentsIncremental ≡ full recompute on arbitrary splits") {
+    // the same pseudo-random graph as the closure test, split 3 ways
+    val all = (0 until 80).map { i =>
+      ((i * 37 + 11) % 60L, (i * 53 + 29) % 60L)
+    }.filter { case (a, b) => a != b }
+    for (mod <- Seq(2, 3, 5)) {
+      val old = all.filter { case (a, b) => (a + b) % mod != 0 }.toDF("a", "b")
+      val batch = all.filter { case (a, b) => (a + b) % mod == 0 }.toDF("a", "b")
+      val standing = Components.connectedComponents(old, "a", "b")
+      val inc = Components.connectedComponentsIncremental(
+          standing, batch, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val full = Components.connectedComponents(all.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      graft.core.CacheScope.drain()
+      assert(inc == full, s"split mod $mod")
+    }
+  }
+
+  test("connectedComponentsIncremental: merge, pass-through, fresh nodes") {
+    // standing: {1,2,3} comp 1, {10,11} comp 10, {20,21} comp 20
+    val old = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a", "b")
+    val standing = Components.connectedComponents(old, "a", "b")
+    // batch: bridge 3-10 (merges comps 1 and 10), fresh pair 30-31;
+    // comp 20 untouched
+    val batch = Seq((3L, 10L), (30L, 31L)).toDF("a", "b")
+    val got = Components.connectedComponentsIncremental(
+        standing, batch, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 10L, 11L).forall(got(_) == 1L)) // merged to min
+    assert(got(20L) == 20L && got(21L) == 20L)             // untouched
+    assert(got(30L) == 30L && got(31L) == 30L)             // fresh
+    assert(got.size == 9)
+  }
+
   test("linkPrediction: square graph scores both diagonals, nothing else") {
     // square 1-2-3-4-1: diagonals (1,3) and (2,4) share two neighbors each;
     // every adjacent pair is excluded
