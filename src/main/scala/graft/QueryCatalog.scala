@@ -4125,6 +4125,34 @@ object QueryCatalog {
       SELECT CAST(id AS BIGINT) AS id, CAST(min(comp) AS BIGINT) AS comp
       FROM walk GROUP BY 1 ORDER BY 1"""))
 
+  /** Numeric column profiling ([[graft.operators.DataChecks.numericProfile]]):
+    * equal-width histograms per column off the column's own min/max — one
+    * unpivot, one broadcast stats row, one bounded aggregate. Bin
+    * arithmetic mirrored token-for-token so boundary doubles land in the
+    * same bucket in both engines. */
+  private val q141 = QuerySpec(
+    "q141_numeric_profile",
+    (s, dir) => graft.operators.DataChecks.numericProfile(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), bins = 10)
+      .orderBy("col_name", "bin"),
+    Some("""WITH x AS (
+        SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS x
+          FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+          FROM lineitem
+        UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE)
+          FROM lineitem),
+      st AS (SELECT col_name, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1),
+      b AS (SELECT x.col_name,
+          CASE WHEN x IS NULL THEN -1
+               WHEN mx = mn THEN 0
+               ELSE least(CAST(floor(((x - mn) * 10) / (mx - mn)) AS BIGINT),
+                 9) END AS bin
+        FROM x JOIN st USING (col_name))
+      SELECT col_name, CAST(bin AS BIGINT) AS bin, count(*) AS n_rows
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4140,5 +4168,5 @@ object QueryCatalog {
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139, q140)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141)
 }

@@ -108,4 +108,34 @@ object DataChecks {
         (col("violations") === 0L).as("passed"))
       .orderBy("check")
   }
+
+  /** Equal-width histogram profile of numeric columns — the distribution
+    * companion to [[audit]]'s expectation totals: per column, row counts in
+    * `bins` equal-width buckets between the column's own min and max
+    * (nulls to bin −1, a constant column collapses to bin 0). The standard
+    * profiling pass before choosing gates, bin edges, or skew salts.
+    *
+    * Scale shape: one unpivot (no shuffle — an Expand over the scan), one
+    * |cols|-row min/max aggregate broadcast back, then a
+    * (column, bin)-keyed aggregate whose partials collapse map-side to
+    * |cols|·(bins+1) rows per partition. Bin arithmetic is mirrored
+    * token-for-token by the oracle so boundary doubles land identically. */
+  def numericProfile(df: DataFrame, cols: Seq[String],
+      bins: Int = 10): DataFrame = {
+    require(cols.nonEmpty && bins >= 1, "need columns and bins >= 1")
+    val stacked = df
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .unpivot(Array.empty, cols.map(col).toArray, "col_name", "x")
+    val stats = stacked.groupBy("col_name")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    stacked.join(broadcast(stats), "col_name")
+      .withColumn("bin",
+        when(col("x").isNull, lit(-1L))
+          .when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor(((col("x") - col("mn")) * bins) / (col("mx") - col("mn"))),
+            lit(bins - 1L)).cast("long")))
+      .groupBy(col("col_name"), col("bin"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
 }

@@ -234,4 +234,27 @@ class IncrementalSpec extends SparkSpec {
     assert(got.head.getLong(1) == 6L) // c12
     assert(got.head.getLong(4) > 0L)  // pmi_micro strictly positive
   }
+
+  test("numericProfile: exact bins, null bucket, constant column, conservation") {
+    import spark.implicits._
+    val df = Seq(
+      (0.0, 5.0, Some(1.0)), (10.0, 5.0, Some(2.0)), (5.0, 5.0, None),
+      (9.99, 5.0, Some(3.0)), (1.0, 5.0, Some(4.0))
+    ).toDF("a", "c", "n")
+    val got = graft.operators.DataChecks.numericProfile(
+        df, Seq("a", "c", "n"), bins = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a ∈ [0,10]: 0.0→bin 0, 1.0→bin 1, 5.0→bin 5, 9.99→bin 9, 10.0→bin 9
+    assert(got(("a", 0L)) == 1L && got(("a", 1L)) == 1L &&
+      got(("a", 5L)) == 1L && got(("a", 9L)) == 2L)
+    // constant column: everything in bin 0
+    assert(got(("c", 0L)) == 5L)
+    // null lands in bin −1 (unpivot must RETAIN nulls for this to hold)
+    assert(got(("n", -1L)) == 1L)
+    // per-column conservation: every row lands in exactly one bucket
+    Seq("a", "c", "n").foreach { c =>
+      assert(got.collect { case ((`c`, _), v) => v }.sum == 5L, c)
+    }
+  }
 }
