@@ -4153,6 +4153,53 @@ object QueryCatalog {
       SELECT col_name, CAST(bin AS BIGINT) AS bin, count(*) AS n_rows
       FROM b GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** SCD2 temporal enrichment — facts joined to the dimension VERSION
+    * valid at event time, composed from [[graft.operators.Incremental.scd2]]
+    * (the version intervals) and [[graft.operators.AsofJoin.backward]]
+    * (valid_from is the as-of key; intervals tile, so at-or-before the
+    * start IS containment — no interval join, no range explosion). The
+    * every-warehouse query "which dimension version did this fact see":
+    * purchases enriched with the user's click/view/signup regime. */
+  private val q142 = QuerySpec(
+    "q142_scd2_enrich",
+    (s, dir) => {
+      import graft.operators.{AsofJoin, Incremental}
+      val ev = t(s, dir, "events")
+      val dim = Incremental.scd2(
+        ev.where(col("event_type").isin("click", "view", "signup"))
+          .select("user_id", "ts", "event_id", "event_type"),
+        "user_id", Seq("ts", "event_id"), "event_type")
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsofJoin.backward(facts,
+          dim.select(col("user_id"), col("valid_from").as("ts"),
+            col("event_type").as("regime"), col("version")),
+          Seq("user_id"), "ts", Seq("regime", "version"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("asof_regime").as("regime"),
+          col("asof_version").as("version"))
+        .orderBy("event_id")
+    },
+    Some("""WITH src AS (SELECT user_id, epoch_ns(ts) AS ts, event_id,
+        event_type FROM events
+        WHERE event_type IN ('click', 'view', 'signup')),
+      o AS (SELECT user_id, ts, event_id, event_type,
+          row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+        FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      r AS (SELECT * FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+      v AS (SELECT user_id, event_type, ts AS valid_from,
+          lead(ts) OVER w2 AS valid_to,
+          CAST(row_number() OVER w2 AS INTEGER) AS version
+        FROM r WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      p AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, value FROM events
+        WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, p.value,
+        v.event_type AS regime, v.version
+      FROM p LEFT JOIN v ON v.user_id = p.user_id
+        AND v.valid_from <= p.ts
+        AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+      ORDER BY p.event_id"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4168,5 +4215,5 @@ object QueryCatalog {
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139, q140, q141)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
 }

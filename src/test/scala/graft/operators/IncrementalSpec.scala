@@ -235,6 +235,27 @@ class IncrementalSpec extends SparkSpec {
     assert(got.head.getLong(4) > 0L)  // pmi_micro strictly positive
   }
 
+  test("scd2 + as-of enrichment: boundary fact takes the NEW version, " +
+      "pre-history fact takes none") {
+    import spark.implicits._
+    val dimSrc = Seq( // regime A at ts 10, regime B at ts 30
+      (1L, 10L, 1L, "A"), (1L, 30L, 2L, "B")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val dim = graft.operators.Incremental.scd2(dimSrc, "user_id",
+      Seq("ts", "event_id"), "event_type")
+    val facts = Seq( // before history, mid-A, exactly at B's start, after
+      (1L, 5L, 10L), (1L, 20L, 11L), (1L, 30L, 12L), (1L, 99L, 13L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = graft.operators.AsofJoin.backward(facts,
+        dim.select(col("user_id"), col("valid_from").as("ts"),
+          col("event_type").as("regime"), col("version")),
+        Seq("user_id"), "ts", Seq("regime", "version"))
+      .select(col("event_id"), col("asof_regime"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(10L -> None, 11L -> Some("A"),
+      12L -> Some("B"), 13L -> Some("B")))
+  }
+
   test("numericProfile: exact bins, null bucket, constant column, conservation") {
     import spark.implicits._
     val df = Seq(
