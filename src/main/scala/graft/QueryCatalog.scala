@@ -4200,6 +4200,84 @@ object QueryCatalog {
         AND (v.valid_to IS NULL OR p.ts < v.valid_to)
       ORDER BY p.event_id"""))
 
+  /** A/B experiment lift: variant = parity of the k prop on each user's
+    * FIRST event (deterministic assignment from the payload), conversion =
+    * any purchase; per-variant user counts, converted counts, and exact
+    * micro conversion rates (integer division), plus risk ratio vs
+    * variant 0 as (1e6·conv·users₀) div (conv₀·users) — integer products
+    * only, never a float rate ratio. */
+  private val q143 = QuerySpec(
+    "q143_experiment_lift",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val assigned = t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("isconv",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("rn") === 1,
+            get_json_object(col("props"), "$.k").cast("long") % 2))
+            .as("variant"),
+          max(col("isconv")).as("converted"))
+      val per = assigned.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      val base = per.where(col("variant") === 0)
+        .select(col("n_users").as("u0"), col("n_conv").as("c0"))
+      per.crossJoin(broadcast(base))
+        .select(col("variant"), col("n_users"), col("n_conv"),
+          expr("(1000000L * n_conv) div n_users").as("rate_micro"),
+          expr("(1000000L * n_conv * u0) div (c0 * n_users)")
+            .as("risk_ratio_micro"))
+        .orderBy(col("variant"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id,
+        event_type, props FROM events),
+      r AS (SELECT user_id, event_type, props,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS rn FROM e),
+      assigned AS (SELECT user_id,
+          max(CASE WHEN rn = 1 THEN
+            CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 END)
+            AS variant,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS converted
+        FROM r GROUP BY 1),
+      per AS (SELECT variant, count(*) AS n_users,
+          CAST(sum(converted) AS BIGINT) AS n_conv
+        FROM assigned GROUP BY 1),
+      base AS (SELECT n_users AS u0, n_conv AS c0 FROM per WHERE variant = 0)
+      SELECT variant, n_users, n_conv,
+        CAST((1000000 * n_conv) // n_users AS BIGINT) AS rate_micro,
+        CAST((1000000 * n_conv * u0) // (c0 * n_users) AS BIGINT)
+          AS risk_ratio_micro
+      FROM per CROSS JOIN base ORDER BY variant"""))
+
+  /** Exact-integer OLS trend slopes per event type
+    * ([[graft.operators.EventOps.dailyTrendSlopes]]): the rational slope
+    * (num, den) as longs plus a double-rounded micro slope, mirrored
+    * token-for-token. */
+  private val q144 = QuerySpec(
+    "q144_trend_slopes",
+    (s, dir) => graft.operators.EventOps.dailyTrendSlopes(
+        t(s, dir, "events"), "event_type")
+      .orderBy("event_type"),
+    Some("""WITH d AS (SELECT event_type, epoch_ns(ts) // 86400000000000
+          AS x, count(*) AS y
+        FROM events GROUP BY 1, 2),
+      agg AS (SELECT event_type, count(*) AS n_days,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * y) AS BIGINT) AS sxy,
+          CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM d GROUP BY 1)
+      SELECT event_type, n_days,
+        CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+        CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+        CASE WHEN n_days * sxx - sx * sx <> 0 THEN
+          CAST(floor((1000000.0 * (n_days * sxy - sx * sy))
+            / (n_days * sxx - sx * sx) + 0.5) AS BIGINT) END AS slope_micro
+      FROM agg ORDER BY event_type"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4215,5 +4293,6 @@ object QueryCatalog {
     q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109,
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
+    q143, q144)
 }

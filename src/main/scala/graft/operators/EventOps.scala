@@ -531,6 +531,40 @@ object EventOps {
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
+  /** Per-type daily-volume trend slopes by exact integer least squares —
+    * "is this event type growing or decaying, and how fast": x = day
+    * number, y = that day's count, OLS slope = (nΣxy − ΣxΣy)/(nΣx² −
+    * (Σx)²). Numerator and denominator are emitted as exact longs (the
+    * rational slope), plus `slope_micro` = round(1e6·num/den) computed in
+    * double — exact cross-engine because both operands stay far under
+    * 2^53 (documented bound: |1e6·num| < 2^53 up to ~10⁹ events/day/type).
+    * Days with no events contribute nothing (count 0 days are absent, not
+    * zero — the standard sparse-series convention; densify upstream with
+    * the q53 gap-fill if zeros should weigh in).
+    *
+    * Scale shape: one (type, day) aggregate (map-side collapse to
+    * |types|·|days| rows), then a |types|-row aggregate — the corpus
+    * never moves twice. */
+  def dailyTrendSlopes(events: DataFrame, typeCol: String): DataFrame = {
+    val dayNanos = 86400000000000L
+    events
+      .select(col(typeCol).as("t"), expr(s"ts div ${dayNanos}L").as("x"))
+      .groupBy(col("t"), col("x"))
+      .agg(count(lit(1)).as("y"))
+      .groupBy(col("t").as(typeCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col(typeCol), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("slope_micro",
+        when(col("slope_den") =!= 0,
+          floor((lit(1000000.0) * col("slope_num")) / col("slope_den") + 0.5)
+            .cast("long")))
+  }
+
   def sessionTrigrams(events: DataFrame, keyCol: String,
       gapSec: Long = 1800, topK: Int = 25): DataFrame = {
     require(gapSec >= 1 && topK >= 1, "gapSec >= 1, topK >= 1")

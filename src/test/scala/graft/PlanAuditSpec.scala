@@ -363,7 +363,8 @@ class PlanAuditSpec extends SparkSpec {
       "q137_rrf_hybrid",     // ranks over the two ≤100-row top-k cuts +
                              //   the (N, avgdl) 1-row corpus stats
       "q138_association_rules", // N-baskets 1-row agg + the ≤topK rank
-      "q139_rfm_scores"      // percentile-boundary 1-row aggregate
+      "q139_rfm_scores",     // percentile-boundary 1-row aggregate
+      "q143_experiment_lift" // variant-0 baseline 1-row aggregate
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")

@@ -244,6 +244,24 @@ class EventOpsSpec extends SparkSpec {
     assert(score(24) == score(40)) // identical trailing-24 content
   }
 
+  test("dailyTrendSlopes: exact rational slope on hand-built series") {
+    import spark.implicits._
+    val day = 86400000000000L
+    val ev = // "up": 1,2,3 events on days 0,1,2 → slope exactly 1/day;
+             // "flat": 2,2 on days 0,1 → slope 0
+      (Seq((1L, "up")) ++ Seq.fill(2)((day + 1, "up")) ++
+        Seq.fill(3)((2 * day + 1, "up")) ++
+        Seq.fill(2)((1L, "flat")) ++ Seq.fill(2)((day + 1, "flat")))
+        .zipWithIndex.map { case ((t, ty), i) => (i.toLong, t, 1L, ty, 0.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.dailyTrendSlopes(ev, "event_type")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // up: n=3 sx=3 sy=6 sxy=8 sxx=5 → num 6, den 6 → 1e6 micro
+    assert(got("up") == ((3L, 6L, 6L, 1000000L)))
+    assert(got("flat") == ((2L, 0L, 1L, 0L))) // den = 2·1 − 1² = 1
+  }
+
   test("rfmScores: strictly-increasing metrics score the exact 1..5 ladder") {
     import spark.implicits._
     // user k: k purchases of value 10k, latest at ts 1000k → every metric
