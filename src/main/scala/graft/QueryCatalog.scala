@@ -4278,6 +4278,23 @@ object QueryCatalog {
             / (n_days * sxx - sx * sx) + 0.5) AS BIGINT) END AS slope_micro
       FROM agg ORDER BY event_type"""))
 
+  /** k-anonymity audit
+    * ([[graft.operators.DataChecks.kAnonymityViolations]]): customer
+    * quasi-identifier classes (nation, market segment, acctbal sign)
+    * smaller than k — the linkable-row report. */
+  private val q145 = QuerySpec(
+    "q145_k_anonymity",
+    (s, dir) => graft.operators.DataChecks.kAnonymityViolations(
+        t(s, dir, "customer")
+          .withColumn("bal_sign", signum(col("c_acctbal")).cast("long")),
+        Seq("c_nationkey", "c_mktsegment", "bal_sign"), k = 8)
+      .orderBy("c_nationkey", "c_mktsegment", "bal_sign"),
+    Some("""SELECT c_nationkey, c_mktsegment,
+        CAST(sign(c_acctbal) AS BIGINT) AS bal_sign,
+        count(*) AS class_size
+      FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 8
+      ORDER BY 1, 2, 3"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4294,5 +4311,5 @@ object QueryCatalog {
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
-    q143, q144)
+    q143, q144, q145)
 }

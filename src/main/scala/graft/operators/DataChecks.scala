@@ -109,6 +109,24 @@ object DataChecks {
       .orderBy("check")
   }
 
+  /** k-anonymity audit — the re-identification risk report privacy reviews
+    * run before a table ships: every equivalence class of the
+    * quasi-identifier columns with FEWER than `k` members (small classes
+    * are the linkable rows), plus each class's size. An empty result IS
+    * the pass condition. The redaction ops ([[TextAnalysis.redact]]) strip
+    * direct identifiers; this audits what the remaining columns still
+    * leak in combination.
+    *
+    * Scale shape: one groupBy over the quasi columns (map-side partials),
+    * a size filter — never a self-join, never a sort. */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, "need quasi columns and k >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .where(col("class_size") < k)
+  }
+
   /** Equal-width histogram profile of numeric columns — the distribution
     * companion to [[audit]]'s expectation totals: per column, row counts in
     * `bins` equal-width buckets between the column's own min and max

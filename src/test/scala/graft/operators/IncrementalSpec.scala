@@ -256,6 +256,20 @@ class IncrementalSpec extends SparkSpec {
       12L -> Some("B"), 13L -> Some("B")))
   }
 
+  test("kAnonymityViolations: flags exactly the under-k classes") {
+    import spark.implicits._
+    val df = (Seq.fill(8)(("US", "A")) ++ Seq.fill(3)(("US", "B")) ++
+      Seq.fill(1)(("DE", "A"))).toDF("country", "seg")
+    val got = graft.operators.DataChecks.kAnonymityViolations(
+        df, Seq("country", "seg"), k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("US", "B") -> 3L, ("DE", "A") -> 1L))
+    // k = 2 passes every class of size >= 2
+    assert(graft.operators.DataChecks.kAnonymityViolations(
+      df, Seq("country", "seg"), k = 2).count() == 1L) // only the singleton
+  }
+
   test("numericProfile: exact bins, null bucket, constant column, conservation") {
     import spark.implicits._
     val df = Seq(
