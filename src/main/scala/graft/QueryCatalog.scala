@@ -4295,6 +4295,33 @@ object QueryCatalog {
       FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 8
       ORDER BY 1, 2, 3"""))
 
+  /** Distribution analytic windows (percent_rank / cume_dist / ntile) —
+    * the rank-statistics companions to q39's ordered windows, partitioned
+    * by nation so every window stays parallel (a global percent_rank is
+    * the data-sized single partition the plan audit forbids; per-group is
+    * the scalable form). Ordering key (acctbal, custkey) is unique, so the
+    * rank doubles are identical across engines. */
+  private val q146 = QuerySpec(
+    "q146_distribution_windows",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    },
+    Some("""SELECT c_nationkey, c_custkey,
+        round(percent_rank() OVER w, 6) AS pct_rank,
+        round(cume_dist() OVER w, 6) AS cume,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_nationkey, c_custkey"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4311,5 +4338,5 @@ object QueryCatalog {
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
-    q143, q144, q145)
+    q143, q144, q145, q146)
 }
