@@ -256,6 +256,50 @@ object StressMain {
       })
       println(s"STRESS funnel: $stats shipped=$outN")
       big.unpersist()
+    } else if (args.headOption.contains("graphinc")) {
+      // q140's scale claim, measured: absorb a 1% edge batch into standing
+      // labels vs re-closing the whole 5M-node graph. Same chain-heavy
+      // shape as `graph` mode; the batch is a deterministic 1% slice, so
+      // most chains are untouched and pass through the anti-join.
+      val nodes = args.lift(1).map(_.toLong).getOrElse(5000000L)
+      val chainLen = 1000L
+      import graft.operators.Components
+      val chains = s.range(nodes)
+        .where(col("id") % chainLen =!= chainLen - 1)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val cross = s.range(nodes / 10).select(
+        ((col("id") * 7919L) % nodes).as("a"),
+        ((col("id") * 104729L + 13L) % nodes).as("b"))
+      val edges = chains.union(cross).repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("materialize edges")(edges.count())
+      val isBatch = (col("a") * 31L + col("b")) % 100L === 0L // ~1%
+      val old = edges.where(!isBatch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batch = edges.where(isBatch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("materialize split")(old.count() + batch.count())
+      var standing: org.apache.spark.sql.DataFrame = null
+      time("standing = CC(old)")({
+        standing = Components.connectedComponents(old, "a", "b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        standing.count()
+      })
+      graft.core.CacheScope.drain() // release CC round blocks, keep standing
+      var incN = 0L
+      time("incremental absorb (1% batch)")({
+        val inc = Components.connectedComponentsIncremental(
+          standing, batch, "a", "b")
+        incN = inc.count(); incN
+      })
+      graft.core.CacheScope.drain()
+      var fullN = 0L
+      time("full recompute CC(all)")({
+        fullN = Components.connectedComponents(edges, "a", "b").count(); fullN
+      })
+      graft.core.CacheScope.drain()
+      println(s"STRESS graphinc rows: incremental=$incN full=$fullN " +
+        s"match=${incN == fullN}")
     } else if (args.headOption.contains("graph")) {
       // Chain-heavy graph: diameter ~chainLen inside every cluster — per-hop
       // label propagation would need ~chainLen Spark rounds; the union-find
