@@ -255,6 +255,45 @@ object Multimodal {
       envelope(decode(payload)._1, dims)
     def grid8(payload: Array[Byte]): Array[Float] =
       envelope(decode(payload)._1, 64)
+    /** Silence-split segmentation — the audio analog of text chunking:
+      * contiguous ACTIVE sample spans, where a span is a maximal run of
+      * RMS windows at or above `thresholdFrac` of the loudest window
+      * (scale-free: a quiet recording segments like a loud one). Returns
+      * [start, end) sample offsets. An all-silent (or empty) payload
+      * yields no spans. */
+    def activeSegments(payload: Array[Byte], windows: Int = 64,
+        thresholdFrac: Double = 0.1): Seq[(Long, Long)] = {
+      require(windows >= 1 && thresholdFrac > 0 && thresholdFrac <= 1,
+        "windows >= 1, thresholdFrac in (0, 1]")
+      val (s, _, _) = decode(payload)
+      if (s.isEmpty) return Nil
+      val rms = new Array[Double](windows)
+      var c = 0
+      while (c < windows) {
+        val lo = (c.toLong * s.length / windows).toInt
+        val hi = math.max(((c + 1).toLong * s.length / windows).toInt, lo + 1)
+        var acc = 0.0; var i = lo
+        while (i < hi && i < s.length) { acc += s(i) * s(i); i += 1 }
+        rms(c) = math.sqrt(acc / math.max(hi - lo, 1))
+        c += 1
+      }
+      val thr = rms.max * thresholdFrac
+      if (thr == 0) return Nil
+      val spans = Seq.newBuilder[(Long, Long)]
+      var start = -1L
+      c = 0
+      while (c < windows) {
+        val active = rms(c) >= thr
+        val lo = c.toLong * s.length / windows
+        val hi = (c + 1).toLong * s.length / windows
+        if (active && start < 0) start = lo
+        if (!active && start >= 0) { spans += ((start, lo)); start = -1 }
+        if (active && c == windows - 1) spans += ((start, hi))
+        c += 1
+      }
+      spans.result()
+    }
+
     def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
       require(targetW >= 1 && targetH >= 1, "target dims >= 1")
       val (s, rate, _) = decode(payload)
@@ -327,6 +366,20 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r =>
       r.copy(payload = codec.resize(r.payload, targetW, targetH))))
+  }
+
+  /** Distributed silence-split segmentation
+    * ([[WavCodec.activeSegments]] per row): one audio row in → one row per
+    * active span out (media_id, seg_idx, start_sample, end_sample) — the
+    * same narrow explode shape as [[sampleFrames]]; payloads never
+    * shuffle. */
+  def audioSegments(media: Dataset[MediaRow], windows: Int = 64,
+      thresholdFrac: Double = 0.1): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      WavCodec.activeSegments(r.payload, windows, thresholdFrac)
+        .zipWithIndex.map { case ((lo, hi), i) => (r.media_id, i, lo, hi) }
+    }.toDF("media_id", "seg_idx", "start_sample", "end_sample")
   }
 
   /** Frame sampling for video-like payloads: split the byte stream into

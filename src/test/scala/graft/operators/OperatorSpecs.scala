@@ -949,6 +949,51 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.embedBatched(media, 0))
   }
 
+  test("WavCodec.activeSegments: tone-silence-tone splits into exactly two spans") {
+    import spark.implicits._
+    // 9600 samples in 3 equal thirds: tone, silence, tone
+    val rate = 8000f
+    val n = 9600
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val third = i / (n / 3)
+      val v = if (third == 1) 0
+        else (math.sin(2 * math.Pi * 440 * i / rate) * 12000).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wavBytes = bos.toByteArray
+
+    val spans = Multimodal.WavCodec.activeSegments(wavBytes, windows = 96)
+    assert(spans.length == 2, s"expected 2 spans: $spans")
+    val Seq((s1, e1), (s2, e2)) = spans
+    // boundaries within one window (100 samples) of the true thirds
+    assert(s1 == 0L && math.abs(e1 - 3200L) <= 100)
+    assert(math.abs(s2 - 6400L) <= 100 && e2 == 9600L)
+    // all-silence payload → no spans, through the distributed path too
+    val silent = {
+      val z = new Array[Byte](2000)
+      val a2 = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(z), fmt, 1000L)
+      val b2 = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(a2,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, b2)
+      b2.toByteArray
+    }
+    val viaDf = Multimodal.audioSegments(Seq(
+        Multimodal.MediaRow(1L, "audio", wavBytes),
+        Multimodal.MediaRow(2L, "audio", silent)).toDS(),
+      windows = 96)
+    assert(viaDf.where(col("media_id") === 1L).count() == 2L)
+    assert(viaDf.where(col("media_id") === 2L).count() == 0L)
+  }
+
   test("WavCodec: real WAV decode — meta, energy envelope, perceptual dedup, resample") {
     import spark.implicits._
     // render a REAL 16-bit mono WAV in memory: `freq` Hz sine for the first
