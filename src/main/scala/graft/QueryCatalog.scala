@@ -4307,16 +4307,22 @@ object QueryCatalog {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
+      // floor(x·1e6 + 0.5), NOT round(x, 6): rank ratios land exactly on
+      // 6dp halves (333/640 = 0.5203125) where Spark HALF_UPs the
+      // shortest-decimal repr and DuckDB rounds the raw binary — floor
+      // acts on the identical binary double in both engines (the q119
+      // money-math rule applied to rank statistics)
       t(s, dir, "customer")
         .select(col("c_nationkey"), col("c_custkey"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"),
+          (floor(percent_rank().over(w) * 1e6 + 0.5) / 1e6).as("pct_rank"),
+          (floor(cume_dist().over(w) * 1e6 + 0.5) / 1e6).as("cume"),
           ntile(4).over(w).cast("long").as("quartile"))
         .orderBy(col("c_nationkey"), col("c_custkey"))
     },
     Some("""SELECT c_nationkey, c_custkey,
-        round(percent_rank() OVER w, 6) AS pct_rank,
-        round(cume_dist() OVER w, 6) AS cume,
+        floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0
+          AS pct_rank,
+        floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume,
         CAST(ntile(4) OVER w AS BIGINT) AS quartile
       FROM customer
       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
