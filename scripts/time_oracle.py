@@ -12,7 +12,7 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     con.execute("PRAGMA threads=32")
     for t in TABLES:
@@ -22,6 +22,8 @@ def main(sf_dir, out_dir):
         oracles = json.load(f)
     times = {}
     for name in sorted(oracles):
+        if name in skip:
+            continue
         sql = oracles[name]
         try:
             con.sql(sql).fetchall()  # discarded warm run
@@ -36,4 +38,7 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    # optional third arg: comma-separated query names to skip (e.g. q140's
+    # recursive closure, intractable for DuckDB at sf0.1)
+    main(sys.argv[1], sys.argv[2],
+         set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set())
