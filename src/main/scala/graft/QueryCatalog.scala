@@ -4328,6 +4328,49 @@ object QueryCatalog {
       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
       ORDER BY c_nationkey, c_custkey"""))
 
+  /** Label-propagation communities
+    * ([[graft.operators.Components.labelPropagation]]): 3 synchronous
+    * rounds over the co-purchase graph — density grouping next to q43's
+    * connectivity grouping. The oracle unrolls the rounds; argmax-count
+    * with min-label ties is a row_number in SQL and a min-struct in
+    * Spark — same total order. */
+  private val q147 = QuerySpec(
+    "q147_label_propagation",
+    (s, dir) => {
+      val items = t(s, dir, "lineitem").where(col("l_quantity") >= 35)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items.as("i").join(items.as("j"),
+          col("i.o") === col("j.o") && col("i.p") < col("j.p"))
+        .select(col("i.p").as("a"), col("j.p").as("b"))
+      graft.operators.Components.labelPropagation(pairs, "a", "b", rounds = 3)
+        .orderBy("id")
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_quantity >= 35),
+      canon AS (SELECT DISTINCT least(i.p, j.p) AS a, greatest(i.p, j.p) AS b
+        FROM items i JOIN items j ON i.o = j.o AND i.p < j.p),
+      und AS (SELECT a AS v, b AS x FROM canon
+        UNION ALL SELECT b, a FROM canon),
+      l0 AS (SELECT DISTINCT v AS id, v AS lbl FROM und),
+      c1 AS (SELECT u.v, l.lbl, count(*) AS c FROM und u
+        JOIN l0 l ON l.id = u.x GROUP BY 1, 2),
+      l1 AS (SELECT v AS id, lbl FROM (SELECT v, lbl, row_number()
+          OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM c1)
+        WHERE rn = 1),
+      c2 AS (SELECT u.v, l.lbl, count(*) AS c FROM und u
+        JOIN l1 l ON l.id = u.x GROUP BY 1, 2),
+      l2 AS (SELECT v AS id, lbl FROM (SELECT v, lbl, row_number()
+          OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM c2)
+        WHERE rn = 1),
+      c3 AS (SELECT u.v, l.lbl, count(*) AS c FROM und u
+        JOIN l2 l ON l.id = u.x GROUP BY 1, 2),
+      l3 AS (SELECT v AS id, lbl FROM (SELECT v, lbl, row_number()
+          OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM c3)
+        WHERE rn = 1)
+      SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS lbl
+      FROM l3 ORDER BY id"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4344,5 +4387,5 @@ object QueryCatalog {
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
-    q143, q144, q145, q146)
+    q143, q144, q145, q146, q147)
 }

@@ -202,6 +202,47 @@ object Components {
       .unionByName(recomputed)
   }
 
+  /** Synchronous label-propagation community detection, exactly `rounds`
+    * rounds: every node simultaneously adopts the most frequent label among
+    * its neighbors (smallest label on count ties) — where components find
+    * CONNECTIVITY, LP finds DENSITY (a bridge edge joins two components
+    * into one CC but LP keeps the two dense sides apart). Fixed-round
+    * synchronous updates are the deterministic form: the async variant's
+    * result depends on visit order, and sync-LP oscillations on bipartite
+    * structures are snapshotted identically by the oracle's unrolled
+    * rounds.
+    *
+    * Scale shape per round: one join of the 2m-row adjacency to the n-row
+    * label table (node-id hash exchange), a (node, label) count whose
+    * partials collapse map-side, and a min-struct argmax per node — no
+    * all-pairs, no per-node iteration, labels are the only state. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    val canon = graft.core.CacheScope.persist(edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct())
+    val adj = canon.select(col("a").as("v"), col("b").as("x"))
+      .unionAll(canon.select(col("b").as("v"), col("a").as("x")))
+    var labels = graft.core.CacheScope.persist(
+      adj.select(col("v").as("id")).distinct()
+        .withColumn("lbl", col("id")))
+    for (_ <- 1 to rounds) {
+      val next = graft.core.CacheScope.persist(adj
+        .join(labels.select(col("id").as("x"), col("lbl")), "x")
+        .groupBy(col("v"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        // argmax count, min label on ties: min(struct(-c, lbl))
+        .groupBy(col("v").as("id"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("best"))
+        .select(col("id"), col("best.lbl").as("lbl")))
+      labels = next
+    }
+    labels
+  }
+
   /** Cluster representatives: one keeper per component (the min id), plus the
     * component size — the "which docs survive dedup" projection. */
   def keepers(components: DataFrame): DataFrame =

@@ -249,6 +249,22 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size == 9)
   }
 
+  test("labelPropagation: bridged triangles stay two communities where CC merges them") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (3L, 10L)).toDF("a", "b")
+    val lp = Components.labelPropagation(edges, "a", "b", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // hand-walked synchronous rounds: left triangle converges to 1, right
+    // to 3 (the bridge carries label 3 into the right triangle at round 2)
+    assert(Seq(1L, 2L, 3L).forall(lp(_) == 1L), lp)
+    assert(Seq(10L, 11L, 12L).forall(lp(_) == 3L), lp)
+    // the same graph is ONE connected component — density vs connectivity
+    val cc = Components.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size == 1)
+  }
+
   test("linkPrediction: square graph scores both diagonals, nothing else") {
     // square 1-2-3-4-1: diagonals (1,3) and (2,4) share two neighbors each;
     // every adjacent pair is excluded
