@@ -4371,6 +4371,32 @@ object QueryCatalog {
       SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS lbl
       FROM l3 ORDER BY id"""))
 
+  /** Hashing-trick features ([[graft.operators.TextAnalysis.hashedFeatures]])
+    * summarized per bucket: collision load and total mass per feature
+    * index over the corpus (the featurizer's health check — a skewed
+    * bucket histogram means a bad dim). Row-level features are
+    * doc×min(tokens, dim) — the per-bucket rollup keeps the oracle
+    * output bounded while pinning every hash and weight. */
+  private val q148 = QuerySpec(
+    "q148_hashed_features",
+    (s, dir) => graft.operators.TextAnalysis.hashedFeatures(
+        t(s, dir, "documents"), "doc_id", "text", dim = 64)
+      .groupBy(col("feature_idx"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("total_weight"))
+      .orderBy("feature_idx"),
+    Some("""WITH tf AS (SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+          FROM documents)
+        WHERE tok <> '' GROUP BY 1, 2),
+      feat AS (SELECT doc_id,
+          (('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 + 64) % 64
+            AS feature_idx,
+          CAST(sum(tf) AS BIGINT) AS weight
+        FROM tf GROUP BY 1, 2)
+      SELECT feature_idx, count(*) AS n_docs,
+        CAST(sum(weight) AS BIGINT) AS total_weight
+      FROM feat GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4387,5 +4413,5 @@ object QueryCatalog {
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
-    q143, q144, q145, q146, q147)
+    q143, q144, q145, q146, q147, q148)
 }

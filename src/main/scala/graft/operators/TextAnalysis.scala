@@ -538,6 +538,32 @@ object TextAnalysis {
     }
   }
 
+  /** Hashing-trick bag-of-words featurization: each document's sparse
+    * feature vector as (id, feature_idx, weight) rows, where feature_idx =
+    * stableHash(token) mod `dim` and weight = total occurrences of the
+    * tokens colliding into that bucket. The fixed-width representation
+    * classifiers and linear probes train on without a vocabulary pass —
+    * and the engine-portable hash means the SAME features fall out of the
+    * oracle's SQL.
+    *
+    * Scale shape: per-row term counts come fused from
+    * [[graft.functions.TokenCounts]] (no occurrence-level shuffle); the
+    * one id-keyed aggregate collapses map-side because a row's explode
+    * output stays in its partition; output is bounded by
+    * min(distinct tokens, dim) rows per document. */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 1024): DataFrame = {
+    require(dim >= 2, "dim >= 2")
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .select(col("id"),
+        pmod(graft.functions.Hashing.stableHash(col("tc.tok")), lit(dim))
+          .as("feature_idx"),
+        col("tc.tf").as("tf"))
+      .groupBy(col("id"), col("feature_idx"))
+      .agg(sum(col("tf")).as("weight"))
+  }
+
   /** Intra-document repetition stats — the Gopher-style quality cut for
     * degenerate/templated text: `distinct_ratio` (unique tokens / tokens;
     * low = loops, keyword stuffing) and `top_token_share` (most frequent

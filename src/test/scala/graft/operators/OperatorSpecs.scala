@@ -531,6 +531,23 @@ class TextAnalysisSpec extends SparkSpec {
     Seq(text).toDF("text")
   }
 
+  test("hashedFeatures: weight conservation, index range, collision sum") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a c"), (2L, "a a a a")).toDF("doc_id", "text")
+    val rows = TextAnalysis.hashedFeatures(df, "doc_id", "text", dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every index inside [0, dim)
+    assert(rows.forall { case (_, i, _) => i >= 0 && i < 8 })
+    // per-doc weights conserve the token count
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byDoc == Map(1L -> 4L, 2L -> 4L))
+    // doc 2 is one token → exactly one bucket row
+    assert(rows.count(_._1 == 2L) == 1)
+    // same token hashes to the same bucket in both docs
+    val aBucket = rows.filter(_._1 == 2L).head._2
+    assert(rows.exists { case (d, i, w) => d == 1L && i == aBucket && w >= 2L })
+  }
+
   test("token counts and ratios on a constructed sentence") {
     val r = one("the cat, sat on 42 mats!").select(
       TextAnalysis.tokenCount(col("text")),
