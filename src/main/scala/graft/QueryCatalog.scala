@@ -4397,6 +4397,34 @@ object QueryCatalog {
         CAST(sum(weight) AS BIGINT) AS total_weight
       FROM feat GROUP BY 1 ORDER BY 1"""))
 
+  /** Bot-signature candidates ([[graft.operators.EventOps.botCandidates]]):
+    * machine-regular users by exact-integer cv² cross-multiplication —
+    * behavioral-corpus hygiene. The synthetic events are human-bursty, so
+    * the cv gate is loosened to surface the most regular tail
+    * deterministically. */
+  private val q149 = QuerySpec(
+    "q149_bot_candidates",
+    (s, dir) => graft.operators.EventOps.botCandidates(
+        t(s, dir, "events"), "user_id", Seq("ts", "event_id"),
+        minEvents = 10, cvNum = 4, cvDen = 5)
+      .orderBy("user_id"),
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id
+        FROM events),
+      g AS (SELECT user_id,
+          (ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+            // 1000000000 AS gap_s
+        FROM e),
+      agg AS (SELECT user_id, count(*) AS n_gaps,
+          CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+          CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_gap_sq
+        FROM g WHERE gap_s IS NOT NULL GROUP BY 1),
+      v AS (SELECT user_id, n_gaps, sum_gap_s,
+          n_gaps * sum_gap_sq - sum_gap_s * sum_gap_s AS var_num
+        FROM agg WHERE n_gaps >= 9 AND sum_gap_s > 0)
+      SELECT user_id, n_gaps, sum_gap_s, var_num
+      FROM v WHERE var_num * 5 <= sum_gap_s * sum_gap_s * 4
+      ORDER BY user_id"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4413,5 +4441,5 @@ object QueryCatalog {
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
-    q143, q144, q145, q146, q147, q148)
+    q143, q144, q145, q146, q147, q148, q149)
 }

@@ -565,6 +565,45 @@ object EventOps {
             .cast("long")))
   }
 
+  /** Bot-signature candidates: entities whose inter-arrival times are
+    * machine-regular — at least `minEvents` events and a squared
+    * coefficient of variation of the gaps at or below 1/`cvDenom`
+    * (metronome traffic; humans are bursty). The behavioral-corpus hygiene
+    * gate: scripted traffic poisons funnels, attribution, and any
+    * sequence-model training set.
+    *
+    * All exact integers, no float moments: gaps in whole seconds,
+    * cv² = (n·Σg² − (Σg)²)/(Σg)², and the threshold cv² ≤ cvNum/cvDen is
+    * the cross-multiplication `(n·Σg² − (Σg)²) · cvDen ≤ (Σg)² · cvNum`.
+    * Overflow bounds (documented): gaps ≤ 2.6e6 s (a month), ≤ ~10⁴
+    * gaps/user keeps every product under 2^63.
+    *
+    * Scale shape: one entity-key exchange (the lag window), one aggregate
+    * — partials collapse map-side; output only the flagged entities. */
+  def botCandidates(events: DataFrame, keyCol: String,
+      orderCols: Seq[String], minEvents: Long = 10,
+      cvNum: Long = 1, cvDen: Long = 20): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must pin a deterministic order")
+    require(minEvents >= 3 && cvNum >= 1 && cvDen >= 1,
+      "minEvents >= 3, cv threshold positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .where(col("prev_ts").isNotNull)
+      .withColumn("gap_s", expr("(ts - prev_ts) div 1000000000L"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sum_gap_s"),
+        sum(col("gap_s") * col("gap_s")).as("sum_gap_sq"))
+      .where(col("n_gaps") >= minEvents - 1 && col("sum_gap_s") > 0)
+      .withColumn("var_num",
+        col("n_gaps") * col("sum_gap_sq") - col("sum_gap_s") * col("sum_gap_s"))
+      .where(col("var_num") * cvDen <=
+        col("sum_gap_s") * col("sum_gap_s") * cvNum)
+      .select(col(keyCol), col("n_gaps"), col("sum_gap_s"), col("var_num"))
+  }
+
   def sessionTrigrams(events: DataFrame, keyCol: String,
       gapSec: Long = 1800, topK: Int = 25): DataFrame = {
     require(gapSec >= 1 && topK >= 1, "gapSec >= 1, topK >= 1")

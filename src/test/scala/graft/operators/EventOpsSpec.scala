@@ -244,6 +244,25 @@ class EventOpsSpec extends SparkSpec {
     assert(score(24) == score(40)) // identical trailing-24 content
   }
 
+  test("botCandidates: metronome flagged, bursty human and short history not") {
+    import spark.implicits._
+    val sec = 1000000000L
+    val ev =
+      // u1: 12 events exactly 10 s apart → var_num = 0 → flagged
+      (0 until 12).map(i => (1L, i * 10 * sec, 100L + i)) ++
+      // u2: bursty (1 s, then 1000 s, alternating) → huge cv² → not flagged
+      (0 until 12).map(i =>
+        (2L, (0 until i).map(j => if (j % 2 == 0) 1L else 1000L).sum * sec,
+          200L + i)) ++
+      // u3: metronome but only 5 events → below minEvents
+      (0 until 5).map(i => (3L, i * 10 * sec, 300L + i))
+    val got = EventOps.botCandidates(
+        ev.toDF("user_id", "ts", "event_id"), "user_id",
+        Seq("ts", "event_id"), minEvents = 10, cvNum = 1, cvDen = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 0L)) // exactly the metronome, zero variance
+  }
+
   test("dailyTrendSlopes: exact rational slope on hand-built series") {
     import spark.implicits._
     val day = 86400000000000L
