@@ -4425,6 +4425,58 @@ object QueryCatalog {
       FROM v WHERE var_num * 5 <= sum_gap_s * sum_gap_s * 4
       ORDER BY user_id"""))
 
+  /** Dedup landscape report: near-dup cluster-SIZE histogram over the q57
+    * closure plus the singleton row — the "how duplicated is this corpus"
+    * summary that sizes dedup's payoff before running it (n_docs −
+    * Σ n_clusters = rows dedup would remove). Cluster work is id-only;
+    * the singleton count is corpus-total minus clustered, two 1-row
+    * aggregates. */
+  private val q150 = QuerySpec(
+    "q150_dedup_landscape",
+    (s, dir) => {
+      import graft.operators.Components
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.minhashCandidates(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16)
+        .where(col("est_jaccard") >= 0.5)
+      val comp = graft.core.CacheScope.persist(
+        Components.connectedComponents(edges, "id_a", "id_b"))
+      val hist = comp.groupBy("comp")
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("cluster_size").as("n_docs"))
+      val totals = docs.agg(count(lit(1)).as("n_total"))
+        .crossJoin(broadcast(comp.agg(count(lit(1)).as("n_clustered"))))
+      val singletons = totals.select(
+        lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"),
+        (col("n_total") - col("n_clustered")).as("n_docs"))
+      singletons.unionByName(hist).orderBy("cluster_size")
+    },
+    Some(s"""WITH RECURSIVE ${minhashCtes(numHashes = 32, bands = 16)},
+      close_pairs AS (SELECT id_a, id_b FROM cand WHERE est_jaccard >= 0.5),
+      und AS (SELECT id_a AS a, id_b AS b FROM close_pairs
+        UNION SELECT id_b, id_a FROM close_pairs),
+      walk(id, comp) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.a, w.comp FROM und u JOIN walk w ON w.id = u.b),
+      membership AS (SELECT id, min(comp) AS component FROM walk GROUP BY 1),
+      sizes AS (SELECT component, count(*) AS cluster_size FROM membership
+        GROUP BY 1),
+      hist AS (SELECT cluster_size, count(*) AS n_clusters,
+          CAST(sum(cluster_size) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY 1),
+      singles AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+          (SELECT count(*) FROM documents)
+            - (SELECT count(*) FROM membership) AS n_clusters,
+          (SELECT count(*) FROM documents)
+            - (SELECT count(*) FROM membership) AS n_docs)
+      SELECT cluster_size, n_clusters, n_docs FROM singles
+      UNION ALL SELECT cluster_size, n_clusters, n_docs FROM hist
+      ORDER BY cluster_size"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4441,5 +4493,5 @@ object QueryCatalog {
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
-    q143, q144, q145, q146, q147, q148, q149)
+    q143, q144, q145, q146, q147, q148, q149, q150)
 }
