@@ -821,6 +821,64 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Running inter-arrival moments for [[botFlagAdvances]] (top-level for
+    * the state encoder): last event time (nanos) + exact gap sums. */
+  final case class GapState(lastNs: Long, nGaps: Long, sumGap: Long,
+      sumGapSq: Long, flagged: Boolean)
+
+  final case class BotFlag(user_id: Long, ts: Timestamp, n_gaps: Long,
+      sum_gap_s: Long, var_num: Long)
+
+  /** Live bot-signature monitor — the streaming twin of
+    * `graft.operators.EventOps.botCandidates`: per entity, the running
+    * (n, Σg, Σg²) inter-arrival moments in whole seconds (THREE longs of
+    * state — no event history), re-tested on every arrival with the same
+    * exact-integer cv² cross-multiplication; emits one [[BotFlag]] the
+    * FIRST time an entity crosses the threshold (flag transitions, not a
+    * firehose — dashboards want admissions, and downstream consumers
+    * treat the flag as sticky the way the batch gate does a snapshot).
+    *
+    * Ordering contract matches [[funnelAdvances]]: in-batch rows sort by
+    * full event time, so on in-order data the flagged set after any
+    * prefix equals the batch operator run over that prefix (spec-pinned;
+    * moments are fold-order-free sums, so even cross-batch disorder only
+    * perturbs WHICH event triggers the crossing, never the moments). */
+  def botFlagAdvances(events: Dataset[Event], minEvents: Long = 10,
+      cvNum: Long = 1, cvDen: Long = 20): Dataset[BotFlag] = {
+    require(minEvents >= 3 && cvNum >= 1 && cvDen >= 1, "bad thresholds")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[GapState]): Iterator[BotFlag] = {
+      var st = state.getOption.getOrElse(GapState(Long.MinValue, 0, 0, 0,
+        flagged = false))
+      val out = List.newBuilder[BotFlag]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        .foreach { e =>
+          val ns = e.ts.getTime * 1000000L + e.ts.getNanos % 1000000L
+          if (st.lastNs != Long.MinValue) {
+            val g = (ns - st.lastNs) / 1000000000L
+            st = st.copy(nGaps = st.nGaps + 1, sumGap = st.sumGap + g,
+              sumGapSq = st.sumGapSq + g * g)
+            val varNum = st.nGaps * st.sumGapSq - st.sumGap * st.sumGap
+            if (!st.flagged && st.nGaps >= minEvents - 1 && st.sumGap > 0 &&
+                varNum * cvDen <= st.sumGap * st.sumGap * cvNum) {
+              st = st.copy(flagged = true)
+              out += BotFlag(userId, e.ts, st.nGaps, st.sumGap, varNum)
+            }
+          }
+          st = st.copy(lastNs = ns)
+        }
+      state.update(st)
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Trailing value ring for [[decayAdvances]]: newest-first micro-unit
     * values, ≤ window entries (top-level for the state encoder). */
   final case class DecayState(recent: Seq[Long])

@@ -598,6 +598,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(done.length == 1 && done(0).getLong(0) == 1L)
   }
 
+  test("botFlagAdvances: one flag at the crossing, none for bursty, " +
+      "flagged set matches the batch gate") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def at(sec: Long) = new Timestamp(sec * 1000L)
+    // u1: metronome every 10 s, 12 events split across two batches — the
+    // crossing happens mid-batch-2; u2: alternating 1 s / 1000 s gaps
+    val u1 = (0 until 12).map(i => Event(100L + i, at(i * 10L), 1, "view", 0))
+    val u2 = (0 until 12).map { i =>
+      val t = (0 until i).map(j => if (j % 2 == 0) 1L else 1000L).sum
+      Event(200L + i, at(t), 2, "view", 0)
+    }
+    val (b1, b2) = (u1.take(6) ++ u2.take(6), u1.drop(6) ++ u2.drop(6))
+    val in = MemoryStream[Event]
+    val q = EventStreams.botFlagAdvances(in.toDS(), minEvents = 10,
+        cvNum = 1, cvDen = 20).toDF()
+      .writeStream.format("memory").queryName("botflags")
+      .outputMode("append").start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val flags = spark.table("botflags").collect()
+    assert(flags.length == 1 && flags(0).getLong(0) == 1L, flags.toSeq)
+    assert(flags(0).getLong(4) == 0L) // metronome: zero variance numerator
+    // the flagged set equals the batch operator over the full history
+    val batchFlagged = graft.operators.EventOps.botCandidates(
+        (u1 ++ u2).toDF().withColumn("ts", expr("CAST(ts AS LONG) * 1000000000")),
+        "user_id", Seq("ts", "event_id"), minEvents = 10,
+        cvNum = 1, cvDen = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(batchFlagged == Set(1L))
+  }
+
   test("decayAdvances: latest live score per user equals the batch operator, " +
       "ring state carries across batches and truncates at the window") {
     import spark.implicits._
