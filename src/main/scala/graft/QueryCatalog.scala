@@ -4477,6 +4477,36 @@ object QueryCatalog {
       UNION ALL SELECT cluster_size, n_clusters, n_docs FROM hist
       ORDER BY cluster_size"""))
 
+  /** Cohort LTV curves ([[graft.operators.EventOps.cohortLtv]]): the
+    * revenue companion to q116's retention cohorts — per (cohort_day,
+    * offset) purchase revenue and the running cumulative, micro-exact with
+    * cents conversion once per output row. */
+  private val q151 = QuerySpec(
+    "q151_cohort_ltv",
+    (s, dir) => graft.operators.EventOps.cohortLtv(
+        t(s, dir, "events"), "user_id", "event_type", "value", "purchase")
+      .orderBy("cohort_day", "day_offset"),
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS d,
+        event_type, value FROM events),
+      fd AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1),
+      cells AS (SELECT fd.cohort_day, e.d - fd.cohort_day AS day_offset,
+          count(*) AS n_purchases,
+          CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+            AS cell_micro
+        FROM e JOIN fd ON fd.user_id = e.user_id
+        WHERE event_type = 'purchase' GROUP BY 1, 2),
+      cum AS (SELECT cohort_day, day_offset, n_purchases, cell_micro,
+          CAST(sum(cell_micro) OVER (PARTITION BY cohort_day
+            ORDER BY day_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS cum_micro
+        FROM cells)
+      SELECT cohort_day, day_offset, n_purchases,
+        CAST(floor(CAST(cell_micro + 5000 AS DOUBLE) / 10000.0) AS DOUBLE)
+          / 100.0 AS revenue,
+        CAST(floor(CAST(cum_micro + 5000 AS DOUBLE) / 10000.0) AS DOUBLE)
+          / 100.0 AS cum_revenue
+      FROM cum ORDER BY cohort_day, day_offset"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4493,5 +4523,5 @@ object QueryCatalog {
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
-    q143, q144, q145, q146, q147, q148, q149, q150)
+    q143, q144, q145, q146, q147, q148, q149, q150, q151)
 }

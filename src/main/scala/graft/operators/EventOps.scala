@@ -604,6 +604,40 @@ object EventOps {
       .select(col(keyCol), col("n_gaps"), col("sum_gap_s"), col("var_num"))
   }
 
+  /** Cohort LTV curves — the revenue companion to [[retentionCohorts]]:
+    * entities cohorted by first-activity day; for each (cohort_day,
+    * day_offset) the purchase count, that cell's revenue, and the RUNNING
+    * cumulative revenue — the "how much has the day-N cohort earned by
+    * day N+k" curve that pays for acquisition decisions.
+    *
+    * Money math: per-cell micro-unit integer sums (the attribution
+    * discipline), cumulated in MICRO space over the bounded
+    * |days|²-cell grid window (cumulating the rounded cents would drift),
+    * converted to cents once per output row. One event shuffle for the
+    * cohort join, one bounded-grid aggregate + window. */
+  def cohortLtv(events: DataFrame, keyCol: String, typeCol: String,
+      valueCol: String, convType: String): DataFrame = {
+    val dayNanos = 86400000000000L
+    val day = expr(s"ts div ${dayNanos}L")
+    val firstDay = events.groupBy(col(keyCol))
+      .agg(min(day).as("cohort_day"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def cents(micro: Column): Column =
+      (floor((micro + lit(5000L)).cast("double") / 10000.0)
+        .cast("double") / 100.0)
+    events.where(col(typeCol) === convType)
+      .select(col(keyCol), day.as("d"),
+        floor(col(valueCol) * 1e6 + 0.5).cast("long").as("micro"))
+      .join(firstDay, keyCol)
+      .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("micro")).as("cell_micro"))
+      .withColumn("cum_micro", sum(col("cell_micro")).over(w))
+      .select(col("cohort_day"), col("day_offset"), col("n_purchases"),
+        cents(col("cell_micro")).as("revenue"),
+        cents(col("cum_micro")).as("cum_revenue"))
+  }
+
   def sessionTrigrams(events: DataFrame, keyCol: String,
       gapSec: Long = 1800, topK: Int = 25): DataFrame = {
     require(gapSec >= 1 && topK >= 1, "gapSec >= 1, topK >= 1")

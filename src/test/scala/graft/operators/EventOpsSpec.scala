@@ -244,6 +244,27 @@ class EventOpsSpec extends SparkSpec {
     assert(score(24) == score(40)) // identical trailing-24 content
   }
 
+  test("cohortLtv: cells, offsets from first ANY-type event, exact cumulative") {
+    import spark.implicits._
+    val day = 86400000000000L
+    val ev = Seq(
+      // u1: cohort day 0 (a view), buys 10.00 on day 0 and 5.50 on day 2
+      (1L, 0L, 1L, "view", 0.0), (1L, 1L, 2L, "purchase", 10.0),
+      (1L, 2 * day, 3L, "purchase", 5.5),
+      // u2: cohort day 2, buys 1.25 same day
+      (2L, 2 * day, 4L, "purchase", 1.25)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = EventOps.cohortLtv(ev, "user_id", "event_type", "value",
+        "purchase")
+      .orderBy("cohort_day", "day_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 1L, 10.0, 10.0),
+      (0L, 2L, 1L, 5.5, 15.5),   // cumulative in micro space: exact 15.50
+      (2L, 0L, 1L, 1.25, 1.25)))
+  }
+
   test("botCandidates: metronome flagged, bursty human and short history not") {
     import spark.implicits._
     val sec = 1000000000L
