@@ -4507,6 +4507,90 @@ object QueryCatalog {
           / 100.0 AS cum_revenue
       FROM cum ORDER BY cohort_day, day_offset"""))
 
+  /** Shipping-lag distribution per order priority: exact interpolated
+    * percentiles of (l_shipdate − o_orderdate) in days — the fulfillment
+    * SLA view over the relational side (q48's percentile ≡ quantile_cont
+    * contract; datediff is exact integer days in both engines). */
+  private val q152 = QuerySpec(
+    "q152_shipping_lag",
+    (s, dir) => t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_d"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        min(col("lag_d")).as("min_lag"),
+        expr("percentile(lag_d, array(0.5D, 0.9D, 0.99D))").as("p"),
+        max(col("lag_d")).as("max_lag"))
+      .select(col("o_orderpriority"), col("n_lines"), col("min_lag"),
+        element_at(col("p"), 1).as("p50"),
+        element_at(col("p"), 2).as("p90"),
+        element_at(col("p"), 3).as("p99"),
+        col("max_lag"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, count(*) AS n_lines,
+        CAST(min(datediff('day', o_orderdate, l_shipdate)) AS BIGINT)
+          AS min_lag,
+        quantile_cont(CAST(datediff('day', o_orderdate, l_shipdate)
+          AS DOUBLE), 0.5) AS p50,
+        quantile_cont(CAST(datediff('day', o_orderdate, l_shipdate)
+          AS DOUBLE), 0.9) AS p90,
+        quantile_cont(CAST(datediff('day', o_orderdate, l_shipdate)
+          AS DOUBLE), 0.99) AS p99,
+        CAST(max(datediff('day', o_orderdate, l_shipdate)) AS BIGINT)
+          AS max_lag
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Per-nation ABC (Pareto) customer classes: rank customers by revenue
+    * within their nation, class A = the head covering ≤ 70% of nation
+    * revenue, B to ≤ 90%, C the tail — cumulative shares tested by exact
+    * integer cross-multiplication of micro sums (no float share forms).
+    * Partitioned windows keep the rank parallel per nation. */
+  private val q153 = QuerySpec(
+    "q153_abc_classes",
+    (s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      val cust = t(s, dir, "customer")
+        .join(rev, col("c_custkey") === col("o_custkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("cents").desc, col("c_custkey"))
+      val cum = cust
+        .withColumn("cum_cents", sum(col("cents")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .withColumn("nation_cents", sum(col("cents")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("c_nationkey"))))
+      cum.select(col("c_nationkey"), col("c_custkey"), col("cents"),
+          when(col("cum_cents") * 100 <= col("nation_cents") * 70, "A")
+            .when(col("cum_cents") * 100 <= col("nation_cents") * 90, "B")
+            .otherwise("C").as("abc"))
+        .orderBy("c_nationkey", "c_custkey")
+    },
+    Some("""WITH rev AS (SELECT o_custkey, CAST(sum(CAST(floor(
+          o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      cust AS (SELECT c_nationkey, c_custkey, cents
+        FROM customer JOIN rev ON o_custkey = c_custkey),
+      cum AS (SELECT c_nationkey, c_custkey, cents,
+          CAST(sum(cents) OVER (PARTITION BY c_nationkey
+            ORDER BY cents DESC, c_custkey ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_cents,
+          CAST(sum(cents) OVER (PARTITION BY c_nationkey) AS BIGINT)
+            AS nation_cents
+        FROM cust)
+      SELECT c_nationkey, c_custkey, cents,
+        CASE WHEN cum_cents * 100 <= nation_cents * 70 THEN 'A'
+             WHEN cum_cents * 100 <= nation_cents * 90 THEN 'B'
+             ELSE 'C' END AS abc
+      FROM cum ORDER BY c_nationkey, c_custkey"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4523,5 +4607,5 @@ object QueryCatalog {
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
-    q143, q144, q145, q146, q147, q148, q149, q150, q151)
+    q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153)
 }
