@@ -4591,6 +4591,72 @@ object QueryCatalog {
              ELSE 'C' END AS abc
       FROM cum ORDER BY c_nationkey, c_custkey"""))
 
+  /** Seasonality grid: events per (day-of-week, hour) with per-cell value
+    * totals — the traffic-shape heatmap (epoch-day arithmetic keeps dow
+    * engine-portable: 1970-01-01 was a Thursday, dow = (epoch_day + 4)
+    * mod 7 with 0 = Sunday, no locale-dependent date function). */
+  private val q154 = QuerySpec(
+    "q154_seasonality_grid",
+    (s, dir) => t(s, dir, "events")
+      .select(
+        expr("pmod(ts div 86400000000000L + 4, 7)").as("dow"),
+        expr("(ts div 3600000000000L) % 24").as("hour"),
+        col("value"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        (floor((sum(floor(col("value") * 1e6 + 0.5).cast("long")) +
+            lit(5000L)).cast("double") / 10000.0).cast("double") / 100.0)
+          .as("total_value"))
+      .orderBy("dow", "hour"),
+    Some("""SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+        (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+        count(*) AS n_events,
+        CAST(floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+          + 5000 AS DOUBLE) / 10000.0) AS DOUBLE) / 100.0 AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Growth accounting: per day, the classic active-user decomposition —
+    * new (first-ever day), retained (also active the previous day),
+    * resurrected (a gap before today), plus how many of today's actives
+    * churn (no activity tomorrow). One user-keyed lag/lead window over the
+    * per-user distinct-day table, then a bounded |days| aggregate. */
+  private val q155 = QuerySpec(
+    "q155_growth_accounting",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("d"))
+      t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000L").as("d"))
+        .distinct()
+        .withColumn("prev_d", lag(col("d"), 1).over(w))
+        .withColumn("next_d", lead(col("d"), 1).over(w))
+        .groupBy(col("d").as("day"))
+        .agg(
+          sum(when(col("prev_d").isNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("prev_d") === col("d") - 1, 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("prev_d").isNotNull && col("prev_d") < col("d") - 1,
+            1L).otherwise(0L)).as("n_resurrected"),
+          sum(when(col("next_d").isNull || col("next_d") > col("d") + 1,
+            1L).otherwise(0L)).as("n_churning"))
+        .orderBy("day")
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+        epoch_ns(ts) // 86400000000000 AS d FROM events),
+      lagged AS (SELECT user_id, d,
+          lag(d) OVER w AS prev_d, lead(d) OVER w AS next_d
+        FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY d))
+      SELECT d AS day,
+        CAST(sum(CASE WHEN prev_d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new,
+        CAST(sum(CASE WHEN prev_d = d - 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_retained,
+        CAST(sum(CASE WHEN prev_d IS NOT NULL AND prev_d < d - 1
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        CAST(sum(CASE WHEN next_d IS NULL OR next_d > d + 1
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_churning
+      FROM lagged GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4607,5 +4673,6 @@ object QueryCatalog {
     q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
-    q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153)
+    q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
+    q154, q155)
 }
