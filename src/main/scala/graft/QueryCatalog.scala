@@ -4657,6 +4657,70 @@ object QueryCatalog {
           THEN 1 ELSE 0 END) AS BIGINT) AS n_churning
       FROM lagged GROUP BY 1 ORDER BY 1"""))
 
+  /** MinHash estimator calibration: per est-jaccard decile bucket, the
+    * candidate count and the exact-vs-estimated error — the self-audit
+    * that tells you whether 16-band/32-hash signatures are trustworthy on
+    * THIS corpus before you dedup with them. True jaccard is computed only
+    * for candidate pairs (shingle-set intersection via the hashed index —
+    * bounded by candidates, never all-pairs); est = k/32 is dyadic so its
+    * micro form is exact in both engines; errors are integer micro sums.
+    * Band-collision pairs with zero true overlap stay in (left join,
+    * coalesce 0) — they are exactly what calibration must expose. */
+  private val q156 = QuerySpec(
+    "q156_minhash_calibration",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16)
+      val sh = graft.core.CacheScope.persist(
+        docs.select(col("doc_id").as("id"),
+          explode(graft.functions.ShingleHashes(col("text"), 3)).as("sh"))
+          .distinct())
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+      val shared = cand.select("id_a", "id_b")
+        .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      cand
+        .join(shared, Seq("id_a", "id_b"), "left")
+        .withColumn("shared", coalesce(col("shared"), lit(0L)))
+        .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+        .withColumn("true_micro",
+          expr("(1000000L * shared) div (na + nb - shared)"))
+        .withColumn("est_micro",
+          floor(col("est_jaccard") * 1e6 + 0.5).cast("long"))
+        .groupBy(expr("est_micro div 100000").as("est_decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("true_micro")).as("sum_true_micro"),
+          sum(abs(col("est_micro") - col("true_micro")))
+            .as("sum_abs_err_micro"))
+        .withColumn("mean_abs_err_micro",
+          expr("sum_abs_err_micro div n_pairs"))
+        .orderBy("est_decile")
+    },
+    Some(s"""WITH ${minhashCtes(numHashes = 32, bands = 16)},
+      sets AS (SELECT doc_id, list_distinct(hh) AS hs FROM hs),
+      scored AS (SELECT c.id_a, c.id_b, c.est_jaccard,
+          len(list_intersect(a.hs, b.hs)) AS shared,
+          len(a.hs) AS na, len(b.hs) AS nb
+        FROM cand c JOIN sets a ON a.doc_id = c.id_a
+          JOIN sets b ON b.doc_id = c.id_b),
+      m AS (SELECT
+          CAST(floor(est_jaccard * 1000000.0 + 0.5) AS BIGINT) AS est_micro,
+          (1000000 * shared) // (na + nb - shared) AS true_micro
+        FROM scored),
+      agg AS (SELECT est_micro // 100000 AS est_decile,
+          count(*) AS n_pairs,
+          CAST(sum(true_micro) AS BIGINT) AS sum_true_micro,
+          CAST(sum(abs(est_micro - true_micro)) AS BIGINT)
+            AS sum_abs_err_micro
+        FROM m GROUP BY 1)
+      SELECT CAST(est_decile AS BIGINT) AS est_decile, n_pairs,
+        sum_true_micro, sum_abs_err_micro,
+        CAST(sum_abs_err_micro // n_pairs AS BIGINT) AS mean_abs_err_micro
+      FROM agg ORDER BY est_decile"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4674,5 +4738,5 @@ object QueryCatalog {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
     q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155)
+    q154, q155, q156)
 }
