@@ -4721,6 +4721,48 @@ object QueryCatalog {
         CAST(sum_abs_err_micro // n_pairs AS BIGINT) AS mean_abs_err_micro
       FROM agg ORDER BY est_decile"""))
 
+  /** Dead-stock report: per part, days since last shipment relative to
+    * the corpus's latest ship date (1-row broadcast anchor), including
+    * never-shipped parts (left join, NULL staleness) — the slow-mover /
+    * dead-SKU audit. Top-100 stalest with never-shipped first. */
+  private val q157 = QuerySpec(
+    "q157_dead_stock",
+    (s, dir) => {
+      val lastShip = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(max(col("l_shipdate")).as("last_ship"),
+          count(lit(1)).as("n_shipments"))
+      val anchor = t(s, dir, "lineitem")
+        .agg(max(col("l_shipdate")).as("corpus_last"))
+      t(s, dir, "part")
+        .join(lastShip, col("p_partkey") === col("l_partkey"), "left")
+        .crossJoin(broadcast(anchor))
+        .select(col("p_partkey"),
+          coalesce(col("n_shipments"), lit(0L)).as("n_shipments"),
+          datediff(col("corpus_last"), col("last_ship")).cast("long")
+            .as("stale_days"))
+        .orderBy(col("stale_days").desc_nulls_first, col("p_partkey"))
+        .limit(100)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+            .orderBy(col("stale_days").desc_nulls_first,
+              col("p_partkey"))).cast("long"))
+    },
+    Some("""WITH ls AS (SELECT l_partkey, max(l_shipdate) AS last_ship,
+          count(*) AS n_shipments FROM lineitem GROUP BY 1),
+      anchor AS (SELECT max(l_shipdate) AS corpus_last FROM lineitem),
+      scored AS (SELECT p_partkey,
+          coalesce(n_shipments, 0) AS n_shipments,
+          CAST(datediff('day', last_ship, corpus_last) AS BIGINT)
+            AS stale_days
+        FROM part LEFT JOIN ls ON l_partkey = p_partkey CROSS JOIN anchor),
+      ranked AS (SELECT *, row_number() OVER (
+          ORDER BY stale_days DESC NULLS FIRST, p_partkey) AS rnk
+        FROM scored)
+      SELECT p_partkey, CAST(n_shipments AS BIGINT) AS n_shipments,
+        stale_days, rnk
+      FROM ranked WHERE rnk <= 100 ORDER BY rnk"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4738,5 +4780,5 @@ object QueryCatalog {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
     q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q156)
+    q154, q155, q156, q157)
 }

@@ -40,7 +40,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "q138_association_rules", // N baskets: 1-row broadcast into lift
     "q139_rfm_scores",        // percentile boundaries: 1-row broadcast
     "q143_experiment_lift",   // variant-0 baseline: 1-row broadcast
-    "q150_dedup_landscape")   // (n_total × n_clustered): two 1-row frames
+    "q150_dedup_landscape",   // (n_total × n_clustered): two 1-row frames
+    "q157_dead_stock")        // corpus-last-ship anchor: 1-row broadcast
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>
