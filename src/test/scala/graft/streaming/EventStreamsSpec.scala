@@ -437,6 +437,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(stream == batchTwin, s"stream=$stream batch=$batchTwin")
   }
 
+  test("decayAdvances: state survives a checkpointed stop/restart — " +
+      "resumed scores equal the batch operator over the full history") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_decay_ckpt")
+      .toString
+    val (inDir, outDir, chk) = (s"$base/in", s"$base/out", s"$base/chk")
+    def writeBatch(evs: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(inDir) // flat files: the source lists no subdirs
+    def runOnce(): Unit = {
+      val events = EventStreams.readEvents(spark, inDir).as[Event]
+      val q = EventStreams.decayAdvances(events, window = 24).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", chk).start()
+      q.processAllAvailable(); q.stop()
+    }
+    val sec = 1000000000L
+    writeBatch(Seq((1L, 0L, 1L, "view", 1.0, "{}"),
+      (2L, 10 * sec, 1L, "view", 2.0, "{}")))
+    runOnce()
+    // the process "dies"; a NEW query resumes from the same checkpoint
+    writeBatch(Seq((3L, 20 * sec, 1L, "view", 4.0, "{}")))
+    runOnce()
+    val out = spark.read.parquet(outDir).collect()
+    assert(out.length == 3) // one advance per event, none duplicated
+    val last = out.maxBy(r => r.getTimestamp(1).getTime).getDouble(3)
+    // state carried across the restart: 4 + 2·½ + 1·¼ = 5.25, exactly the
+    // batch operator's answer over the full history
+    assert(last == 5.25)
+  }
+
   test("driftMonitorSink: a replayed batch appends no duplicate PSI generation") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
