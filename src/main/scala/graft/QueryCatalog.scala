@@ -4763,6 +4763,39 @@ object QueryCatalog {
         stale_days, rnk
       FROM ranked WHERE rnk <= 100 ORDER BY rnk"""))
 
+  /** Language-metadata confusion matrix: declared `lang` column vs the
+    * stopword-based [[TextAnalysis.langIdGuess]] — the metadata-trust
+    * audit (mislabeled languages poison per-language gates and splits).
+    * One bounded |langs|² aggregate; the oracle re-derives the guess with
+    * q25's generated expression. */
+  private val q158 = {
+    val hitExpr = TextAnalysis.StopwordsByLang.map { case (lang, ws) =>
+      val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"CAST(len(list_filter(str_split(text, ' '), t -> list_contains($list, t))) AS BIGINT) AS ${lang}_hits"
+    }.mkString(",\n        ")
+    val langs = TextAnalysis.StopwordsByLang.map(_._1)
+    val bestExpr = langs.map(l => s"${l}_hits").reduce((a, b) => s"greatest($a, $b)")
+    val caseArms = langs.map(l => s"WHEN ${l}_hits = best THEN '$l'").mkString(" ")
+    QuerySpec(
+      "q158_lang_confusion",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang").as("declared"),
+          TextAnalysis.langIdGuess(col("text")).as("guessed"))
+        .groupBy("declared", "guessed")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("agree", col("declared") === col("guessed"))
+        .orderBy("declared", "guessed"),
+      Some(s"""WITH hits AS (SELECT doc_id, lang, $hitExpr FROM documents),
+        scored AS (SELECT *, $bestExpr AS best FROM hits),
+        guessed AS (SELECT lang AS declared,
+            CASE WHEN best <= 0 THEN 'unknown' $caseArms ELSE 'unknown' END
+              AS guessed
+          FROM scored)
+        SELECT declared, guessed, count(*) AS n_docs,
+          declared = guessed AS agree
+        FROM guessed GROUP BY 1, 2 ORDER BY 1, 2"""))
+  }
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4780,5 +4813,5 @@ object QueryCatalog {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
     q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q156, q157)
+    q154, q155, q156, q157, q158)
 }
