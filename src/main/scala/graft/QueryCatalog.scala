@@ -4796,6 +4796,38 @@ object QueryCatalog {
         FROM guessed GROUP BY 1, 2 ORDER BY 1, 2"""))
   }
 
+  /** Cross-language duplicate leak: document pairs with IDENTICAL content
+    * fingerprints but DIFFERENT declared languages — either mislabeled
+    * metadata or byte-identical text shipped under two lang tags; both
+    * poison per-language corpora. Fingerprint-keyed self-join: id-only
+    * shuffle, bounded by duplicate-group sizes. */
+  private val q159 = QuerySpec(
+    "q159_crosslang_dups",
+    (s, dir) => {
+      val fp = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+      fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.lang") =!= col("b.lang"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH fp AS (SELECT doc_id, lang,
+        CASE WHEN len(str_split(text, ' ')) = 0 THEN 0
+          ELSE list_reduce(
+            list_transform(str_split(text, ' '),
+              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 100003),
+            (acc, x) -> (acc * 31 + x) % 1000000007)
+        END AS fp
+        FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        a.lang AS lang_a, b.lang AS lang_b
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        AND a.lang <> b.lang
+      ORDER BY 1, 2"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4813,5 +4845,5 @@ object QueryCatalog {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
     q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q156, q157, q158)
+    q154, q155, q156, q157, q158, q159)
 }
