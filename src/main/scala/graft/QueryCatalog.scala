@@ -4828,6 +4828,34 @@ object QueryCatalog {
         AND a.lang <> b.lang
       ORDER BY 1, 2"""))
 
+  /** Benford first-digit profile of order values — the classic
+    * fabricated-numbers screen auditors run on financial columns. Digit
+    * extraction goes through exact integer cents rendered as a string
+    * (integer-to-string is engine-identical where double formatting is
+    * not); shares are integer-division micros against a 1-row total. */
+  private val q160 = QuerySpec(
+    "q160_benford_digits",
+    (s, dir) => {
+      val digits = t(s, dir, "orders")
+        .select(substring(floor(col("o_totalprice") * 100 + 0.5)
+          .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+      digits
+        .crossJoin(broadcast(digits.agg(sum(col("n_orders")).as("total"))))
+        .select(col("digit"), col("n_orders"),
+          expr("(1000000L * n_orders) div total").as("share_micro"))
+        .orderBy("digit")
+    },
+    Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(
+          o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+          AS digit
+        FROM orders),
+      c AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY 1),
+      t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM c)
+      SELECT digit, n_orders,
+        CAST((1000000 * n_orders) // total AS BIGINT) AS share_micro
+      FROM c CROSS JOIN t ORDER BY digit"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4845,5 +4873,5 @@ object QueryCatalog {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
     q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q156, q157, q158, q159)
+    q154, q155, q156, q157, q158, q159, q160)
 }

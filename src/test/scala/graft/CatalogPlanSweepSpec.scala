@@ -41,7 +41,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "q139_rfm_scores",        // percentile boundaries: 1-row broadcast
     "q143_experiment_lift",   // variant-0 baseline: 1-row broadcast
     "q150_dedup_landscape",   // (n_total × n_clustered): two 1-row frames
-    "q157_dead_stock")        // corpus-last-ship anchor: 1-row broadcast
+    "q157_dead_stock",        // corpus-last-ship anchor: 1-row broadcast
+    "q160_benford_digits")    // digit-count total: 1-row broadcast
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

@@ -366,7 +366,8 @@ class PlanAuditSpec extends SparkSpec {
       "q139_rfm_scores",     // percentile-boundary 1-row aggregate
       "q143_experiment_lift", // variant-0 baseline 1-row aggregate
       "q150_dedup_landscape", // corpus-total / clustered-count 1-row aggs
-      "q157_dead_stock"      // 1-row ship-date anchor + the ≤100 rank
+      "q157_dead_stock",     // 1-row ship-date anchor + the ≤100 rank
+      "q160_benford_digits"  // 9-row digit counts + their 1-row total
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")
