@@ -45,17 +45,29 @@ object Bench {
       name -> dt
     }
     // The harness reading this line only keeps a ~2000-char tail of the run
-    // output; the full query names + full double repr overflowed that window
-    // (the line's head was cut, so it never parsed). Short qNN keys and 3dp
-    // values keep the line under ~1k chars even at 100 queries.
+    // output; even short qNN keys overflowed it at 159 queries (round 10's
+    // line truncated mid-object and parsed as null). The FULL per-query map
+    // now goes to BENCH_DETAIL.json next to the repo root, and the printed
+    // line carries the aggregate plus only the slowest 40 queries — always
+    // well inside the tail window, always a complete JSON object.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) =>
-      val short = k.indexOf('_') match { case -1 => k; case i => k.substring(0, i) }
-      "\"" + short + "\":" + f3(v)
-    }.mkString("{", ",", "}")
+    def short(k: String): String =
+      k.indexOf('_') match { case -1 => k; case i => k.substring(0, i) }
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + short(k) + "\":" + f3(v) }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""queries":${toJson(results)},"errors":$errs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val slowest = results.sortBy(-_._2).take(40).sortBy(_._1)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""queries":${toJson(slowest)},"n_queries":${results.size},""" +
+      s""""detail":"$detailPath","errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

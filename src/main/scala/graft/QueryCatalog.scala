@@ -3496,7 +3496,7 @@ object QueryCatalog {
     },
     Some("""SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
         count(value) AS n,
-        sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_micro,
+        CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro,
         min(value) AS min_v, max(value) AS max_v
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
@@ -4171,9 +4171,19 @@ object QueryCatalog {
         "user_id", Seq("ts", "event_id"), "event_type")
       val facts = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      AsofJoin.backward(facts,
-          dim.select(col("user_id"), col("valid_from").as("ts"),
-            col("event_type").as("regime"), col("version")),
+      // Two regime changes sharing (user_id, ts) yield two versions with the
+      // same valid_from; the earlier one's interval is empty ([T, T)), so only
+      // the latest version per (user_id, valid_from) is ever visible. Collapse
+      // to that version before the as-of join so backward's "right unique per
+      // (keys, tsCol)" contract holds and the pick matches the oracle's
+      // interval-containment semantics.
+      val dimUnique = dim
+        .groupBy(col("user_id"), col("valid_from"))
+        .agg(max_by(
+          struct(col("event_type"), col("version")), col("version")).as("s"))
+        .select(col("user_id"), col("valid_from").as("ts"),
+          col("s.event_type").as("regime"), col("s.version").as("version"))
+      AsofJoin.backward(facts, dimUnique,
           Seq("user_id"), "ts", Seq("regime", "version"))
         .select(col("event_id"), col("user_id"), col("value"),
           col("asof_regime").as("regime"),

@@ -267,14 +267,21 @@ object Multimodal {
         "windows >= 1, thresholdFrac in (0, 1]")
       val (s, _, _) = decode(payload)
       if (s.isEmpty) return Nil
-      val rms = new Array[Double](windows)
+      // Cap windows at the sample count (a window narrower than one sample
+      // has no RMS), and compute each window's [lo, hi) ONCE — the span
+      // loop reuses the same bounds, so spans are always non-empty and
+      // tile the sample range exactly.
+      val w = math.min(windows, s.length)
+      val los = new Array[Int](w)
+      val his = new Array[Int](w)
+      val rms = new Array[Double](w)
       var c = 0
-      while (c < windows) {
-        val lo = (c.toLong * s.length / windows).toInt
-        val hi = math.max(((c + 1).toLong * s.length / windows).toInt, lo + 1)
-        var acc = 0.0; var i = lo
-        while (i < hi && i < s.length) { acc += s(i) * s(i); i += 1 }
-        rms(c) = math.sqrt(acc / math.max(hi - lo, 1))
+      while (c < w) {
+        los(c) = (c.toLong * s.length / w).toInt
+        his(c) = ((c + 1).toLong * s.length / w).toInt
+        var acc = 0.0; var i = los(c)
+        while (i < his(c)) { acc += s(i) * s(i); i += 1 }
+        rms(c) = math.sqrt(acc / math.max(his(c) - los(c), 1))
         c += 1
       }
       val thr = rms.max * thresholdFrac
@@ -282,13 +289,11 @@ object Multimodal {
       val spans = Seq.newBuilder[(Long, Long)]
       var start = -1L
       c = 0
-      while (c < windows) {
+      while (c < w) {
         val active = rms(c) >= thr
-        val lo = c.toLong * s.length / windows
-        val hi = (c + 1).toLong * s.length / windows
-        if (active && start < 0) start = lo
-        if (!active && start >= 0) { spans += ((start, lo)); start = -1 }
-        if (active && c == windows - 1) spans += ((start, hi))
+        if (active && start < 0) start = los(c).toLong
+        if (!active && start >= 0) { spans += ((start, los(c).toLong)); start = -1 }
+        if (active && c == w - 1) spans += ((start, his(c).toLong))
         c += 1
       }
       spans.result()

@@ -531,8 +531,13 @@ object TextAnalysis {
         val boundaryRows = scored.where(col("score") === cutoff)
           .withColumn("keep",
             sum("n_tokens").over(inGroup) <= lit(budgetTokens - tokensAbove))
-        scored.where(col("score") =!= cutoff)
-          .withColumn("keep", col("score") > cutoff)
+        // NULL scores (e.g. null text) route through the non-boundary branch
+        // explicitly: both =!= and === are null for them, so a bare filter
+        // pair would silently DROP the rows; instead keep them with
+        // keep = false so the output row-set always equals the input's.
+        scored.where(col("score") =!= cutoff || col("score").isNull)
+          .withColumn("keep",
+            coalesce(col("score") > cutoff, lit(false)))
           .unionByName(boundaryRows)
           .select(col("id"), col("score"), col("n_tokens"), col("keep"))
     }

@@ -1,13 +1,14 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 
 /** Small-file compaction for a parquet table directory — the operational
   * counterpart of the streaming sinks: micro-batch appends and per-version
   * snapshots accumulate file counts that degrade every later scan (driver
   * file-listing time, task-per-file scheduling, row-group fragmentation).
-  * Compaction rewrites the table at a target bytes-per-file with an atomic
-  * directory swap.
+  * Compaction rewrites the table at a target bytes-per-file with a
+  * rename-based directory swap.
   *
   * Greenfield machinery (the reference's nearest analog is its fixed
   * `coalesce(8)` before every write, S1:191/222 — a file-COUNT knob that
@@ -15,39 +16,55 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   *
   * Scale notes: target partition count = ceil(on-disk bytes / targetBytes),
   * applied with `repartition` (even output files from a full shuffle —
-  * `coalesce` would merge uneven neighbors and keep stragglers). The swap
-  * is rename-based and single-writer (same posture as VersionedTable:
-  * faithful to the reference's non-transactional layout; a table format
-  * with commit protocol drops in without changing callers). Readers racing
-  * the swap see the old or the new directory, never a mix, on POSIX
-  * renames.
+  * `coalesce` would merge uneven neighbors and keep stragglers). All
+  * listing and renaming goes through the Hadoop FileSystem resolved from
+  * the path, so file:, hdfs:// and s3a:// table roots are measured and
+  * swapped through the same API the scans use (object stores without
+  * atomic rename pay a copy inside FileSystem.rename; correctness is
+  * unchanged). The swap is single-writer and NOT atomic for readers:
+  * between moving the old directory aside and renaming the rewrite into
+  * place there is a brief window where `path` does not exist — concurrent
+  * readers should treat FileNotFound during a compaction window as
+  * retryable. Crash windows leave either the original directory (possibly
+  * at `path__old` plus `path__compact` debris) or the finished table,
+  * never a half-rewritten mix of old and new files under `path`. A table
+  * format with a commit protocol drops in without changing callers.
   */
 object Compaction {
+
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
 
   /** On-disk parquet bytes under `path` (driver-side listing — the same
     * metadata walk every scan's planning already performs). */
   def tableBytes(spark: SparkSession, path: String): Long = {
-    val fs = new java.io.File(path)
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-      else if (f.getName.endsWith(".parquet")) f.length()
-      else 0L
-    walk(fs)
+    val (fs, root) = fsFor(spark, path)
+    if (!fs.exists(root)) return 0L
+    val it = fs.listFiles(root, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    total
   }
 
   def parquetFileCount(spark: SparkSession, path: String): Int = {
-    def walk(f: java.io.File): Int =
-      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
-      else if (f.getName.endsWith(".parquet")) 1
-      else 0
-    walk(new java.io.File(path))
+    val (fs, root) = fsFor(spark, path)
+    if (!fs.exists(root)) return 0
+    val it = fs.listFiles(root, true)
+    var n = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
   }
 
   /** Rewrite `path` at `targetBytes` per output file. Returns
     * (filesBefore, filesAfter). The rewrite lands in `path__compact`, the
     * old directory moves to `path__old`, the new one renames into place,
-    * and the old data is deleted last — crash windows leave either the
-    * original or the finished table plus debris, never a partial table. */
+    * and the old data is deleted last. See the object doc for the reader
+    * visibility window and crash-recovery states. */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetBytes > 0, "targetBytes > 0")
@@ -58,17 +75,13 @@ object Compaction {
     val old = path + "__old"
     spark.read.parquet(path).repartition(parts)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dir = new java.io.File(path)
-    val oldDir = new java.io.File(old)
-    deleteRecursively(oldDir)
-    require(dir.renameTo(oldDir), s"swap failed: $path -> $old")
-    require(new java.io.File(tmp).renameTo(dir), s"swap failed: $tmp -> $path")
-    deleteRecursively(oldDir)
+    val (fs, dir) = fsFor(spark, path)
+    val oldDir = new Path(old)
+    val tmpDir = new Path(tmp)
+    if (fs.exists(oldDir)) fs.delete(oldDir, true)
+    require(fs.rename(dir, oldDir), s"swap failed: $path -> $old")
+    require(fs.rename(tmpDir, dir), s"swap failed: $tmp -> $path")
+    fs.delete(oldDir, true)
     (before, parquetFileCount(spark, path))
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
   }
 }

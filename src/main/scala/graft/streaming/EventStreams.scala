@@ -839,10 +839,12 @@ object EventStreams {
     * treat the flag as sticky the way the batch gate does a snapshot).
     *
     * Ordering contract matches [[funnelAdvances]]: in-batch rows sort by
-    * full event time, so on in-order data the flagged set after any
-    * prefix equals the batch operator run over that prefix (spec-pinned;
-    * moments are fold-order-free sums, so even cross-batch disorder only
-    * perturbs WHICH event triggers the crossing, never the moments). */
+    * full event time, so batch parity is scoped to in-order streams (the
+    * same scope [[decayAdvances]] documents) — gaps are computed between
+    * ARRIVAL-adjacent events, so a late cross-batch arrival produces a
+    * negative gap and moment sums that differ from the batch operator's
+    * time-ordered gaps; floor-division keeps even those negative gaps on
+    * the same second grid as the batch twin's SQL `div`. */
   def botFlagAdvances(events: Dataset[Event], minEvents: Long = 10,
       cvNum: Long = 1, cvDen: Long = 20): Dataset[BotFlag] = {
     require(minEvents >= 3 && cvNum >= 1 && cvDen >= 1, "bad thresholds")
@@ -858,7 +860,7 @@ object EventStreams {
         .foreach { e =>
           val ns = e.ts.getTime * 1000000L + e.ts.getNanos % 1000000L
           if (st.lastNs != Long.MinValue) {
-            val g = (ns - st.lastNs) / 1000000000L
+            val g = Math.floorDiv(ns - st.lastNs, 1000000000L)
             st = st.copy(nGaps = st.nGaps + 1, sumGap = st.sumGap + g,
               sumGapSq = st.sumGapSq + g * g)
             val varNum = st.nGaps * st.sumGapSq - st.sumGap * st.sumGap
