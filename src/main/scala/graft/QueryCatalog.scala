@@ -4866,6 +4866,309 @@ object QueryCatalog {
         CAST((1000000 * n_orders) // total AS BIGINT) AS share_micro
       FROM c CROSS JOIN t ORDER BY digit"""))
 
+  // ------------------------------------------------- §2.11 composed queries
+  //
+  // The eight reference pipeline queries (S1:94-183 tam_ce through
+  // S1:1069-1085 combined_nvs_data), oracle-gated end-to-end: staging
+  // shapes derive deterministically from the shipped parquet on BOTH
+  // sides (graft.jobs.NvsStaging registers the Spark temp views;
+  // NvsStaging.oracleCtes is the DuckDB twin), the Spark side runs the
+  // real NvsPipeline builders, and each oracle replays the reference SQL
+  // in DuckDB dialect (F-13 resolved per SURVEY §7.3.2). Rounding: reach/
+  // engage are integer-valued by construction (exact in any fold order;
+  // 2dp round is a no-op guard) except tam_ce's 1/display_order shares
+  // (6dp); window-allocated costs round at 2dp (money contract).
+
+  /** The 12-column channel-fact projection + deterministic order shared by
+    * q162-q166 (grain: channel × month × dma, zip/state NULL). */
+  private def channelFact(df: DataFrame): DataFrame =
+    df.select(col("brand"), col("channel"), col("audience"), col("year"),
+        col("month"), col("zip_code"), col("dma"), col("state"),
+        col("country"), round(col("reach"), 2).as("reach"),
+        round(col("engage"), 2).as("engage"), round(col("cost"), 2).as("cost"))
+      .orderBy(col("year"), col("month"), col("dma"))
+
+  private val channelFactSelect =
+    """SELECT brand, channel, audience, year, month, zip_code, dma, state,
+      country, round(reach, 2) AS reach, round(engage, 2) AS engage,
+      round(cost, 2) AS cost"""
+
+  /** §2.11 tam_ce (S1:94-183): calls→MDM→org chain, priority CASE,
+    * inline budget VALUES, window allocation over (brand, year). */
+  private val q161 = QuerySpec(
+    "q161_nvs_tam_ce",
+    (s, dir) => {
+      graft.jobs.NvsStaging.register(s, dir)
+      graft.jobs.NvsPipeline.tamCe(s)
+        .select(col("product_brand_name"), col("source"), col("year_month"),
+          col("zip"), col("audience"), col("channel"),
+          round(col("reach"), 6).as("reach"),
+          round(col("engage"), 6).as("engage"),
+          round(col("cost"), 2).as("cost"))
+        .orderBy("year_month", "zip")
+    },
+    Some(s"""WITH ${graft.jobs.NvsStaging.oracleCtes},
+      ${graft.jobs.NvsStaging.tamChain}
+      SELECT product_brand_name, source, year_month, zip, audience, channel,
+        round(reach, 6) AS reach, round(engage, 6) AS engage,
+        round(cost, 2) AS cost
+      FROM tc_fin ORDER BY year_month, zip"""))
+
+  /** §2.11 dtc_display (S1:228-321): wide∪unpivot costs, inner alloc. */
+  private val q162 = QuerySpec(
+    "q162_nvs_dtc_display",
+    (s, dir) => {
+      graft.jobs.NvsStaging.register(s, dir)
+      channelFact(graft.jobs.NvsPipeline.dtcDisplay(s))
+    },
+    Some(s"""WITH ${graft.jobs.NvsStaging.oracleCtes},
+      ${graft.jobs.NvsStaging.ddChain}
+      $channelFactSelect FROM dd_fin ORDER BY year, month, dma"""))
+
+  /** §2.11 dtc_paid_search (S1:323-416). */
+  private val q163 = QuerySpec(
+    "q163_nvs_dtc_paid_search",
+    (s, dir) => {
+      graft.jobs.NvsStaging.register(s, dir)
+      channelFact(graft.jobs.NvsPipeline.dtcPaidSearch(s))
+    },
+    Some(s"""WITH ${graft.jobs.NvsStaging.oracleCtes},
+      ${graft.jobs.NvsStaging.dsChain}
+      $channelFactSelect FROM ds_fin ORDER BY year, month, dma"""))
+
+  /** §2.11 dtc_poc (S1:419-499): NULL engage, LEFT cost join (2024 rows
+    * carry NULL cost — the reference's unmatched-left behavior). */
+  private val q164 = QuerySpec(
+    "q164_nvs_dtc_poc",
+    (s, dir) => {
+      graft.jobs.NvsStaging.register(s, dir)
+      channelFact(graft.jobs.NvsPipeline.dtcPoc(s))
+    },
+    Some(s"""WITH ${graft.jobs.NvsStaging.oracleCtes},
+      ${graft.jobs.NvsStaging.dpChain}
+      $channelFactSelect FROM dp_fin ORDER BY year, month, dma"""))
+
+  /** §2.11 dtc_paid_social (S1:502-578): no cost cutoff, LEFT join. */
+  private val q165 = QuerySpec(
+    "q165_nvs_dtc_paid_social",
+    (s, dir) => {
+      graft.jobs.NvsStaging.register(s, dir)
+      channelFact(graft.jobs.NvsPipeline.dtcPaidSocial(s))
+    },
+    Some(s"""WITH ${graft.jobs.NvsStaging.oracleCtes},
+      ${graft.jobs.NvsStaging.dsoChain}
+      $channelFactSelect FROM dso_fin ORDER BY year, month, dma"""))
+
+  /** §2.11 hcp_paid_search (S1:580-679): daily∪monthly vintages, 16%-of-npp
+    * ∪ summed-unpivot costs, ratio allocation via join-back (A-9). */
+  private val q166 = QuerySpec(
+    "q166_nvs_hcp_paid_search",
+    (s, dir) => {
+      graft.jobs.NvsStaging.register(s, dir)
+      channelFact(graft.jobs.NvsPipeline.hcpPaidSearch(s))
+    },
+    Some(s"""WITH ${graft.jobs.NvsStaging.oracleCtes},
+      ${graft.jobs.NvsStaging.hsChain}
+      $channelFactSelect FROM hs_fin ORDER BY year, month, dma"""))
+
+  /** §2.11 hcp_all_channels (S1:817-1066): weekly pivot, week→month
+    * (F-13 twin), old∪new channel canon, coalesce-key FULL JOIN probe,
+    * /11 /9 back-spread. */
+  private val q167 = QuerySpec(
+    "q167_nvs_hcp_all_channels",
+    (s, dir) => {
+      graft.jobs.NvsStaging.register(s, dir)
+      graft.jobs.NvsPipeline.hcpAllChannels(s)
+        .select(col("brand"), col("channel"), col("audience"), col("year"),
+          col("month"), col("zip_code"), col("dma"), col("state"),
+          col("country"), round(col("reach"), 2).as("reach"),
+          round(col("engage"), 2).as("engage"),
+          round(col("cost"), 2).as("cost"))
+        .orderBy(col("channel"), col("year"), col("month"), col("zip_code"),
+          col("dma"))
+    },
+    Some(s"""WITH ${graft.jobs.NvsStaging.oracleCtes},
+      ${graft.jobs.NvsStaging.haChain}
+      $channelFactSelect FROM ha_fin
+      ORDER BY channel, year, month, zip_code NULLS FIRST,
+        dma NULLS FIRST"""))
+
+  /** §2.11 combined_nvs_data (S1:1069-1084): the 6-way positional UNION
+    * (month int∪string → string — the A.16 quirk, preserved). */
+  private val q168 = QuerySpec(
+    "q168_nvs_combined",
+    (s, dir) => {
+      graft.jobs.NvsStaging.register(s, dir)
+      graft.jobs.NvsPipeline.combined(s)
+        .select(col("brand"), col("channel"), col("audience"), col("year"),
+          col("month"), col("zip_code"), col("dma"), col("state"),
+          col("country"), round(col("reach"), 2).as("reach"),
+          round(col("engage"), 2).as("engage"),
+          round(col("cost"), 2).as("cost"))
+        .orderBy(col("audience"), col("channel"), col("year"), col("month"),
+          col("dma"), col("zip_code"))
+    },
+    Some(s"""WITH ${graft.jobs.NvsStaging.oracleCtes},
+      ${graft.jobs.NvsStaging.ddChain}, ${graft.jobs.NvsStaging.dsChain},
+      ${graft.jobs.NvsStaging.dpChain}, ${graft.jobs.NvsStaging.dsoChain},
+      ${graft.jobs.NvsStaging.hsChain}, ${graft.jobs.NvsStaging.haChain},
+      u AS (
+        SELECT brand, channel, audience, year, CAST(month AS VARCHAR) AS month,
+          zip_code, dma, state, country, reach, engage, cost FROM dd_fin
+        UNION ALL SELECT brand, channel, audience, year,
+          CAST(month AS VARCHAR), zip_code, dma, state, country, reach,
+          engage, cost FROM ds_fin
+        UNION ALL SELECT brand, channel, audience, year,
+          CAST(month AS VARCHAR), zip_code, dma, state, country, reach,
+          engage, cost FROM dp_fin
+        UNION ALL SELECT brand, channel, audience, year,
+          CAST(month AS VARCHAR), zip_code, dma, state, country, reach,
+          engage, cost FROM dso_fin
+        UNION ALL SELECT brand, channel, audience, year,
+          CAST(month AS VARCHAR), zip_code, dma, state, country, reach,
+          engage, cost FROM hs_fin
+        UNION ALL SELECT brand, channel, audience, year, month, zip_code,
+          dma, state, country, reach, engage, cost FROM ha_fin)
+      $channelFactSelect FROM u
+      ORDER BY audience, channel, year, month, dma NULLS FIRST,
+        zip_code NULLS FIRST"""))
+
+  /** Bounded companion to q140: the same standing-labels + batch-absorb
+    * contract ([[graft.operators.Components.connectedComponentsIncremental]])
+    * over chain-structured edges (p → p+1 within decades of part keys), so
+    * component size is capped at 10 and the DuckDB recursive closure stays
+    * tractable at EVERY scale factor — q140's co-purchase fixture densifies
+    * at sf0.1 and its oracle blows up, leaving the incremental-components
+    * row gate-checkable only at sf0.01. This row keeps the family green in
+    * full-catalog sweeps at any SF; q140 + the 5M-node in-engine proof in
+    * BASELINE.md remain the scale evidence. */
+  private val q169 = QuerySpec(
+    "q169_incremental_components_chain",
+    (s, dir) => {
+      import graft.operators.Components
+      val edges = t(s, dir, "part")
+        .where(col("p_partkey") % 10 =!= 9)
+        .select(col("p_partkey").as("a"), (col("p_partkey") + 1).as("b"))
+      val old = edges.where((col("a") + col("b")) % 5 =!= 0)
+      val batch = edges.where((col("a") + col("b")) % 5 === 0)
+      val standing = Components.connectedComponents(old, "a", "b")
+      Components.connectedComponentsIncremental(standing, batch, "a", "b")
+        .orderBy("id")
+    },
+    Some("""WITH RECURSIVE canon AS (SELECT p_partkey AS a, p_partkey + 1 AS b
+        FROM part WHERE p_partkey % 10 <> 9),
+      und AS (SELECT a, b FROM canon UNION SELECT b, a FROM canon),
+      walk(id, comp) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.a, w.comp FROM und u JOIN walk w ON w.id = u.b)
+      SELECT CAST(id AS BIGINT) AS id, CAST(min(comp) AS BIGINT) AS comp
+      FROM walk GROUP BY 1 ORDER BY 1"""))
+
+  /** Perceptual image near-dup pairs ([[Multimodal.perceptualDedup]]) over
+    * deterministic generated payloads — closes the last spec-only family
+    * with a driver-visible row. Payload bytes are a pure function of
+    * doc_id (64 bytes; groups of 3 consecutive ids share a base image,
+    * every 7th id perturbs one cell), so StubCodec's position-averaged
+    * grid IS the byte values and the whole aHash64 + banded-Hamming
+    * pipeline is integer-exact: the oracle recomputes the 64 cell values,
+    * the float-exact mean (integer sum / 64 — dyadic, exact in FLOAT and
+    * DOUBLE alike), the per-bit flags, the 8-bit band values (built from
+    * bit flags — no engine-dependent shifts on negative longs), the band
+    * collisions, and the exact Hamming recheck — the q101 replay pattern
+    * on the image path. */
+  private val q170 = QuerySpec(
+    "q170_perceptual_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = id / 3
+          // two mixing terms so grids stay distinct across the base range:
+          // base alone wraps mod 251 and would make every 251st base an
+          // identical image — duplicate classes would then GROW with the
+          // corpus and the pair output would go quadratic at 10×; with the
+          // base/251 term, duplicate classes stay the designed 3-doc groups
+          // and the output scales linearly
+          val payload = Array.tabulate(64) { i =>
+            val v0 = (base * (i + 7) + (base / 251) * (3 * i + 5) +
+              i.toLong * i) % 251
+            val v = if (id % 7 == 0 && i == (id % 64)) (v0 + 120) % 251 else v0
+            v.toByte
+          }
+          Multimodal.MediaRow(id, "image", payload)
+        }
+      Multimodal.perceptualDedup(media, Multimodal.StubCodec,
+          maxHamming = 4, bands = 8)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH par AS (SELECT doc_id, doc_id // 3 AS base FROM documents),
+      g AS (SELECT p.doc_id, t.i,
+          CASE WHEN p.doc_id % 7 = 0 AND t.i = p.doc_id % 64
+            THEN ((p.base * (t.i + 7) + (p.base // 251) * (3 * t.i + 5)
+              + t.i * t.i) % 251 + 120) % 251
+            ELSE (p.base * (t.i + 7) + (p.base // 251) * (3 * t.i + 5)
+              + t.i * t.i) % 251 END AS v
+        FROM par p, range(64) t(i)),
+      m AS (SELECT doc_id, sum(v) / 64.0 AS mean FROM g GROUP BY 1),
+      bits AS (SELECT g.doc_id, g.i,
+          CASE WHEN g.v > m.mean THEN 1 ELSE 0 END AS b
+        FROM g JOIN m USING (doc_id)),
+      bands AS (SELECT doc_id, i // 8 AS band_idx,
+          sum(b * (1 << (i % 8))) AS band_val
+        FROM bits GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands l JOIN bands r ON l.band_idx = r.band_idx
+          AND l.band_val = r.band_val AND l.doc_id < r.doc_id),
+      ham AS (SELECT c.id_a, c.id_b,
+          sum(CASE WHEN ba.b <> bb.b THEN 1 ELSE 0 END) AS hamming
+        FROM cand c JOIN bits ba ON ba.doc_id = c.id_a
+          JOIN bits bb ON bb.doc_id = c.id_b AND bb.i = ba.i
+        GROUP BY 1, 2)
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        CAST(hamming AS INTEGER) AS hamming
+      FROM ham WHERE hamming <= 4 ORDER BY 1, 2"""))
+
+  /** Checked-contract oracle for the catalog's one deliberately non-oracle
+    * signal, [[TextAnalysis.compressionRatio]] (DuckDB has no deflate) —
+    * the q32 pattern: exact cross-checkable aggregates (doc count, total
+    * utf8 bytes) plus bound flags that are true for any correct deflate
+    * and which DuckDB reproduces as literals. A broken ratio (negative,
+    * wrong denominator, non-deterministic compressor) flips a flag and
+    * fails the hash match. Bounds: ratio > 0 for non-empty text; deflate
+    * never expands past utf8+512 (zlib stored-block bound: 5 bytes per
+    * 16 KiB + trailer, docs are far smaller); deflating 4 concatenated
+    * copies never exceeds 4 independent deflates + 64 slack, so
+    * ratio(t⁴) ≤ ratio(t) + 64/len — the monotone-under-repetition
+    * property that makes the signal usable as a quality gate. */
+  private val q171 = QuerySpec(
+    "q171_compression_contract",
+    (s, dir) => {
+      val r = graft.operators.TextAnalysis.compressionRatio(col("text"))
+      val r4 = graft.operators.TextAnalysis.compressionRatio(
+        concat(col("text"), col("text"), col("text"), col("text")))
+      t(s, dir, "documents")
+        .where(octet_length(col("text")) > 0)
+        .select(col("lang"), octet_length(col("text")).cast("long").as("len"),
+          r.as("r"), r4.as("r4"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("len")).as("sum_utf8"),
+          bool_and(col("r") > 0).as("positive_all"),
+          bool_and(col("r") <= lit(1.0) + lit(512.0) / col("len"))
+            .as("bounded_all"),
+          bool_and(col("r4") <= col("r") + lit(64.0) / col("len"))
+            .as("repeat_bounded_all"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+        CAST(sum(strlen(text)) AS BIGINT) AS sum_utf8,
+        TRUE AS positive_all, TRUE AS bounded_all,
+        TRUE AS repeat_bounded_all
+      FROM documents WHERE strlen(text) > 0
+      GROUP BY 1 ORDER BY 1"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -4883,5 +5186,6 @@ object QueryCatalog {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
     q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
-    q154, q155, q156, q157, q158, q159, q160)
+    q154, q155, q156, q157, q158, q159, q160,
+    q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171)
 }
