@@ -156,18 +156,34 @@ object CurationJob {
     // executor work. Parquet boundaries are also the cluster posture:
     // recompute-safe after executor loss, resumable, and each stage is
     // one job. Light configs (a few gates) are fine on the persist path.
+    // Per-stage wall breakdown (checkpoint path only): on the parquet
+    // path each `stage` write EXECUTES exactly the compute since the
+    // previous boundary, so timing the writes + the funnel counts IS the
+    // stage profile (the BASELINE.md curation table). Quiet on the
+    // persist path — unit tests stay clean.
     var stageN = 0
-    def stage(df: DataFrame, on: Boolean): DataFrame =
+    def profile(label: String, sec: Double, extra: String = ""): Unit =
+      if (scratchDir.isDefined)
+        println(f"CURATION $label%-34s $sec%8.1f s$extra")
+    def stage(df: DataFrame, on: Boolean, label: String = ""): DataFrame =
       if (!on) df
       else scratchDir match {
         case None => graft.core.CacheScope.persist(df)
         case Some(sd) =>
           stageN += 1
           val p = s"$sd/stage$stageN"
+          val t0 = System.nanoTime()
           df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+          profile(s"stage$stageN $label", (System.nanoTime() - t0) / 1e9)
           docs.sparkSession.read.parquet(p)
       }
-    val input = docs.count()
+    def timedCount(label: String, df: DataFrame): Long = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      profile(s"count $label", (System.nanoTime() - t0) / 1e9, s" ($n rows)")
+      n
+    }
+    val input = timedCount("input", docs)
 
     // 0. optional boilerplate gate — segment document frequencies over the
     // raw corpus, then a share threshold per doc (two id-keyed aggregates;
@@ -204,7 +220,7 @@ object CurationJob {
         graft.functions.PolicyHits(col("text"), cfg.blockedPatterns)
           .getField("n_hits") <= cfg.maxPolicyHits
     val rowGated0 = stage(boilerGated.where(rowGate),
-      on = cfg.keepTopQualityFrac.isDefined)
+      on = cfg.keepTopQualityFrac.isDefined, "thru row-gates (pre-topfrac)")
     val rowGated = cfg.keepTopQualityFrac match {
       case None => rowGated0
       case Some(frac) =>
@@ -214,7 +230,8 @@ object CurationJob {
     }
     // optional LM gate: one corpus pass trains the char-bigram model, one
     // broadcast join scores; keep docs at-or-above the floor
-    val rowGatedS = stage(rowGated, on = cfg.minLmScore.isDefined)
+    val rowGatedS = stage(rowGated, on = cfg.minLmScore.isDefined,
+      "thru boiler+quality/comp/policy")
     val qualityGated = cfg.minLmScore match {
       case None => rowGatedS
       case Some(floor) =>
@@ -231,7 +248,7 @@ object CurationJob {
       if (cfg.redactClasses.isEmpty) qualityGated
       else qualityGated.withColumn("text",
         TextAnalysis.redact(col("text"), cfg.redactClasses)),
-      on = benchmark.isDefined)
+      on = benchmark.isDefined, "thru char-LM gate + PII redact")
 
     // 1c. benchmark decontamination (optional)
     val (gated0, nDecon, leakyHandle) = benchmark match {
@@ -245,8 +262,8 @@ object CurationJob {
         val n = leaky.count()
         (scrubbed.join(leaky, Seq("doc_id"), "left_anti"), n, Some(leaky))
     }
-    val gated = stage(gated0, on = true)
-    val afterQuality = gated.count()
+    val gated = stage(gated0, on = true, "thru decontamination")
+    val afterQuality = timedCount("afterQuality", gated)
     // gated's cache now holds the anti-joined rows; the leak list has no
     // further consumer (same release discipline as gated/exact below)
     leakyHandle.foreach(_.unpersist())
@@ -254,8 +271,9 @@ object CurationJob {
     // 2. exact dedup — keep each content group's smallest doc_id
     val keepers = Dedup.exactGroups(gated, "doc_id", "text")
       .select(col("keeper_id").as("doc_id"))
-    val exact = stage(gated.join(keepers, "doc_id"), on = true)
-    val afterExact = exact.count()
+    val exact = stage(gated.join(keepers, "doc_id"), on = true,
+      "exact dedup")
+    val afterExact = timedCount("afterExact", exact)
     gated.unpersist() // no-op on the checkpoint path; early release otherwise
 
     // 3. near-dup removal over MinHash+LSH candidate pairs
@@ -273,7 +291,7 @@ object CurationJob {
         // global min of a cluster never appears as the larger side)
         dupPairs.select(col("id_b").as("doc_id")).distinct()
     val unique0 = stage(exact.join(losers, Seq("doc_id"), "left_anti"),
-      on = cfg.containmentThreshold.isDefined)
+      on = cfg.containmentThreshold.isDefined, "minhash near-dup")
 
     // 3b. containment pass (optional) — over the near-dup SURVIVORS (the
     // contained side of a pair the minhash stage already dropped needs no
@@ -285,7 +303,7 @@ object CurationJob {
             minContainment = thr)
           .select(col("contained_id").as("doc_id")).distinct()
         unique0.join(contained, Seq("doc_id"), "left_anti")
-    }, on = cfg.maxDupChunkShare.isDefined)
+    }, on = cfg.maxDupChunkShare.isDefined, "containment pass")
 
     // 3c. chunk-grain duplication gate (optional) — CDC chunks over the
     // surviving docs, then drop docs whose duplicated-chunk share exceeds
@@ -307,8 +325,9 @@ object CurationJob {
           .where(col("n_dup").cast("double") / col("n_chunks") > cap)
           .select(col("id").as("doc_id"))
         unique1.join(heavy, Seq("doc_id"), "left_anti")
-    }, on = true) // spans the funnel count AND every downstream stage
-    val afterNearDup = unique.count()
+    }, on = true, // spans the funnel count AND every downstream stage
+      "cdc-chunk dup gate")
+    val afterNearDup = timedCount("afterNearDup", unique)
 
     // 3d. token-budget cut (optional) — the best-N-tokens subset of the
     // dedup survivors (histogram threshold, no global sort); last because
@@ -324,7 +343,8 @@ object CurationJob {
     // 3e. leakage-free split assignment (optional) — cluster-grain labels
     // over the final doc set; the edge pass reuses the minhash machinery at
     // the looser splitJaccard threshold
-    val budgetedS = stage(budgeted, on = cfg.splitPermilles.isDefined)
+    val budgetedS = stage(budgeted, on = cfg.splitPermilles.isDefined,
+      "token-budget cut")
     val labeled = cfg.splitPermilles match {
       case None => budgetedS
       case Some(pm) =>
@@ -343,8 +363,9 @@ object CurationJob {
         posexplode(TextAnalysis.chunk(col("text"), cfg.chunkTokens, cfg.chunkOverlap)): _*)
       .select(Seq(col("doc_id")) ++ carried :+ col("pos").as("chunk_idx") :+
         col("col").as("chunk"): _*),
-      on = true) // spans the chunk count, the sample, and the ship action
-    val chunks = chunked.count()
+      on = true, // spans the chunk count, the sample, and the ship action
+      "thru split + chunking")
+    val chunks = timedCount("chunks", chunked)
 
     // 5. deterministic sampling to the target budget (reproducible mixing):
     // uniform by default; quality-proportional when importanceRate is set
@@ -358,7 +379,8 @@ object CurationJob {
             "_ck", TextAnalysis.qualityScore(col("chunk")), rate)
           .drop("_ck")
     }, on = (cfg.samplePermille != 1000 || cfg.importanceRate.isDefined) &&
-      cfg.outputShards.isDefined) // else a single consumer reads it once
+      cfg.outputShards.isDefined, // else a single consumer reads it once
+      "importance sampling")
     val nSampled =
       if (cfg.samplePermille == 1000 && cfg.importanceRate.isEmpty) chunks
       else sampled.count()
