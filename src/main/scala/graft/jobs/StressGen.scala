@@ -226,12 +226,19 @@ object StressMain {
         .select(col("text")) // held-out set: decontamination has real work
       var stats: CurationJob.Stats = null
       var outN = 0L
-      time(s"CurationJob FULL-GATE end-to-end (${replicas}x)")({
+      // optional third arg isolates stage-1's hot gates for the BASELINE
+      // profile: 'noboiler' drops the boilerplate segment-DF pass,
+      // 'nodeflate' drops the per-row deflate gate — diffing walls against
+      // the full run attributes stage-1's cost without new stage plumbing
+      val variant = args.lift(2).getOrElse("full")
+      time(s"CurationJob FULL-GATE end-to-end (${replicas}x, $variant)")({
         val (out, st) = CurationJob.run(big, CurationJob.Config(
           minQuality = 0.3,
-          maxBoilerplateShare = Some(0.9),
+          maxBoilerplateShare =
+            if (variant == "noboiler") None else Some(0.9),
           maxTopTokenShare = Some(0.5),
-          compressionBounds = Some((0.5, 50.0)),
+          compressionBounds =
+            if (variant == "nodeflate") None else Some((0.5, 50.0)),
           minLmScore = Some(-10.0),
           // fraction-of-corpus cull: decon recall must not depend on the
           // replica count (the absolute default lost 3x recall 1000->2000x)

@@ -45,8 +45,21 @@ object TextAnalysis {
 
   /** Heuristic language ID: the language whose function words hit most;
     * ties broken by list order above; zero hits everywhere → "unknown". */
+  /** Fused per-row gate statistics ([[graft.functions.GateStats]] — ONE
+    * text pass) backing [[langIdGuess]]/[[qualityScore]]/[[topTokenShare]].
+    * Field-for-field value parity with the old declarative forms is the
+    * expression's documented contract (oracle-gated by q24/q25/q69 and the
+    * golden manifest); whole-stage-codegen subexpression elimination shares
+    * a single evaluation across every gate referencing it in one filter —
+    * the measured 10M-doc row-gate stage read each doc ~8 times before. */
+  private def gate(text: Column): Column =
+    graft.functions.GateStats(text, StopwordsByLang.map(_._2))
+
   def langIdGuess(text: Column): Column = {
-    val scored = StopwordsByLang.map { case (lang, ws) => (lang, stopwordHits(text, ws)) }
+    val hits = gate(text).getField("hits")
+    val scored = StopwordsByLang.zipWithIndex.map {
+      case ((lang, _), i) => (lang, hits.getItem(i))
+    }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     scored.foldLeft(when(best <= 0, lit("unknown"))) { case (acc, (lang, s)) =>
       acc.when(s === best, lit(lang))
@@ -65,10 +78,20 @@ object TextAnalysis {
     * mid-length docs with word-like tokens, penalize punctuation/digit soup.
     * Deterministic arithmetic (mirrors exactly in the oracle SQL). */
   def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
-    val wordScore = when(avgWordLength(text).between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
-    val punctPenalty = least(punctRatio(text) * lit(4.0), lit(1.0))
-    val digitPenalty = least(digitRatio(text) * lit(4.0), lit(1.0))
+    // fused-counts twin of the declarative recipe: n_parts ≡ tokenCount,
+    // sum_part_len/n_parts ≡ avgWordLength, n_punct/n_chars ≡ punctRatio,
+    // n_digit/n_chars ≡ digitRatio — identical IEEE arithmetic, one scan
+    val g = gate(text)
+    val nParts = g.getField("n_parts")
+    val nChars = greatest(g.getField("n_chars"), lit(1)).cast("double")
+    val lenScore = least(nParts.cast("double") / lit(100.0), lit(1.0))
+    val awl = g.getField("sum_part_len").cast("double") /
+      greatest(nParts, lit(1)).cast("double")
+    val wordScore = when(awl.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    val punctPenalty = least(
+      g.getField("n_punct").cast("double") / nChars * lit(4.0), lit(1.0))
+    val digitPenalty = least(
+      g.getField("n_digit").cast("double") / nChars * lit(4.0), lit(1.0))
     round(
       lit(0.4) * lenScore + lit(0.3) * wordScore +
         lit(0.15) * (lit(1.0) - punctPenalty) + lit(0.15) * (lit(1.0) - digitPenalty),
@@ -160,9 +183,11 @@ object TextAnalysis {
     * token array (small), so the interpreted higher-order cost is per
     * distinct token, not per occurrence. */
   def topTokenShare(text: Column): Column = {
-    val tc = graft.functions.TokenCounts(text)
-    array_max(transform(tc, x => x.getField("tf"))).cast("double") /
-      aggregate(tc, lit(0L), (acc, x) => acc + x.getField("tf")).cast("double")
+    // top_tf ≡ array_max over token_counts tf; Σtf ≡ the part count
+    // (every part is a token occurrence) — same doubles, one scan
+    val g = gate(text)
+    g.getField("top_tf").cast("double") /
+      g.getField("n_parts").cast("long").cast("double")
   }
 
   /** Character-bigram language-model quality score — the perplexity-style
