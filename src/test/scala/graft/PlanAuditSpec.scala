@@ -449,6 +449,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate explode"), s"credit fan-out missing:\n$p")
   }
 
+  test("q162 dtc_display: DMA dim join broadcasts, one window exchange, no loop join") {
+    val p = planOf("q162_nvs_dtc_display")
+    // cleanedDmas is the ~25-row dim — the fact side must never shuffle
+    // for it (J-4, S1:266-281)
+    assert(p.contains("BroadcastHashJoin"), s"dim join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no loop joins in DTC path:\n$p")
+    assert(p.contains("Window"), s"allocation window missing:\n$p")
+  }
+
+  test("q167 hcp_all_channels: ONLY the reference-verbatim probe is a loop join") {
+    val p = planOf("q167_nvs_hcp_all_channels")
+    // the coalesce-key FULL JOIN (S1:1024-1025) degrades to BNLJ by design,
+    // bounded to channel-month grain; everything else must stay hash-keyed
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      s"exactly one designed BNLJ (the missing-cost probe):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim joins must broadcast:\n$p")
+  }
+
   test("epochMix is shuffle-free: explode + case chain, no exchange") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = ScaleOpsAccess.epochMix(docs)
