@@ -5169,6 +5169,60 @@ object QueryCatalog {
       FROM documents WHERE strlen(text) > 0
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Product-quantization ANN ([[Similarity.pqTopK]]) — the embedding-
+    * compression scale path (m codes per vector, ADC scoring). Fully
+    * value-checked despite being approximate: the seed codebook, the
+    * per-(vector, subspace) argmin codes, and the sorted-fold ADC sums are
+    * all deterministic double arithmetic, so DuckDB replays the identical
+    * index (the q33/q101 replay pattern, here over list slices). */
+  private val q172 = {
+    val (m, ksub, w, k) = (8, 16, 8, 5)
+    val l2 = (a: String, b: String) =>
+      s"""list_reduce(list_transform(range(1, $w + 1),
+          i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"""
+    QuerySpec(
+      "q172_ann_pq",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqTopK(emb, emb.where(col("vec_id") < 8), k = k,
+            m = m, ksub = ksub, dims = 64)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("adc_dist"), 6).as("adc_dist"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH cb AS (SELECT vec_id AS code, t.sub,
+          (embedding::DOUBLE[])[(t.sub * $w + 1):(t.sub * $w + $w)] AS cw
+        FROM embeddings, range($m) t(sub) WHERE vec_id < $ksub),
+      ex AS (SELECT vec_id AS neighbor_id, t.sub,
+          (embedding::DOUBLE[])[(t.sub * $w + 1):(t.sub * $w + $w)] AS sv
+        FROM embeddings, range($m) t(sub)),
+      codes AS (SELECT neighbor_id, sub, code FROM (
+          SELECT e.neighbor_id, e.sub, c.code,
+            row_number() OVER (PARTITION BY e.neighbor_id, e.sub
+              ORDER BY ${l2("e.sv", "c.cw")} ASC, c.code ASC) AS rn
+          FROM ex e JOIN cb c ON e.sub = c.sub) WHERE rn = 1),
+      qx AS (SELECT vec_id AS query_id, t.sub,
+          (embedding::DOUBLE[])[(t.sub * $w + 1):(t.sub * $w + $w)] AS qv
+        FROM embeddings, range($m) t(sub) WHERE vec_id < 8),
+      lut AS (SELECT q.query_id, q.sub, c.code,
+          ${l2("q.qv", "c.cw")} AS d2
+        FROM qx q JOIN cb c ON q.sub = c.sub),
+      j AS (SELECT l.query_id, cd.neighbor_id, cd.sub, l.d2
+        FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+        WHERE l.query_id <> cd.neighbor_id),
+      adc AS (SELECT query_id, neighbor_id,
+          list_reduce(list_transform(
+            list_sort(list({'s': sub, 'd': d2})), r -> r.d),
+            (x, y) -> x + y) AS adc_dist
+        FROM j GROUP BY 1, 2),
+      ranked AS (SELECT query_id, neighbor_id, adc_dist,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+        FROM adc)
+      SELECT query_id, rank, neighbor_id, round(adc_dist, 6) AS adc_dist
+      FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""))
+  }
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -5187,5 +5241,6 @@ object QueryCatalog {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
     q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
     q154, q155, q156, q157, q158, q159, q160,
-    q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171)
+    q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
+    q172)
 }

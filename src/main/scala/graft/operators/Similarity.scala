@@ -474,6 +474,80 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "q_cosine")
   }
 
+  /** Product-quantization ANN with Asymmetric Distance Computation — the
+    * 100-TB embedding-COMPRESSION path (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): each vector
+    * is stored as `m` small codes (one per `dims/m`-wide subvector, the
+    * nearest of `ksub` codewords by exact L2), shrinking a float32 corpus
+    * ~`dims·4/m`-fold; a query scores candidates through its per-subspace
+    * distance-to-codeword lookup table, O(m) per candidate regardless of
+    * dims. Complements [[int8IvfTopK]]: int8 compresses 4× and keeps exact
+    * integer similarity; PQ compresses 32×+ and trades accuracy for it —
+    * at 100 TB the PQ code table is what fits in cluster memory.
+    *
+    * Codebook: the q33 seed scheme — codewords are the first `ksub` corpus
+    * vectors' subvectors, so training is deterministic and the oracle
+    * replays it; a k-means refinement drops in without changing
+    * assignment/ADC semantics.
+    *
+    * Engine-exact by construction: subvector distances are index-order
+    * double folds; per-candidate ADC sums fold over the SORTED (sub, d2)
+    * list, never a fold-order-free SQL SUM — so codes, distances, and
+    * ranks replay bit-for-bit in DuckDB (tie-breaks: code asc, then
+    * neighbor_id asc).
+    *
+    * Scale shape: the one corpus-sized pass is code assignment (explode to
+    * m narrow subvector rows, broadcast m·ksub codeword table, per-(id,sub)
+    * argmin — persist/write the code table to amortize across query
+    * batches); search joins the code rows to the broadcast per-query LUT on
+    * (sub, code) — an equi join on a tiny key, no vector ever moves — and
+    * the (query, neighbor) aggregate carries m doubles per candidate.
+    * Returns (query_id, rank, neighbor_id, adc_dist). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dims % m == 0, "m must divide dims")
+    require(ksub >= 1, "ksub >= 1")
+    val w = dims / m
+    val subs = (v: Column) => array((0 until m).map(j =>
+      slice(transform(v, x => x.cast("double")), j * w + 1, w)): _*)
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+
+    val cb = corpus.where(col(idCol) < ksub)
+      .select(col(idCol).as("code"), posexplode(subs(col(vecCol))))
+      .select(col("code"), col("pos").as("sub"), col("col").as("cw"))
+    val bySub = Window.partitionBy("nid", "sub")
+      .orderBy(col("d2").asc, col("code").asc)
+    val codes = corpus
+      .select(col(idCol).as("nid"), posexplode(subs(col(vecCol))))
+      .select(col("nid"), col("pos").as("sub"), col("col").as("sv"))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", l2sq(col("sv"), col("cw")))
+      .withColumn("rn", row_number().over(bySub))
+      .where(col("rn") === 1)
+      .select(col("nid").as("neighbor_id"), col("sub"), col("code"))
+    val lut = queries
+      .select(col(idCol).as("query_id"), posexplode(subs(col(vecCol))))
+      .select(col("query_id"), col("pos").as("sub"), col("col").as("qv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        l2sq(col("qv"), col("cw")).as("d2"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("d2")))),
+          s => s.getField("d2")),
+        lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+    val wk = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    adc.withColumn("rank", row_number().over(wk))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+  }
+
   /** Scale path: bucket corpus and queries by sign-LSH signature, join on the
     * bucket (hash shuffle on a small key — no cross join anywhere), then exact
     * cosine re-rank inside buckets. Approximate: recall < 1 by construction. */

@@ -386,6 +386,43 @@ class SimilaritySpec extends SparkSpec {
       .subsetOf(Set(1, 2, 3))))
   }
 
+  test("pqTopK: a codebook covering the corpus reconstructs exact L2 ranking") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 64) // small corpus so ksub can cover it
+    val queries = emb.where(col("vec_id") < 4)
+    // ksub = |corpus|: every subvector's nearest codeword is itself
+    // (distance 0), so ADC distance == exact L2² and the ranking must
+    // equal a brute-force L2 ranking with the same tie-break
+    val l2sq = aggregate(
+      zip_with(col("q_vec"), col("c_vec"), (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_vec"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_vec"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("d").asc, col("neighbor_id").asc)
+    val exact = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", l2sq)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .collect().map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("neighbor_id")))).toSet
+    val pq = Similarity.pqTopK(emb, queries, k = 3, m = 8, ksub = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pq == exact)
+    // a REAL compression ratio (ksub = 16 << corpus) still returns full
+    // valid rankings per query — approximation changes scores, not shape
+    val lossy = Similarity.pqTopK(emb, queries, k = 3, m = 8, ksub = 16)
+      .collect()
+    assert(lossy.groupBy(_.getLong(0)).values.forall(
+      _.map(_.getInt(1)).toSet == Set(1, 2, 3)))
+    assert(lossy.forall(_.getDouble(3) >= 0.0))
+  }
+
   test("trained IVF centroids: recall at restricted nprobe >= seed centroids") {
     // clustered corpus (what IVF training exists to exploit; the parquet
     // embeddings are directionless noise, where any space partition is as
