@@ -5223,6 +5223,146 @@ object QueryCatalog {
       FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""))
   }
 
+  /** IVF + PQ-on-residuals ([[Similarity.ivfPqTopK]]): the composed FAISS-
+    * IVFPQ index — coarse cells prune the candidate set while PQ codes on
+    * the residuals shrink the bytes; the oracle replays coarse assignment,
+    * residual codebook training, code assignment, and sorted-fold ADC
+    * bit-for-bit. */
+  private val q173 = {
+    val (nlist, nprobe, m, ksub, w, k) = (16, 4, 8, 16, 8, 5)
+    val l2w = (a: String, b: String) =>
+      s"""list_reduce(list_transform(range(1, $w + 1),
+          i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"""
+    val l2full = (a: String, b: String) =>
+      s"""list_reduce(list_transform(range(1, 65),
+          i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"""
+    QuerySpec(
+      "q173_ann_ivfpq",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 8), k = k,
+            nlist = nlist, nprobe = nprobe, m = m, ksub = ksub, dims = 64)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("adc_dist"), 6).as("adc_dist"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH dvx AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cvec FROM dvx
+          WHERE vec_id < $nlist),
+        assigned AS (SELECT nid, cid, rv FROM (
+            SELECT d.vec_id AS nid, c.cid,
+              list_transform(range(1, 65), i -> d.v[i] - c.cvec[i]) AS rv,
+              row_number() OVER (PARTITION BY d.vec_id
+                ORDER BY ${l2full("d.v", "c.cvec")} ASC, c.cid ASC) AS rn
+            FROM dvx d CROSS JOIN cent c) WHERE rn = 1),
+        cb AS (SELECT nid - $nlist AS code, t.sub,
+            rv[(t.sub * $w + 1):(t.sub * $w + $w)] AS cw
+          FROM assigned, range($m) t(sub)
+          WHERE nid >= $nlist AND nid < $nlist + $ksub),
+        ex AS (SELECT nid AS neighbor_id, cid, t.sub,
+            rv[(t.sub * $w + 1):(t.sub * $w + $w)] AS sv
+          FROM assigned, range($m) t(sub)),
+        codes AS (SELECT neighbor_id, cid, sub, code FROM (
+            SELECT e.neighbor_id, e.cid, e.sub, c.code,
+              row_number() OVER (PARTITION BY e.neighbor_id, e.sub
+                ORDER BY ${l2w("e.sv", "c.cw")} ASC, c.code ASC) AS rn
+            FROM ex e JOIN cb c ON e.sub = c.sub) WHERE rn = 1),
+        probes AS (SELECT query_id, cid, rv FROM (
+            SELECT d.vec_id AS query_id, c.cid,
+              list_transform(range(1, 65), i -> d.v[i] - c.cvec[i]) AS rv,
+              row_number() OVER (PARTITION BY d.vec_id
+                ORDER BY ${l2full("d.v", "c.cvec")} ASC, c.cid ASC) AS rn
+            FROM dvx d CROSS JOIN cent c WHERE d.vec_id < 8)
+          WHERE rn <= $nprobe),
+        qx AS (SELECT query_id, cid, t.sub,
+            rv[(t.sub * $w + 1):(t.sub * $w + $w)] AS qv
+          FROM probes, range($m) t(sub)),
+        lut AS (SELECT q.query_id, q.cid, q.sub, c.code,
+            ${l2w("q.qv", "c.cw")} AS d2
+          FROM qx q JOIN cb c ON q.sub = c.sub),
+        j AS (SELECT l.query_id, cd.neighbor_id, cd.sub, l.d2
+          FROM codes cd JOIN lut l
+            ON cd.cid = l.cid AND cd.sub = l.sub AND cd.code = l.code
+          WHERE l.query_id <> cd.neighbor_id),
+        adc AS (SELECT query_id, neighbor_id,
+            list_reduce(list_transform(
+              list_sort(list({'s': sub, 'd': d2})), r -> r.d),
+              (x, y) -> x + y) AS adc_dist
+          FROM j GROUP BY 1, 2),
+        ranked AS (SELECT query_id, neighbor_id, adc_dist,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+          FROM adc)
+        SELECT query_id, rank, neighbor_id, round(adc_dist, 6) AS adc_dist
+        FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""))
+  }
+
+  /** IVF recall calibration ([[Similarity.ivfRecallCurve]]): measured
+    * recall@k vs the exact ground truth at each probe count, from one
+    * scored pass — the ANN twin of q156's MinHash band calibration. */
+  private val q174 = {
+    val (nlist, k) = (16, 5)
+    val cosSql = (a: String, b: String) =>
+      s"""list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]),
+          (x, y) -> x + y) /
+        (sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]),
+          (x, y) -> x + y)) *
+         sqrt(list_reduce(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]),
+          (x, y) -> x + y)))"""
+    QuerySpec(
+      "q174_ivf_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfRecallCurve(emb, emb.where(col("vec_id") < 8), k = k,
+            nlist = nlist, sweep = Seq(1, 2, 4, 8))
+          .orderBy(col("nprobe"))
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cent_vec
+          FROM embeddings WHERE vec_id < $nlist),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+        assigned AS (SELECT neighbor_id, cv, cid FROM (
+            SELECT neighbor_id, cv, cid,
+              row_number() OVER (PARTITION BY neighbor_id
+                ORDER BY ${cosSql("cv", "cent_vec")} DESC, cid) AS rn
+            FROM c CROSS JOIN cent) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 8),
+        probes AS (SELECT query_id, qv, cid, rn AS probe_rank FROM (
+            SELECT query_id, qv, cid,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY ${cosSql("qv", "cent_vec")} DESC, cid) AS rn
+            FROM q CROSS JOIN cent) WHERE rn <= 8),
+        scored AS (SELECT query_id, neighbor_id,
+            ${cosSql("qv", "cv")} AS cosine, probe_rank
+          FROM assigned JOIN probes USING (cid)
+          WHERE query_id <> neighbor_id),
+        exact AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.neighbor_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.neighbor_id) AS rank
+            FROM c CROSS JOIN q WHERE q.query_id <> c.neighbor_id)
+          WHERE rank <= $k),
+        topk AS (SELECT np, query_id, neighbor_id FROM (
+            SELECT p.np, s.query_id, s.neighbor_id,
+              row_number() OVER (PARTITION BY p.np, s.query_id
+                ORDER BY s.cosine DESC, s.neighbor_id) AS rank
+            FROM scored s CROSS JOIN unnest([1, 2, 4, 8]) AS p(np)
+            WHERE s.probe_rank <= p.np) WHERE rank <= $k),
+        hits AS (SELECT np, CAST(count(*) AS BIGINT) AS hits
+          FROM topk JOIN exact USING (query_id, neighbor_id) GROUP BY 1),
+        spine AS (SELECT p.np, CAST(pt.possible AS BIGINT) AS possible
+          FROM (SELECT count(*) AS possible FROM exact) pt
+          CROSS JOIN unnest([1, 2, 4, 8]) AS p(np))
+        SELECT spine.np AS nprobe,
+          CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits, spine.possible,
+          round(CAST(coalesce(hits.hits, 0) AS DOUBLE) / spine.possible,
+            6) AS recall
+        FROM spine LEFT JOIN hits ON spine.np = hits.np
+        ORDER BY nprobe"""))
+  }
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -5242,5 +5382,5 @@ object QueryCatalog {
     q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
     q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172)
+    q172, q173, q174)
 }

@@ -220,6 +220,71 @@ object Similarity {
       nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfSearch(ivfIndex(corpus, nlist, idCol, vecCol), queries, k, nprobe, idCol, vecCol)
 
+  /** IVF recall-calibration curve — measured recall@k of [[ivfTopK]]
+    * against the exact [[bruteForceTopK]] ground truth, at every probe
+    * count in `sweep`, from ONE scored pass: the "choose nprobe by
+    * measurement" tool (the ANN twin of q156's MinHash band calibration).
+    * Guessing nprobe is how approximate indexes silently lose recall at
+    * scale; this emits the actual recall-vs-cost dial readings so the
+    * production setting is a measured choice.
+    *
+    * Scale shape: the corpus-sized passes are exactly [[ivfTopK]]'s (cell
+    * assignment + cell-scoped scoring at the LARGEST sweep value) plus the
+    * brute-force ground-truth pass (queries broadcast, corpus streams) —
+    * the sweep itself reuses the single scored pass by carrying each
+    * candidate's `probe_rank` (the rank of its cell in the query's probe
+    * order) and filtering `probe_rank <= nprobe` per sweep point: a
+    * rowwise explode over |sweep| literals, never a re-score. Ground truth
+    * on the full corpus is affordable when |queries| is a calibration
+    * sample (the intended use: calibrate on hundreds of queries, serve
+    * millions with the chosen nprobe).
+    *
+    * Returns one row per sweep value: (nprobe, hits, possible, recall) —
+    * integer hit counts plus recall rounded to 6dp, all engine-exact. */
+  def ivfRecallCurve(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int, sweep: Seq[Int] = Seq(1, 2, 4, 8),
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(sweep.nonEmpty && sweep.forall(_ >= 1), "positive probe counts")
+    val maxProbe = sweep.max
+    val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val idx = ivfIndex(corpus, nlist, idCol, vecCol)
+    val byProbe = Window.partitionBy("query_id")
+      .orderBy(col("cs").desc, col("cid").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        Vectors.l2Norm(col(vecCol)).as("q_norm"))
+      .join(broadcast(idx.centroids), lit(true))
+      .withColumn("cs", Vectors.dot(col("q_vec"), col("cent_vec")) /
+        (col("q_norm") * Vectors.l2Norm(col("cent_vec"))))
+      .withColumn("probe_rank", row_number().over(byProbe))
+      .where(col("probe_rank") <= maxProbe)
+      .select("query_id", "q_vec", "q_norm", "cid", "probe_rank")
+    val scored = idx.assigned.join(probes, Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        Vectors.dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .select("query_id", "neighbor_id", "cosine", "probe_rank")
+    val byQ = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val topk = scored
+      .withColumn("nprobe", explode(array(sweep.map(lit): _*)))
+      .where(col("probe_rank") <= col("nprobe"))
+      .withColumn("rank", row_number().over(byQ))
+      .where(col("rank") <= k)
+    val hits = topk.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+    // spine from the 1-row ground-truth total: a sweep value whose top-k
+    // intersects nothing still gets its (recall = 0) row
+    val spine = exact.groupBy().agg(count(lit(1)).as("possible"))
+      .withColumn("nprobe", explode(array(sweep.map(lit): _*)))
+    spine.join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"), coalesce(col("hits"), lit(0L)).as("hits"),
+        col("possible"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("possible"), 6).as("recall"))
+  }
+
   /** SemDeDup-style semantic deduplication: assign every vector to its IVF
     * cell, compare pairs ONLY within a cell, and drop a vector when a
     * lower-id near-duplicate (cosine >= `minCosine`) shares its cell.
@@ -535,6 +600,113 @@ object Similarity {
       .select(col("query_id"), col("sub"), col("code"),
         l2sq(col("qv"), col("cw")).as("d2"))
     val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("d2")))),
+          s => s.getField("d2")),
+        lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+    val wk = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    adc.withColumn("rank", row_number().over(wk))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+  }
+
+  /** IVF + PQ-on-residuals ANN — the composed 100-TB index (FAISS "IVFPQ";
+    * Jégou et al. 2011 §V): an IVF coarse quantizer prunes the CANDIDATE SET
+    * (only `nprobe` of `nlist` cells are scored per query) while PQ codes on
+    * the residual `v − centroid` shrink the BYTES (~`dims·4/m`-fold); encoding
+    * the residual instead of the raw vector is what makes a single shared
+    * codebook work across cells — residuals are centered near zero, so the
+    * same `ksub` codewords cover every cell. [[pqTopK]] alone still scores
+    * every corpus row; [[int8IvfTopK]] alone still moves 1-byte-per-dim
+    * vectors. This is the plan where neither the scan nor the bytes grow with
+    * the corpus: search touches `nprobe/nlist` of the code table and carries
+    * `m` codes per candidate.
+    *
+    * All metrics are exact L2 (the PQ-native metric). Deterministic seed
+    * training, same scheme as q33/q172: coarse centroids are the first
+    * `nlist` corpus vectors; the PQ codebook's `ksub` codewords are the
+    * RESIDUALS of the `ksub` corpus vectors after the centroid seeds
+    * (w.r.t. their assigned cells — the seeds' own residuals are zero),
+    * so the oracle replays training exactly; k-means refinement of
+    * either codebook drops in without changing assignment/ADC semantics.
+    *
+    * Engine-exact by construction: residual subtraction is exact IEEE,
+    * full-vector and subvector distances are index-order double folds, and
+    * per-candidate ADC sums fold over the SORTED (sub, d2) list — codes,
+    * cells, distances, and ranks replay bit-for-bit in DuckDB (tie-breaks:
+    * cell/code asc, then neighbor_id asc).
+    *
+    * Scale shape: the corpus-sized passes are cell assignment (broadcast
+    * `nlist` centroids, per-row argmin — no shuffle) and code assignment
+    * (explode to `m` narrow residual rows, broadcast `m·ksub` codeword
+    * table, per-(id,sub) argmin); both are build-time and the code table
+    * persists across query batches. Search never moves a vector: the
+    * per-(query, probed-cell) LUT is broadcast and the codes⋈lut join is
+    * equi on (cid, sub, code) — candidates are scoped to probed cells, so
+    * the (query, neighbor) aggregate carries `m` doubles per candidate over
+    * `~nprobe/nlist` of the corpus. Returns (query_id, rank, neighbor_id,
+    * adc_dist). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dims % m == 0, "m must divide dims")
+    require(nlist >= 1 && nprobe >= 1 && ksub >= 1, "positive index params")
+    val w = dims / m
+    val dv = (v: Column) => transform(v, x => x.cast("double"))
+    val subs = (v: Column) => array((0 until m).map(j =>
+      slice(v, j * w + 1, w)): _*)
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+
+    val cent = corpus.where(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), dv(col(vecCol)).as("cvec"))
+    // cell assignment + residual: one broadcast argmin pass, no shuffle
+    def assign(side: DataFrame, outId: String, keep: Int): DataFrame = {
+      val byId = Window.partitionBy(outId)
+        .orderBy(col("cd2").asc, col("cid").asc)
+      side.join(broadcast(cent), lit(true))
+        .withColumn("cd2", l2sq(col("v"), col("cvec")))
+        .withColumn("rn", row_number().over(byId))
+        .where(col("rn") <= keep)
+        .select(col(outId), col("cid"),
+          zip_with(col("v"), col("cvec"), (x, y) => x - y).as("rv"))
+    }
+    val assigned = assign(
+      corpus.select(col(idCol).as("nid"), dv(col(vecCol)).as("v")),
+      "nid", keep = 1)
+    // shared residual codebook: the ksub corpus vectors AFTER the centroid
+    // seeds (ids nlist..nlist+ksub) — the centroid seeds' own residuals are
+    // identically zero, which would collapse every codeword onto the origin
+    val cb = assigned.where(col("nid") >= nlist && col("nid") < nlist + ksub)
+      .select((col("nid") - nlist).as("code"), posexplode(subs(col("rv"))))
+      .select(col("code"), col("pos").as("sub"), col("col").as("cw"))
+    val bySub = Window.partitionBy("nid", "sub")
+      .orderBy(col("d2").asc, col("code").asc)
+    val codes = assigned
+      .select(col("nid"), col("cid"), posexplode(subs(col("rv"))))
+      .select(col("nid"), col("cid"), col("pos").as("sub"), col("col").as("sv"))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", l2sq(col("sv"), col("cw")))
+      .withColumn("rn", row_number().over(bySub))
+      .where(col("rn") === 1)
+      .select(col("nid").as("neighbor_id"), col("cid"), col("sub"), col("code"))
+    // per-(query, probed cell) residual LUT — tiny, broadcast
+    val probes = assign(
+      queries.select(col(idCol).as("query_id"), dv(col(vecCol)).as("v")),
+      "query_id", keep = nprobe)
+    val lut = probes
+      .select(col("query_id"), col("cid"), posexplode(subs(col("rv"))))
+      .select(col("query_id"), col("cid"), col("pos").as("sub"),
+        col("col").as("qv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("cid"), col("sub"), col("code"),
+        l2sq(col("qv"), col("cw")).as("d2"))
+    val adc = codes.join(broadcast(lut), Seq("cid", "sub", "code"))
       .where(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(aggregate(

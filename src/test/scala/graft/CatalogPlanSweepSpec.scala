@@ -46,7 +46,13 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "q167_nvs_hcp_all_channels", // J-10 reference-verbatim coalesce-key FULL
                               //   JOIN probe (S1:1004-1027), bounded to
                               //   channel-month grain by construction
-    "q168_nvs_combined")      // contains q167's probe via combined_nvs_data
+    "q168_nvs_combined",      // contains q167's probe via combined_nvs_data
+    "q173_ann_ivfpq",         // IVF cell assignment: corpus × broadcast(nlist)
+                              //   (codes⋈lut scoring join is equi on
+                              //   (cid, sub, code) — cell-scoped, q101 shape)
+    "q174_ivf_recall")        // q33 assignment + q22 exhaustive ground truth
+                              //   (calibration-sample queries by contract) +
+                              //   1-row possible-total broadcast
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

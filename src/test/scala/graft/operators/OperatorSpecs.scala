@@ -423,6 +423,71 @@ class SimilaritySpec extends SparkSpec {
     assert(lossy.forall(_.getDouble(3) >= 0.0))
   }
 
+  test("ivfPqTopK: covered candidates score exact L2; probes grow monotonically") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 64)
+    val queries = emb.where(col("vec_id") < 4)
+    // all cells probed + a codebook covering every non-seed residual: each
+    // covered candidate's codes reconstruct its residual exactly, so its
+    // ADC distance is the true L2² (residual subtraction cancels the shared
+    // cell centroid up to ulps — compare with a relative tolerance)
+    val full = Similarity.ivfPqTopK(emb, queries, k = 63,
+        nlist = 8, nprobe = 8, m = 8, ksub = 56)
+      .where(col("neighbor_id") >= 8)
+    val l2sq = aggregate(
+      zip_with(col("q_vec"), col("c_vec"), (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val exact = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_vec"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_vec"))), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), l2sq.as("l2"))
+    val drift = full.join(exact, Seq("query_id", "neighbor_id"))
+      .select(max(abs(col("adc_dist") - col("l2")) /
+        greatest(col("l2"), lit(1.0)))).head.getDouble(0)
+    assert(drift < 1e-9, s"covered-candidate ADC drifted from exact L2: $drift")
+    // more probes only widen the candidate set — never change a distance
+    def pairs(nprobe: Int) = Similarity.ivfPqTopK(emb, queries, k = 63,
+        nlist = 8, nprobe = nprobe, m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val one = pairs(1)
+    assert(one.nonEmpty && one.subsetOf(pairs(8)))
+    // real compression settings on the full corpus: full valid rankings,
+    // nonnegative distances monotone in rank
+    val lossy = Similarity.ivfPqTopK(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        queries, k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16)
+      .collect()
+    assert(lossy.groupBy(_.getLong(0)).values.forall { rs =>
+      val byRank = rs.sortBy(_.getInt(1))
+      byRank.map(_.getInt(1)).toSeq == (1 to rs.length) &&
+        byRank.map(_.getDouble(3)).toSeq.sliding(2).forall(
+          s => s.length < 2 || s(0) <= s(1)) &&
+        byRank.head.getDouble(3) >= 0.0
+    })
+  }
+
+  test("ivfRecallCurve: monotone in nprobe, exact recall 1.0 at full probing") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 6)
+    val curve = Similarity.ivfRecallCurve(emb, queries, k = 5,
+        nlist = 8, sweep = Seq(1, 2, 4, 8))
+      .orderBy(col("nprobe")).collect()
+    assert(curve.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8))
+    // denominator is the ground-truth pair count, constant across the sweep
+    assert(curve.forall(_.getLong(2) == 6L * 5))
+    // more probes can only add candidates with unchanged scores
+    val recalls = curve.map(_.getDouble(3)).toSeq
+    assert(recalls.sliding(2).forall(s => s.length < 2 || s(0) <= s(1)),
+      s"recall not monotone: $recalls")
+    // nprobe == nlist probes every cell → IVF ≡ brute force → recall 1.0
+    assert(recalls.last == 1.0, s"full probing must be exact: $recalls")
+    assert(curve.last.getLong(1) == curve.last.getLong(2))
+  }
+
   test("trained IVF centroids: recall at restricted nprobe >= seed centroids") {
     // clustered corpus (what IVF training exists to exploit; the parquet
     // embeddings are directionless noise, where any space partition is as
