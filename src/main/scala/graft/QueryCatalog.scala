@@ -5363,6 +5363,66 @@ object QueryCatalog {
         ORDER BY nprobe"""))
   }
 
+  /** Margin-based bitext mining ([[Similarity.bitextMarginMine]]): mutual
+    * best cross-side pairs by ratio margin (cosine over mean top-k NN
+    * cosine of both endpoints) — the hubness-robust CCMatrix/LASER miner;
+    * sides are the label-0 and label-1 embedding slices. */
+  private val q175 = {
+    val (k, minMargin) = (4, 1.0)
+    val cosSql = (a: String, b: String) =>
+      s"""list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]),
+          (x, y) -> x + y) /
+        (sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]),
+          (x, y) -> x + y)) *
+         sqrt(list_reduce(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]),
+          (x, y) -> x + y)))"""
+    QuerySpec(
+      "q175_bitext_margin",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bitextMarginMine(
+            emb.where(col("label") === 0), emb.where(col("label") === 1),
+            k = k, minMargin = minMargin)
+          .select(col("src_id"), col("tgt_id"),
+            round(col("cosine"), 6).as("cosine"),
+            round(col("margin"), 6).as("margin"))
+          .orderBy(col("src_id"))
+      },
+      Some(s"""WITH a AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS av
+          FROM embeddings WHERE label = 0),
+        b AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS bv
+          FROM embeddings WHERE label = 1),
+        scored AS (SELECT src_id, tgt_id, ${cosSql("av", "bv")} AS cosine,
+            row_number() OVER (PARTITION BY src_id
+              ORDER BY ${cosSql("av", "bv")} DESC, tgt_id ASC) AS xrn,
+            row_number() OVER (PARTITION BY tgt_id
+              ORDER BY ${cosSql("av", "bv")} DESC, src_id ASC) AS yrn
+          FROM a CROSS JOIN b),
+        da AS (SELECT src_id,
+            list_reduce(list_transform(
+              list_sort(list({'r': xrn, 'c': cosine})), s -> s.c),
+              (x, y) -> x + y) / CAST(count(*) AS DOUBLE) AS da
+          FROM scored WHERE xrn <= $k GROUP BY 1),
+        db AS (SELECT tgt_id,
+            list_reduce(list_transform(
+              list_sort(list({'r': yrn, 'c': cosine})), s -> s.c),
+              (x, y) -> x + y) / CAST(count(*) AS DOUBLE) AS db
+          FROM scored WHERE yrn <= $k GROUP BY 1),
+        margins AS (SELECT s.src_id, s.tgt_id, s.cosine,
+            s.cosine / ((da.da + db.db) / 2.0) AS margin
+          FROM scored s JOIN da USING (src_id) JOIN db USING (tgt_id)),
+        best AS (SELECT src_id, tgt_id, cosine, margin,
+            row_number() OVER (PARTITION BY src_id
+              ORDER BY margin DESC, tgt_id ASC) AS f,
+            row_number() OVER (PARTITION BY tgt_id
+              ORDER BY margin DESC, src_id ASC) AS w
+          FROM margins)
+        SELECT src_id, tgt_id, round(cosine, 6) AS cosine,
+          round(margin, 6) AS margin
+        FROM best WHERE f = 1 AND w = 1 AND margin >= $minMargin
+        ORDER BY src_id"""))
+  }
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -5382,5 +5442,5 @@ object QueryCatalog {
     q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
     q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174)
+    q172, q173, q174, q175)
 }

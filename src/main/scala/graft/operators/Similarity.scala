@@ -285,6 +285,77 @@ object Similarity {
           col("possible"), 6).as("recall"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019; the
+    * CCMatrix/LASER pipeline): mine translation pairs between two
+    * embedding sides by RATIO MARGIN — cos(x,y) normalized by the mean of
+    * each endpoint's top-`k` nearest-neighbor cosines into the opposite
+    * side — then keep MUTUAL best matches above `minMargin`. Plain cosine
+    * thresholds drown in hubness (a few vectors are everyone's nearest
+    * neighbor); the margin divides each pair's score by how promiscuous
+    * its endpoints are, which is what makes mined corpora usable.
+    *
+    * This is the exact calibration twin: one cross-side scored pass feeds
+    * BOTH direction rankings, both top-k denominator folds, and the final
+    * margin — nothing is scored twice. At 100-TB side sizes the only
+    * change is candidate generation: swap the exhaustive pass for
+    * [[lshTopKMulti]]/[[int8IvfTopK]] candidates (k-NN lists per
+    * direction), and the margin/mutual-best algebra downstream is
+    * unchanged — which is why the formula lives here once, over a scored
+    * (src, tgt, cosine) set, not inside any index.
+    *
+    * Engine-exact: top-k denominator means fold over the rank-SORTED
+    * cosine list (never a bare SUM), margins are single IEEE divisions,
+    * mutual-best tie-breaks are (margin desc, id asc) both ways. Returns
+    * (src_id, tgt_id, cosine, margin) for mutual-best pairs with
+    * margin >= `minMargin`. */
+  def bitextMarginMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
+      minMargin: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val a = src.select(col(idCol).as("src_id"), col(vecCol).as("a_vec"),
+      Vectors.l2Norm(col(vecCol)).as("a_norm"))
+    val b = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("b_vec"),
+      Vectors.l2Norm(col(vecCol)).as("b_norm"))
+    val byX = Window.partitionBy("src_id")
+      .orderBy(col("cosine").desc, col("tgt_id").asc)
+    val byY = Window.partitionBy("tgt_id")
+      .orderBy(col("cosine").desc, col("src_id").asc)
+    // persisted: three consumers (margin join + both denominator folds)
+    // would otherwise each replay the cross-side scoring pass
+    val scored = graft.core.CacheScope.persist(
+      a.join(broadcast(b), lit(true))
+        .withColumn("cosine",
+          Vectors.dot(col("a_vec"), col("b_vec")) /
+            (col("a_norm") * col("b_norm")))
+        .select(col("src_id"), col("tgt_id"), col("cosine"))
+        .withColumn("xrn", row_number().over(byX))
+        .withColumn("yrn", row_number().over(byY)))
+    // per-endpoint hubness denominators: mean of the top-k cosines into
+    // the opposite side, folded in rank order (deterministic double sum)
+    def nnMean(rnCol: String, keyCol: String, out: String) =
+      scored.where(col(rnCol) <= k)
+        .groupBy(col(keyCol))
+        .agg((aggregate(
+          transform(array_sort(collect_list(struct(col(rnCol), col("cosine")))),
+            s => s.getField("cosine")),
+          lit(0.0), (acc, x) => acc + x) /
+            count(lit(1)).cast("double")).as(out))
+    val margins = scored
+      .join(nnMean("xrn", "src_id", "da"), Seq("src_id"))
+      .join(nnMean("yrn", "tgt_id", "db"), Seq("tgt_id"))
+      .withColumn("margin",
+        col("cosine") / ((col("da") + col("db")) / lit(2.0)))
+    val fwd = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    val bwd = Window.partitionBy("tgt_id")
+      .orderBy(col("margin").desc, col("src_id").asc)
+    margins
+      .withColumn("f", row_number().over(fwd))
+      .withColumn("w", row_number().over(bwd))
+      .where(col("f") === 1 && col("w") === 1 && col("margin") >= minMargin)
+      .select("src_id", "tgt_id", "cosine", "margin")
+  }
+
   /** SemDeDup-style semantic deduplication: assign every vector to its IVF
     * cell, compare pairs ONLY within a cell, and drop a vector when a
     * lower-id near-duplicate (cosine >= `minCosine`) shares its cell.

@@ -50,9 +50,12 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "q173_ann_ivfpq",         // IVF cell assignment: corpus × broadcast(nlist)
                               //   (codes⋈lut scoring join is equi on
                               //   (cid, sub, code) — cell-scoped, q101 shape)
-    "q174_ivf_recall")        // q33 assignment + q22 exhaustive ground truth
+    "q174_ivf_recall",        // q33 assignment + q22 exhaustive ground truth
                               //   (calibration-sample queries by contract) +
                               //   1-row possible-total broadcast
+    "q175_bitext_margin")     // exact calibration twin: cross-side scoring
+                              //   pass IS the operator contract (scale path
+                              //   swaps in LSH/IVF candidates upstream)
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

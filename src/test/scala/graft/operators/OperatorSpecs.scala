@@ -488,6 +488,30 @@ class SimilaritySpec extends SparkSpec {
     assert(curve.last.getLong(1) == curve.last.getLong(2))
   }
 
+  test("bitextMarginMine: recovers a planted translation, mutual-best is 1:1") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val src = emb.where(col("label") === 0)
+    val donorId = src.agg(min(col("vec_id"))).head.getLong(0)
+    // plant an exact translation: the lowest-id src vector appears on the
+    // tgt side under a fresh id — cos = 1 against itself, margin >= 1 by
+    // construction (denominator means are <= 1), far above random cosines
+    val tgt = emb.where(col("label") === 1)
+      .unionByName(src.where(col("vec_id") === donorId)
+        .select(lit(100000L).as("vec_id"), col("embedding"), lit(1).as("label")))
+    val mined = Similarity.bitextMarginMine(src, tgt, k = 4, minMargin = 1.0)
+      .collect()
+    assert(mined.exists(r => r.getLong(0) == donorId && r.getLong(1) == 100000L),
+      "planted exact translation not mined")
+    // mutual-best output is injective on both sides
+    assert(mined.map(_.getLong(0)).distinct.length == mined.length)
+    assert(mined.map(_.getLong(1)).distinct.length == mined.length)
+    assert(mined.forall(r => r.getDouble(3) >= 1.0))
+    assert(mined.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+    // an unreachable margin bar empties the output, it doesn't error
+    assert(Similarity.bitextMarginMine(src, tgt, k = 4, minMargin = 50.0)
+      .count() == 0L)
+  }
+
   test("trained IVF centroids: recall at restricted nprobe >= seed centroids") {
     // clustered corpus (what IVF training exists to exploit; the parquet
     // embeddings are directionless noise, where any space partition is as
