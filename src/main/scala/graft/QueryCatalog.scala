@@ -5423,6 +5423,44 @@ object QueryCatalog {
         ORDER BY src_id"""))
   }
 
+  /** Compaction bin-packing plan ([[graft.sources.Compaction.planBins]]):
+    * per-partition next-fit-by-offset packing of small files into
+    * target-size rewrite jobs, oversize files as singleton bins — the
+    * OPTIMIZE planner grain over a deterministic file-stats fixture
+    * derived from orders (month × orderkey-bucket, mod-prime sizes so
+    * every scale exercises both the packing and oversize paths). */
+  private val q176 = {
+    val target = 4000000L
+    QuerySpec(
+      "q176_compaction_plan",
+      (s, dir) => {
+        val files = t(s, dir, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("part_key"),
+            (col("o_orderkey") % 13).as("file_id"))
+          .agg(pmod(sum(floor(col("o_totalprice")).cast("long")),
+            lit(9999991L)).as("bytes"))
+        graft.sources.Compaction.planBins(files, target)
+          .orderBy(col("part_key"), col("file_id"))
+      },
+      Some(s"""WITH fl AS (SELECT strftime(o_orderdate, '%Y-%m') AS part_key,
+          o_orderkey % 13 AS file_id,
+          CAST(CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+            % 9999991 AS BIGINT) AS bytes
+        FROM orders GROUP BY 1, 2),
+        small AS (SELECT part_key, file_id, bytes,
+            CAST(floor((sum(bytes) OVER (PARTITION BY part_key
+              ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+              ROW) - bytes) / $target.0) AS BIGINT) AS bin_id
+          FROM fl WHERE bytes < $target),
+        big AS (SELECT part_key, file_id, bytes,
+            -CAST(row_number() OVER (PARTITION BY part_key
+              ORDER BY file_id) AS BIGINT) AS bin_id
+          FROM fl WHERE bytes >= $target)
+        SELECT part_key, file_id, bytes, bin_id FROM small
+        UNION ALL SELECT part_key, file_id, bytes, bin_id FROM big
+        ORDER BY part_key, file_id"""))
+  }
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -5442,5 +5480,5 @@ object QueryCatalog {
     q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
     q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175)
+    q172, q173, q174, q175, q176)
 }
