@@ -5461,6 +5461,41 @@ object QueryCatalog {
         ORDER BY part_key, file_id"""))
   }
 
+  /** DoReMi-style one-step domain reweighting ([[ScaleOps.domainReweight]]):
+    * token-share mixture scaled multiplicatively by per-domain mean quality
+    * vs the corpus mean — exact integer sufficient statistics, the corpus
+    * constants cancel in the normalizer. */
+  private val q177 = QuerySpec(
+    "q177_domain_reweight",
+    (s, dir) => graft.operators.ScaleOps.domainReweight(
+        t(s, dir, "documents"), "source",
+        TextAnalysis.tokenCount(col("text")),
+        TextAnalysis.qualityScore(col("text")))
+      .orderBy(col("source")),
+    Some(s"""WITH perdoc AS (SELECT source,
+        CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+        CAST(round($QualityScoreSql * 1000000.0, 0) AS BIGINT) AS q_micro
+      FROM documents),
+      dom AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS tokens,
+          CAST(sum(q_micro) AS BIGINT) AS qsum
+        FROM perdoc GROUP BY 1),
+      dv AS (SELECT source, n_docs, tokens, qsum,
+          CAST(tokens AS DOUBLE) * CAST(qsum AS DOUBLE)
+            / CAST(n_docs AS DOUBLE) AS v
+        FROM dom),
+      tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t_toks,
+          list_reduce(list_transform(
+            list_sort(list({'s': source, 'v': v})), r -> r.v),
+            (x, y) -> x + y) AS z
+        FROM dv)
+      SELECT source, n_docs, tokens,
+        round(CAST(tokens AS DOUBLE) / t_toks, 6) AS w0,
+        round(CAST(qsum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000000.0),
+          6) AS quality,
+        round(v / z, 6) AS w1
+      FROM dv CROSS JOIN tot ORDER BY source"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -5480,5 +5515,5 @@ object QueryCatalog {
     q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
     q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175, q176)
+    q172, q173, q174, q175, q176, q177)
 }

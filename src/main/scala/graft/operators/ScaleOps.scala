@@ -356,6 +356,51 @@ object ScaleOps {
         .as("r"))
   }
 
+  /** One-step multiplicative domain reweighting — the DoReMi move (Xie et
+    * al. 2023) with a measurable per-domain signal standing in for excess
+    * loss: starting from the natural token-share mixture w0_d = toks_d/T,
+    * each domain's weight is scaled by how its mean quality compares to
+    * the corpus mean and renormalized. Because the corpus-mean constants
+    * cancel in the normalization, the update reduces to
+    * w1_d ∝ toks_d · qsum_d / n_d over EXACT integer sufficient
+    * statistics (token counts + micro-quantized quality sums) — no exp,
+    * no order-sensitive double sums; the only double fold is the
+    * #domains-sized normalizer, folded in domain-sorted order.
+    *
+    * Scale shape: ONE map-side-combined aggregate over the corpus to
+    * per-domain sufficient statistics (bounded rows), then scalar
+    * normalizers broadcast back — the same one-pass plan as
+    * [[microPearson]]; nothing corpus-sized shuffles, and the output
+    * feeds [[epochMix]] as its weights table. Returns one row per domain:
+    * (domain, n_docs, tokens, w0, quality, w1), ratios rounded 6dp. */
+  def domainReweight(docs: DataFrame, domainCol: String, tokens: Column,
+      quality: Column): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val perdoc = docs.select(col(domainCol),
+      tokens.cast("long").as("n_tok"),
+      round(quality * 1000000.0, 0).cast("long").as("q_micro"))
+    // persisted: the totals pass and the final join would otherwise each
+    // replay the corpus-sized aggregate
+    val dom = graft.core.CacheScope.persist(
+      perdoc.groupBy(col(domainCol))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+          sum(col("q_micro")).as("qsum"))
+        // toks and qsum are each far inside 2^53, so the double product
+        // and division are one fixed-parenthesization IEEE expression
+        .withColumn("v", d(col("tokens")) * d(col("qsum")) / d(col("n_docs"))))
+    val tot = dom.groupBy().agg(
+      sum(col("tokens")).as("t_toks"),
+      aggregate(transform(
+        array_sort(collect_list(struct(col(domainCol), col("v")))),
+        s => s.getField("v")), lit(0.0), (a, x) => a + x).as("z"))
+    dom.join(broadcast(tot), lit(true))
+      .select(col(domainCol), col("n_docs"), col("tokens"),
+        round(d(col("tokens")) / d(col("t_toks")), 6).as("w0"),
+        round(d(col("qsum")) / (d(col("n_docs")) * lit(1000000.0)), 6)
+          .as("quality"),
+        round(col("v") / col("z"), 6).as("w1"))
+  }
+
   /** The executable epoch plan from a temperature target — closes the
     * mix-design loop: [[temperatureWeights]] says WHAT share each stratum
     * deserves; this converts shares + a row budget into per-stratum copy

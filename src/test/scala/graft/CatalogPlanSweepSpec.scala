@@ -53,9 +53,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "q174_ivf_recall",        // q33 assignment + q22 exhaustive ground truth
                               //   (calibration-sample queries by contract) +
                               //   1-row possible-total broadcast
-    "q175_bitext_margin")     // exact calibration twin: cross-side scoring
+    "q175_bitext_margin",     // exact calibration twin: cross-side scoring
                               //   pass IS the operator contract (scale path
                               //   swaps in LSH/IVF candidates upstream)
+    "q177_domain_reweight")   // (t_toks, z) normalizers: 1-row broadcast
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

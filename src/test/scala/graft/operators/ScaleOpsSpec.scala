@@ -562,4 +562,37 @@ class ScaleOpsSpec extends SparkSpec {
     // value is uniform-ish across event types → no moderate-drift flag
     assert(a.values.forall(_ < 100000L), s"unexpected drift: $a")
   }
+
+  test("domainReweight: weights normalize, quality ordering drives the update") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = ScaleOps.domainReweight(docs, "source",
+        graft.operators.TextAnalysis.tokenCount(col("text")),
+        graft.operators.TextAnalysis.qualityScore(col("text")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    // both mixtures are distributions (6dp rounding tolerance per domain)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-4)
+    assert(math.abs(out.map(_._6).sum - 1.0) < 1e-4)
+    assert(out.forall(r => r._4 > 0 && r._6 > 0))
+    // the multiplicative update is monotone in quality: sort domains by
+    // mean quality and the w1/w0 boost ratio must sort the same way
+    val byQuality = out.sortBy(_._5).map(r => r._6 / r._4)
+    assert(byQuality.sliding(2).forall(s => s.length < 2 || s(0) <= s(1) + 1e-6),
+      s"boost ratios not monotone in quality: ${byQuality.toSeq}")
+
+    // synthetic two-domain check: equal tokens, different quality → the
+    // higher-quality domain ends above its w0 and above the other domain
+    val synth = spark.range(200).select(
+      when(col("id") < 100, "hi").otherwise("lo").as("source"),
+      col("id").as("doc_id"))
+      .withColumn("text", when(col("source") === "hi",
+        lit("the cat sat on the mat and read a fine book today"))
+        .otherwise(lit("zz9 !!@@ ## xx7 $$ %% qq3 && ** ((")))
+    val sm = ScaleOps.domainReweight(synth, "source",
+        graft.operators.TextAnalysis.tokenCount(col("text")),
+        graft.operators.TextAnalysis.qualityScore(col("text")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(5))).toMap
+    assert(sm("hi")._2 > sm("hi")._1 && sm("hi")._2 > sm("lo")._2)
+  }
 }
