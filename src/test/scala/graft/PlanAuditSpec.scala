@@ -367,7 +367,11 @@ class PlanAuditSpec extends SparkSpec {
       "q143_experiment_lift", // variant-0 baseline 1-row aggregate
       "q150_dedup_landscape", // corpus-total / clustered-count 1-row aggs
       "q157_dead_stock",     // 1-row ship-date anchor + the ≤100 rank
-      "q160_benford_digits"  // 9-row digit counts + their 1-row total
+      "q160_benford_digits", // 9-row digit counts + their 1-row total
+      "q174_ivf_recall",     // ground-truth-total 1-row aggregate (the
+                             //   recall denominator): partial rows only
+      "q177_domain_reweight" // (t_toks, z) normalizers: 1 partial row per
+                             //   partition over the #domains stats frame
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")
