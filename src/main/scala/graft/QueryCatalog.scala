@@ -5496,6 +5496,76 @@ object QueryCatalog {
         round(v / z, 6) AS w1
       FROM dv CROSS JOIN tot ORDER BY source"""))
 
+  /** Sparse-ranker agreement curve ([[Retrieval.rankAgreement]]): overlap,
+    * Jaccard and exact-binary RBO between the BM25 and coordinate-match
+    * top-50 lists at depths 10/20/50 — the measurement that justifies the
+    * q137 RRF hybrid (fusion only buys recall where rankers disagree). */
+  private val q178 = {
+    val terms = Seq("hash", "stream", "vector", "big")
+    val termList = terms.map(p => s"'$p'").mkString("(", ",", ")")
+    QuerySpec(
+      "q178_rank_agreement",
+      (s, dir) => {
+        import graft.operators.Retrieval
+        val docs = t(s, dir, "documents")
+        val wTop = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+        val bm = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 50)
+          .withColumn("rank", row_number().over(
+            wTop.orderBy(col("score_micro").desc, col("id"))))
+          .select("id", "rank")
+        val coord = Retrieval
+          .coordinateTopK(docs, "doc_id", "text", terms, k = 50)
+          .select("id", "rank")
+        Retrieval.rankAgreement(bm, coord, depths = Seq(10, 20, 50))
+          .orderBy(col("depth"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id,
+          len(str_split(text, ' ')) AS dl, str_split(text, ' ') AS toks
+          FROM documents),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+        tf AS (SELECT doc_id, any_value(dl) AS dl, tok, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM docs)
+          WHERE tok IN $termList GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        term_scores AS (SELECT doc_id,
+            CAST(round(ln(((n_docs - df) + 0.5) / (df + 0.5) + 1.0) *
+              ((tf * (1.2 + 1.0)) /
+               (tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                 (CAST(dl AS DOUBLE) / avgdl)))) * 1000000.0, 0) AS BIGINT)
+              AS micro
+          FROM tf JOIN dfreq USING (tok) CROSS JOIN stats),
+        bm_scores AS (SELECT doc_id, sum(micro) AS score_micro
+          FROM term_scores GROUP BY 1),
+        ar AS (SELECT doc_id, ra FROM (SELECT doc_id, row_number()
+            OVER (ORDER BY score_micro DESC, doc_id) AS ra FROM bm_scores)
+          WHERE ra <= 50),
+        coord AS (SELECT doc_id, count(*) AS n_match, any_value(dl) AS dl
+          FROM tf GROUP BY 1),
+        br AS (SELECT doc_id, rb FROM (SELECT doc_id, row_number()
+            OVER (ORDER BY n_match DESC, dl, doc_id) AS rb FROM coord)
+          WHERE rb <= 50),
+        j AS (SELECT ra, rb FROM ar FULL JOIN br USING (doc_id)),
+        per AS (SELECT g.d,
+            CAST(count(*) FILTER (WHERE ra <= g.d) AS BIGINT) AS a_n,
+            CAST(count(*) FILTER (WHERE rb <= g.d) AS BIGINT) AS b_n,
+            CAST(count(*) FILTER (WHERE ra <= g.d AND rb <= g.d) AS BIGINT)
+              AS inter
+          FROM range(1, 51) g(d) CROSS JOIN j GROUP BY 1),
+        curve AS (SELECT d, a_n, b_n, inter,
+            sum((CAST(inter AS DOUBLE) / d) /
+              CAST(1::BIGINT << (CAST(d AS INT) - 1) AS DOUBLE))
+              OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+                CURRENT ROW) AS rbosum
+          FROM per)
+        SELECT d AS depth, a_n, b_n, inter,
+          round(CASE WHEN a_n + b_n - inter = 0 THEN 0.0
+            ELSE CAST(inter AS DOUBLE) / (a_n + b_n - inter) END, 6)
+            AS jaccard,
+          round(rbosum * (CAST(1::BIGINT << (CAST(d AS INT) - 1) AS DOUBLE) /
+            CAST((1::BIGINT << CAST(d AS INT)) - 1 AS DOUBLE)), 6) AS rbo
+        FROM curve WHERE d IN (10, 20, 50) ORDER BY depth"""))
+  }
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -5515,5 +5585,5 @@ object QueryCatalog {
     q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
     q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175, q176, q177)
+    q172, q173, q174, q175, q176, q177, q178)
 }

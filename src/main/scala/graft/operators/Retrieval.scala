@@ -99,6 +99,62 @@ object Retrieval {
           .partitionBy(lit(0)).orderBy(ord: _*)))
   }
 
+  /** Rank-agreement diagnostic between two top-k rankings of the same id
+    * space — overlap, Jaccard, and truncated rank-biased overlap (RBO;
+    * Webber et al., TOIS 2010) at each requested depth. This is the
+    * measurement that justifies (or refutes) hybrid fusion: [[rrfFuse]]
+    * only buys recall when its input rankers DISAGREE, and "how much they
+    * agree, weighted toward the top" is exactly RBO. Persistence is fixed
+    * at p = 1/2 so every rank weight 2^(1-d) and every normalizer
+    * 2^(d-1)/(2^d - 1) is an EXACT binary double via integer shifts — no
+    * pow(), so both engines produce bit-identical curves (depths are
+    * capped at 62 to keep the shifts in int64).
+    *
+    * Scale shape: inputs are already top-k cuts, so everything here —
+    * the full outer id join, the depth-grid cross join, the cumulative
+    * RBO fold over the ≤62-row grid — is bounded by maxDepth, never
+    * corpus-sized.
+    *
+    * Inputs need (id, rank); returns one row per depth:
+    * (depth, a_n, b_n, inter, jaccard, rbo), ratios rounded 6dp. */
+  def rankAgreement(a: DataFrame, b: DataFrame,
+      depths: Seq[Int]): DataFrame = {
+    require(depths.nonEmpty && depths.forall(d => d >= 1 && d <= 62),
+      "depths must be in [1, 62] (exact power-of-two RBO weights)")
+    val maxD = depths.max.toLong
+    val ar = a.select(col("id"), col("rank").cast("long").as("ra"))
+      .where(col("ra") <= maxD)
+    val br = b.select(col("id"), col("rank").cast("long").as("rb"))
+      .where(col("rb") <= maxD)
+    val j = ar.join(br, Seq("id"), "full")
+    val grid = a.sparkSession.range(1, maxD + 1).select(col("id").as("d"))
+    val per = grid.join(j, lit(true), "left")
+      .groupBy(col("d"))
+      .agg(
+        count(when(col("ra") <= col("d"), 1)).as("a_n"),
+        count(when(col("rb") <= col("d"), 1)).as("b_n"),
+        count(when(col("ra") <= col("d") && col("rb") <= col("d"), 1))
+          .as("inter"))
+    // truncated normalized RBO@d = Σ_{i<=d} 2^(1-i)·X_i/i · 2^(d-1)/(2^d−1):
+    // term and normalizer are exact binary doubles; the cumulative fold
+    // runs ascending over the bounded grid
+    val pow2dm1 = expr("cast(shiftleft(1L, cast(d as int) - 1) as double)")
+    val term = (col("inter").cast("double") / col("d")) / pow2dm1
+    val cum = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+      .orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val norm = pow2dm1 /
+      expr("cast(shiftleft(1L, cast(d as int)) - 1 as double)")
+    val unionSz = col("a_n") + col("b_n") - col("inter")
+    per.withColumn("rbosum", sum(term).over(cum))
+      .where(col("d").isin(depths.map(_.toLong): _*))
+      .select(col("d").as("depth"), col("a_n"), col("b_n"), col("inter"),
+        round(when(unionSz === 0, lit(0.0))
+          .otherwise(col("inter").cast("double") / unionSz), 6).as("jaccard"),
+        round(col("rbosum") * norm, 6).as("rbo"))
+  }
+
   /** Reciprocal-rank fusion of N rankings of the same id space: per doc,
     * `rrf_micro = Σ_lists 1e6 div (kRrf + rank)` — the standard hybrid-
     * retrieval combiner (BM25 ⊕ coordinate match ⊕ ANN …), all integer

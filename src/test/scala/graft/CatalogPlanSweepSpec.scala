@@ -56,7 +56,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "q175_bitext_margin",     // exact calibration twin: cross-side scoring
                               //   pass IS the operator contract (scale path
                               //   swaps in LSH/IVF candidates upstream)
-    "q177_domain_reweight")   // (t_toks, z) normalizers: 1-row broadcast
+    "q177_domain_reweight",   // (t_toks, z) normalizers: 1-row broadcast
+    "q178_rank_agreement")    // (N, avgdl) corpus stats 1-row broadcast +
+                              //   depth-grid × joined-top-k cross: both
+                              //   sides bounded by maxDepth, never corpus
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

@@ -370,8 +370,10 @@ class PlanAuditSpec extends SparkSpec {
       "q160_benford_digits", // 9-row digit counts + their 1-row total
       "q174_ivf_recall",     // ground-truth-total 1-row aggregate (the
                              //   recall denominator): partial rows only
-      "q177_domain_reweight" // (t_toks, z) normalizers: 1 partial row per
+      "q177_domain_reweight", // (t_toks, z) normalizers: 1 partial row per
                              //   partition over the #domains stats frame
+      "q178_rank_agreement"  // (N, avgdl) 1-row corpus stats + the bounded
+                             //   top-k rank windows + ≤62-row RBO fold
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")

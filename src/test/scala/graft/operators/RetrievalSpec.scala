@@ -133,4 +133,35 @@ class RetrievalSpec extends SparkSpec {
         .count(identity).toLong)
     }
   }
+
+  test("rankAgreement: self-agreement is exactly 1, disjoint lists are 0") {
+    def ranking(ids: Seq[Long]) = {
+      import spark.implicits._
+      ids.zipWithIndex.map { case (id, i) => (id, i + 1) }
+        .toDF("id", "rank")
+    }
+    val a = ranking(1L to 20L)
+    val self = Retrieval.rankAgreement(a, a, depths = Seq(5, 10, 20))
+      .orderBy("depth").collect()
+    // identical lists: every prefix coincides → jaccard = rbo = 1 exactly
+    // (the p=1/2 weights and normalizers are exact binary doubles)
+    assert(self.map(_.getDouble(4)).toSeq == Seq(1.0, 1.0, 1.0))
+    assert(self.map(_.getDouble(5)).toSeq == Seq(1.0, 1.0, 1.0))
+    assert(self.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((5L, 5L, 5L), (10L, 10L, 10L), (20L, 20L, 20L)))
+    val disjoint = Retrieval
+      .rankAgreement(a, ranking(100L to 119L), depths = Seq(10, 20))
+      .orderBy("depth").collect()
+    assert(disjoint.map(_.getDouble(4)).toSeq == Seq(0.0, 0.0))
+    assert(disjoint.map(_.getDouble(5)).toSeq == Seq(0.0, 0.0))
+    // partial agreement: first 10 shared then divergent — monotone sanity,
+    // and RBO(top-weighted) must exceed plain Jaccard at full depth
+    val half = Retrieval.rankAgreement(a,
+      ranking((1L to 10L) ++ (200L to 209L)), depths = Seq(10, 20))
+      .orderBy("depth").collect()
+    assert(half.head.getDouble(4) == 1.0 && half.head.getDouble(5) == 1.0)
+    val (j20, r20) = (half(1).getDouble(4), half(1).getDouble(5))
+    assert(j20 < 1.0 && r20 < 1.0 && r20 > j20,
+      s"top-weighted RBO $r20 should exceed Jaccard $j20 when the overlap is at the top")
+  }
 }
