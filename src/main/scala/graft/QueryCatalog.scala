@@ -2969,18 +2969,10 @@ object QueryCatalog {
         md5(array_to_string(wt, ' ')) AS chunk_hash
       FROM w ORDER BY id, chunk_idx"""))
 
-  /** Self-trained naive-Bayes language classifier
-    * ([[TextAnalysis.naiveBayesPredict]] on the `lang` label): closed-form
-    * multinomial fit, micro-nat integer posteriors ⇒ the argmax (and every
-    * tie) is engine-exact, so predicted labels hash-match — the
-    * quality/language-filter stage of the curation recipes with its
-    * training loop replayed by the oracle. */
-  private val q109 = QuerySpec(
-    "q109_nb_predict",
-    (s, dir) => TextAnalysis.naiveBayesPredict(t(s, dir, "documents"),
-        "doc_id", "text", "lang")
-      .orderBy(col("id")),
-    Some("""WITH tk AS (SELECT doc_id AS id, lang AS label,
+  /** q109's oracle CTE chain — naive-Bayes train + score + per-doc argmax
+    * rank, verbatim — shared by q179 (margins) and q180 (agreement), which
+    * put different finals on `ranked`. */
+  private val NbOracleCtes = """tk AS (SELECT doc_id AS id, lang AS label,
           unnest(str_split(text, ' ')) AS tok
         FROM documents),
       tf AS (SELECT id, label, tok, CAST(count(*) AS BIGINT) AS c
@@ -3009,7 +3001,20 @@ object QueryCatalog {
         FROM post JOIN priors p ON p.cls = post.cls),
       ranked AS (SELECT id, label, cls, post_q, row_number() OVER (
           PARTITION BY id ORDER BY post_q DESC, cls) AS rn
-        FROM scored)
+        FROM scored)"""
+
+  /** Self-trained naive-Bayes language classifier
+    * ([[TextAnalysis.naiveBayesPredict]] on the `lang` label): closed-form
+    * multinomial fit, micro-nat integer posteriors ⇒ the argmax (and every
+    * tie) is engine-exact, so predicted labels hash-match — the
+    * quality/language-filter stage of the curation recipes with its
+    * training loop replayed by the oracle. */
+  private val q109 = QuerySpec(
+    "q109_nb_predict",
+    (s, dir) => TextAnalysis.naiveBayesPredict(t(s, dir, "documents"),
+        "doc_id", "text", "lang")
+      .orderBy(col("id")),
+    Some(s"""WITH $NbOracleCtes
       SELECT id, label, cls AS predicted, post_q, (cls = label) AS correct
       FROM ranked WHERE rn = 1 ORDER BY id"""))
 
@@ -5566,6 +5571,185 @@ object QueryCatalog {
         FROM curve WHERE d IN (10, 20, 50) ORDER BY depth"""))
   }
 
+  /** Selective-prediction risk–coverage curve
+    * ([[TextAnalysis.selectiveRiskCurve]]): q109's classifier swept over a
+    * fixed micro-nat margin-threshold grid — at each threshold, the doc
+    * fraction an auto-labeler would keep and its accuracy on the kept set.
+    * The operating-point table for model-assisted curation ("auto-accept
+    * above margin M, route the rest to review"), integer-exact end to end
+    * (margins are int64 micro-nat differences; the curve is one pass of
+    * conditional sums, no sort). */
+  private val q179 = {
+    val grid = Seq(0L, 500000L, 1000000L, 2000000L, 4000000L, 8000000L,
+      16000000L, 32000000L, 64000000L, 128000000L)
+    QuerySpec(
+      "q179_risk_coverage",
+      (s, dir) => TextAnalysis.selectiveRiskCurve(t(s, dir, "documents"),
+          "doc_id", "text", "lang", grid)
+        .orderBy(col("threshold_q")),
+      Some(s"""WITH $NbOracleCtes,
+        top2 AS (SELECT id,
+            max(CASE WHEN rn = 1 THEN post_q END) AS p1,
+            max(CASE WHEN rn = 2 THEN post_q END) AS p2,
+            max(CASE WHEN rn = 1 THEN cls END) AS predicted,
+            max(CASE WHEN rn = 1 THEN label END) AS label
+          FROM ranked WHERE rn <= 2 GROUP BY id),
+        m AS (SELECT p1 - coalesce(p2, p1) AS margin_q,
+            (predicted = label) AS correct FROM top2),
+        mtot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM m),
+        grid AS (SELECT unnest([${grid.mkString(", ")}]::BIGINT[])
+            AS threshold_q),
+        curve AS (SELECT threshold_q,
+            CAST(count(*) FILTER (WHERE margin_q >= threshold_q) AS BIGINT)
+              AS n_kept,
+            CAST(count(*) FILTER (WHERE margin_q >= threshold_q AND correct)
+              AS BIGINT) AS n_correct
+          FROM m CROSS JOIN grid GROUP BY 1)
+        SELECT threshold_q, n_total, n_kept,
+          CAST(round(CAST(n_kept AS DOUBLE) * 1000000.0 / n_total, 0)
+            AS BIGINT) AS coverage_micro,
+          n_correct,
+          CASE WHEN n_kept = 0 THEN 0::BIGINT
+            ELSE CAST(round(CAST(n_correct AS DOUBLE) * 1000000.0 / n_kept,
+              0) AS BIGINT) END AS acc_micro
+        FROM curve CROSS JOIN mtot ORDER BY threshold_q"""))
+  }
+
+  /** Inter-rater agreement ([[graft.operators.DataChecks.raterAgreement]])
+    * between the two label sources the engine already ships — the q25
+    * stopword-hit lang-id heuristic and the q109 naive-Bayes classifier —
+    * as confusion cells plus Cohen's kappa in integer micro units. The
+    * audit that says whether two cheap labelers agree enough to trust
+    * where they concur (and names the label pairs where they split). */
+  private val q180 = QuerySpec(
+    "q180_rater_kappa",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val heur = d.select(col("doc_id"),
+        TextAnalysis.langIdGuess(col("text")).as("lang_heur"))
+      val nb = TextAnalysis.naiveBayesPredict(d, "doc_id", "text", "lang")
+        .select(col("id").as("doc_id"), col("predicted"))
+      graft.operators.DataChecks.raterAgreement(
+          heur.join(nb, "doc_id"), col("lang_heur"), col("predicted"))
+        .orderBy(col("a_label"), col("b_label"))
+    },
+    Some {
+      val hitExpr = TextAnalysis.StopwordsByLang.map { case (lang, ws) =>
+        val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
+        s"CAST(len(list_filter(str_split(text, ' '), t -> list_contains($list, t))) AS BIGINT) AS ${lang}_hits"
+      }.mkString(",\n          ")
+      val langs = TextAnalysis.StopwordsByLang.map(_._1)
+      val bestExpr = langs.map(l => s"${l}_hits").reduce((a, b) => s"greatest($a, $b)")
+      val caseArms = langs.map(l => s"WHEN ${l}_hits = best THEN '$l'").mkString(" ")
+      s"""WITH $NbOracleCtes,
+        lhits AS (SELECT doc_id, $hitExpr FROM documents),
+        lsc AS (SELECT *, $bestExpr AS best FROM lhits),
+        heur AS (SELECT doc_id,
+            CASE WHEN best <= 0 THEN 'unknown' $caseArms ELSE 'unknown' END
+              AS a_lbl
+          FROM lsc),
+        pred AS (SELECT id AS doc_id, cls AS b_lbl FROM ranked WHERE rn = 1),
+        cells AS (SELECT a_lbl AS a_label, b_lbl AS b_label,
+            CAST(count(*) AS BIGINT) AS n_docs
+          FROM heur JOIN pred USING (doc_id) GROUP BY 1, 2),
+        ra AS (SELECT a_label AS lbl, CAST(sum(n_docs) AS BIGINT) AS r
+          FROM cells GROUP BY 1),
+        cbt AS (SELECT b_label AS lbl, CAST(sum(n_docs) AS BIGINT) AS c
+          FROM cells GROUP BY 1),
+        pes AS (SELECT CAST(coalesce(sum(r * c), 0) AS BIGINT) AS pe_s
+          FROM ra JOIN cbt USING (lbl)),
+        tots AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+            CAST(coalesce(sum(CASE WHEN a_label = b_label THEN n_docs END),
+              0) AS BIGINT) AS po_n
+          FROM cells)
+        SELECT a_label, b_label, n_docs, n_total, po_n, pe_s,
+          CASE WHEN n_total * n_total = pe_s THEN
+              CASE WHEN po_n = n_total THEN 1000000::BIGINT
+                ELSE 0::BIGINT END
+            ELSE CAST(round(CAST(po_n * n_total - pe_s AS DOUBLE) *
+              1000000.0 / CAST(n_total * n_total - pe_s AS DOUBLE), 0)
+              AS BIGINT) END AS kappa_micro
+        FROM cells CROSS JOIN tots CROSS JOIN pes
+        ORDER BY a_label, b_label"""
+    })
+
+  /** Approximate functional-dependency audit
+    * ([[graft.operators.DataChecks.fdViolations]], the TANE g₃ error):
+    * (source → lang) / (lang → source) on documents and
+    * (user_id → event_type) on events — min-rows-to-remove counts and
+    * micro violation rates per declared dependency. */
+  private val q181 = {
+    def pairCtes(i: Int, table: String, det: String, dep: String): String =
+      s"""c$i AS (SELECT $det AS det_val, $dep AS dep_val,
+            CAST(count(*) AS BIGINT) AS c
+          FROM $table GROUP BY 1, 2),
+        g$i AS (SELECT det_val, CAST(sum(c) AS BIGINT) AS grp_rows,
+            CAST(max(c) AS BIGINT) AS keep, CAST(count(*) AS BIGINT) AS n_dep
+          FROM c$i GROUP BY 1),
+        r$i AS (SELECT '$det' AS det_col, '$dep' AS dep_col,
+            CAST(coalesce(sum(grp_rows), 0) AS BIGINT) AS n_rows,
+            CAST(count(*) AS BIGINT) AS n_groups,
+            CAST(coalesce(sum(CASE WHEN n_dep > 1 THEN 1 END), 0) AS BIGINT)
+              AS violating_groups,
+            CAST(coalesce(sum(grp_rows), 0) - coalesce(sum(keep), 0)
+              AS BIGINT) AS violations,
+            CASE WHEN coalesce(sum(grp_rows), 0) = 0 THEN 0::BIGINT
+              ELSE CAST(round(CAST(coalesce(sum(grp_rows), 0) -
+                coalesce(sum(keep), 0) AS DOUBLE) * 1000000.0 /
+                coalesce(sum(grp_rows), 0), 0) AS BIGINT) END AS g3_micro
+          FROM g$i)"""
+    QuerySpec(
+      "q181_fd_audit",
+      (s, dir) => {
+        val docs = graft.operators.DataChecks.fdViolations(
+          t(s, dir, "documents"), Seq(("source", "lang"), ("lang", "source")))
+        val ev = graft.operators.DataChecks.fdViolations(
+          t(s, dir, "events"), Seq(("user_id", "event_type")))
+        docs.unionAll(ev).orderBy(col("det_col"), col("dep_col"))
+      },
+      Some(s"""WITH ${pairCtes(1, "documents", "source", "lang")},
+        ${pairCtes(2, "documents", "lang", "source")},
+        ${pairCtes(3, "events", "user_id", "event_type")}
+        SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+          UNION ALL SELECT * FROM r3)
+        ORDER BY det_col, dep_col"""))
+  }
+
+  /** Per-label embedding centroid drift ([[Similarity.centroidDrift]]):
+    * cosine between each label's centroid over the even-id half and the
+    * odd-id half of the corpus — the embedding-space stability monitor
+    * (a self-check split here; ingestion batches in production). Integer
+    * micro quantization per dimension + dim-ordered sorted fold ⇒ the
+    * cosine replays bit-for-bit. */
+  private val q182 = QuerySpec(
+    "q182_centroid_drift",
+    (s, dir) => Similarity.centroidDrift(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", col("vec_id") % 2 === 0)
+      .orderBy(col("label")),
+    Some("""WITH q AS (SELECT label, (vec_id % 2 = 0) AS in_a, i - 1 AS dim,
+          CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+            AS vq
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+      sums AS (SELECT label, in_a, dim, CAST(sum(vq) AS BIGINT) AS s,
+          CAST(count(*) AS BIGINT) AS n
+        FROM q GROUP BY 1, 2, 3),
+      j AS (SELECT a.label, a.dim, a.s AS sa, b.s AS sb, a.n AS na,
+          b.n AS nb
+        FROM sums a JOIN sums b ON a.label = b.label AND a.dim = b.dim
+          AND a.in_a AND NOT b.in_a),
+      f AS (SELECT label, max(na) AS n_a, max(nb) AS n_b,
+          list_sort(list({'d': dim, 'x': CAST(sa AS DOUBLE),
+            'y': CAST(sb AS DOUBLE)})) AS ps
+        FROM j GROUP BY 1)
+      SELECT label, n_a, n_b,
+        round(list_reduce(list_transform(ps, e -> e.x * e.y),
+            (x, y) -> x + y) /
+          (sqrt(list_reduce(list_transform(ps, e -> e.x * e.x),
+            (x, y) -> x + y)) *
+           sqrt(list_reduce(list_transform(ps, e -> e.y * e.y),
+            (x, y) -> x + y))), 6) AS cos_centroid
+      FROM f ORDER BY label"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -5585,5 +5769,5 @@ object QueryCatalog {
     q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
     q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175, q176, q177, q178)
+    q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182)
 }

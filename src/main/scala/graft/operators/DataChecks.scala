@@ -138,6 +138,87 @@ object DataChecks {
     * (column, bin)-keyed aggregate whose partials collapse map-side to
     * |cols|·(bins+1) rows per partition. Bin arithmetic is mirrored
     * token-for-token by the oracle so boundary doubles land identically. */
+  /** Cohen's kappa agreement between two categorical columns — the
+    * inter-annotator (or model-vs-model) audit: how much do two labelers
+    * agree beyond what label-frequency chance predicts? Emits the full
+    * confusion matrix (one row per observed label pair, with its count)
+    * plus the corpus-level summary carried on every row: total rows,
+    * observed-agreement count, the chance-agreement cross-product sum,
+    * and kappa in integer micro units. kappa = (pₒ − pₑ)/(1 − pₑ)
+    * computed entirely from int64 counts via the equivalent
+    * (pₒ·N − Σᵣ·c)/(N² − Σᵣ·c) form — exact while N ≤ ~3·10⁹ (products
+    * stay inside int64; beyond that, pre-aggregate to per-shard counts).
+    * Degenerate chance-certain corpora (pₑ = 1, both raters constant on
+    * one label) get kappa 1 when agreement is perfect and 0 otherwise,
+    * the usual convention for the 0/0 case.
+    *
+    * Scale shape: one (a,b)-keyed count aggregate (map-side combined to
+    * ≤ |labels|² rows per partition), marginals re-aggregated from the
+    * CELLS (never the corpus), and two 1-row broadcast scalars joined
+    * back — corpus rows are touched exactly once. */
+  def raterAgreement(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = graft.core.CacheScope.persist(
+      df.select(aCol.as("a_label"), bCol.as("b_label"))
+        .groupBy("a_label", "b_label")
+        .agg(count(lit(1)).as("n_docs")))
+    val ra = cells.groupBy(col("a_label").as("lbl"))
+      .agg(sum("n_docs").as("ra"))
+    val cb = cells.groupBy(col("b_label").as("lbl"))
+      .agg(sum("n_docs").as("cb"))
+    val peS = ra.join(cb, Seq("lbl"))
+      .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)).as("pe_s"))
+    val tots = cells.agg(
+      sum("n_docs").as("n_total"),
+      coalesce(sum(when(col("a_label") === col("b_label"), col("n_docs"))),
+        lit(0L)).as("po_n"))
+    val den = (col("n_total") * col("n_total") - col("pe_s")).cast("double")
+    cells.crossJoin(broadcast(tots)).crossJoin(broadcast(peS))
+      .select(col("a_label"), col("b_label"), col("n_docs"),
+        col("n_total"), col("po_n"), col("pe_s"),
+        when(col("n_total") * col("n_total") === col("pe_s"),
+          when(col("po_n") === col("n_total"), lit(1000000L)).otherwise(0L))
+          .otherwise(round((col("po_n") * col("n_total") - col("pe_s"))
+            .cast("double") * 1e6 / den, 0).cast("long"))
+          .as("kappa_micro"))
+  }
+
+  /** Approximate functional-dependency audit over declared column pairs —
+    * the g₃ measure of FD discovery (Kivinen & Mannila 1995; TANE's
+    * error): for each candidate A → B, the minimum number of rows that
+    * would have to be removed for the dependency to hold exactly, i.e.
+    * n_rows − Σ_a max_b count(a,b). A near-zero g₃ on (source → lang)
+    * says sources are monolingual enough to backfill missing language
+    * tags; a large one kills the shortcut. One row per declared pair with
+    * the group/violation counts and the violation rate in micro units.
+    *
+    * Scale shape per pair: one (A,B)-keyed count aggregate, re-aggregated
+    * to A grain, then a 3-column global fold — map-side combine at every
+    * level, no joins, no windows; pairs union afterwards. Cost is
+    * |pairs| corpus passes over two projected columns each (columnar scan
+    * prunes the rest). */
+  def fdViolations(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (determinant, dependent) pair")
+    pairs.map { case (det, dep) =>
+      df.groupBy(col(det).as("det_val"), col(dep).as("dep_val"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("det_val")
+        .agg(sum("c").as("grp_rows"), max("c").as("keep"),
+          count(lit(1)).as("n_dep"))
+        .agg(
+          coalesce(sum("grp_rows"), lit(0L)).as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          coalesce(sum(when(col("n_dep") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("violating_groups"),
+          coalesce(sum("keep"), lit(0L)).as("kept"))
+        .select(lit(det).as("det_col"), lit(dep).as("dep_col"),
+          col("n_rows"), col("n_groups"), col("violating_groups"),
+          (col("n_rows") - col("kept")).as("violations"),
+          when(col("n_rows") === 0, 0L)
+            .otherwise(round((col("n_rows") - col("kept")).cast("double") *
+              1e6 / col("n_rows"), 0).cast("long")).as("g3_micro"))
+    }.reduce(_.unionAll(_))
+  }
+
   def numericProfile(df: DataFrame, cols: Seq[String],
       bins: Int = 10): DataFrame = {
     require(cols.nonEmpty && bins >= 1, "need columns and bins >= 1")

@@ -856,4 +856,55 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** Embedding-space drift monitor: per label (domain, cluster, source —
+    * whatever the embeddings are tagged with), the cosine between the
+    * group's centroid in split A and in split B. Splits here are the
+    * halves picked by `splitA` (a boolean column — id parity for
+    * snapshot-free self-checks, an ingestion-batch flag in production).
+    * cos ≈ 1 means the region of embedding space the label occupies is
+    * stable; a drop flags the drift (new topic mix, encoder change,
+    * upstream scraper break) that PSI on token histograms (q118/q120)
+    * can't see once text is embedded. Labels present in only one split
+    * drop out (no drift is measurable).
+    *
+    * Engine-exact: each dimension value is quantized to integer micros
+    * BEFORE summing, so per-(label, split, dim) sums are exact int64 in
+    * any fold order; the centroid divisions cancel in the cosine
+    * (cos(s_a/n_a, s_b/n_b) = cos(s_a, s_b)), so the only float math is
+    * the final dot/norms — folded over the ≤`dim` per-label terms in
+    * dim order via a sorted-list fold, bit-identical in both engines.
+    *
+    * Scale shape: one posexplode (narrow, |dim| rows per vector) into a
+    * (label, split, dim)-keyed sum — map-side combined to
+    * |labels|·2·|dim| rows per partition; everything after the first
+    * aggregate is label-grain (the collect_list holds ≤|dim| structs per
+    * label, never corpus data). */
+  def centroidDrift(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, splitA: Column): DataFrame = {
+    val sums = df
+      .select(col(labelCol).as("label"), splitA.as("in_a"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("label"), col("in_a"), col("dim"),
+        round(col("v").cast("double") * 1e6, 0).cast("long").as("vq"))
+      .groupBy("label", "in_a", "dim")
+      .agg(sum("vq").as("s"), count(lit(1)).as("n"))
+    val a = sums.where(col("in_a"))
+      .select(col("label"), col("dim"), col("s").as("sa"), col("n").as("na"))
+    val b = sums.where(!col("in_a"))
+      .select(col("label"), col("dim"), col("s").as("sb"), col("n").as("nb"))
+    val folded = a.join(b, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        sort_array(collect_list(struct(col("dim"),
+          col("sa").cast("double").as("x"),
+          col("sb").cast("double").as("y")))).as("ps"))
+    folded.select(col("label"), col("n_a"), col("n_b"),
+      round(
+        aggregate(col("ps"), lit(0.0), (acc, e) => acc + e("x") * e("y")) /
+          (sqrt(aggregate(col("ps"), lit(0.0),
+            (acc, e) => acc + e("x") * e("x"))) *
+           sqrt(aggregate(col("ps"), lit(0.0),
+            (acc, e) => acc + e("y") * e("y")))), 6).as("cos_centroid"))
+  }
 }

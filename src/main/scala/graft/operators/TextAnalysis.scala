@@ -776,6 +776,21 @@ object TextAnalysis {
     * upstream for a held-out fit. */
   def naiveBayesPredict(df: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame = {
+    val scored = nbPosteriors(df, idCol, textCol, labelCol)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("post_q").desc, col("cls"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("id"), col("label"), col("cls").as("predicted"),
+        col("post_q"),
+        (col("cls") === col("label")).as("correct"))
+  }
+
+  /** The shared trainer/scorer behind [[naiveBayesPredict]] and
+    * [[selectiveRiskCurve]]: one row per (doc, class) with the integer
+    * micro-nat posterior `post_q` — the argmax/margin consumers differ
+    * only in the window they put on top. */
+  private def nbPosteriors(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
     // per-doc distinct-token counts, exploded once (feeds train AND score)
     val tf = graft.core.CacheScope.persist(
       df.select(col(idCol).as("id"), col(labelCol).as("label"),
@@ -800,18 +815,73 @@ object TextAnalysis {
         round(log((coalesce(col("ckt"), lit(0L)) + 1).cast("double") /
           (col("ctot") + col("v")).cast("double")) * 1e6, 0)
           .cast("long").as("llq"))
-    val scored = tf.join(model, Seq("tok"))
+    tf.join(model, Seq("tok"))
       .groupBy(col("id"), col("label"), col("cls"))
       .agg(sum(col("c") * col("llq")).as("ll"))
       .join(priors, Seq("cls"))
       .select(col("id"), col("label"), col("cls"),
         (col("ll") + col("prq")).as("post_q"))
+  }
+
+  /** Risk–coverage curve for selective prediction (Geifman & El-Yaniv
+    * 2017) over the naive-Bayes classifier: at each confidence threshold,
+    * what fraction of documents would an auto-labeler keep, and how
+    * accurate is it on what it keeps? Confidence is the integer micro-nat
+    * posterior MARGIN (top class minus runner-up — the standard abstention
+    * score); a single-class corpus gets margin 0 by convention. One row
+    * per threshold: kept count, coverage, correct-kept count, selective
+    * accuracy. This is the table that picks the operating point for
+    * model-assisted curation — "auto-accept above margin M, route the
+    * rest to review" — the same way q90 picks a token-budget cutoff.
+    *
+    * Engine-exact: margins are differences of int64 micro-nat posteriors
+    * (q109's quantization), so every comparison against the threshold
+    * grid is integer; coverage/accuracy are single double divisions of
+    * exact integers rounded to micro units.
+    *
+    * Scale shape: the posterior/margin stage is q109's (tok-keyed scoring
+    * join + doc-keyed window); the curve is ONE pass of conditional
+    * partial aggregates over the margins (2·|grid|+1 running sums,
+    * map-side combined — no per-threshold scan, no sort, no join), then a
+    * bounded |grid|-row explode of the single result row. */
+  def selectiveRiskCurve(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, thresholdsMicroNats: Seq[Long]): DataFrame = {
+    require(thresholdsMicroNats.nonEmpty, "need a threshold grid")
+    val scored = nbPosteriors(df, idCol, textCol, labelCol)
     val w = Window.partitionBy(col("id"))
       .orderBy(col("post_q").desc, col("cls"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("id"), col("label"), col("cls").as("predicted"),
-        col("post_q"),
-        (col("cls") === col("label")).as("correct"))
+    val margins = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .groupBy("id")
+      .agg(
+        max(when(col("rn") === 1, col("post_q"))).as("p1"),
+        max(when(col("rn") === 2, col("post_q"))).as("p2"),
+        max(when(col("rn") === 1, col("cls"))).as("predicted"),
+        max(when(col("rn") === 1, col("label"))).as("label"))
+      .select(
+        (col("p1") - coalesce(col("p2"), col("p1"))).as("margin_q"),
+        (col("predicted") === col("label")).as("correct"))
+    val condSums = thresholdsMicroNats.flatMap { th =>
+      Seq(
+        sum(when(col("margin_q") >= th, 1L).otherwise(0L)).as(s"k_$th"),
+        sum(when(col("margin_q") >= th && col("correct"), 1L)
+          .otherwise(0L)).as(s"c_$th"))
+    }
+    val row = margins.agg(count(lit(1)).as("n_total"),
+      condSums: _*)
+    val entries = thresholdsMicroNats.map { th =>
+      struct(lit(th).as("threshold_q"), col(s"k_$th").as("n_kept"),
+        col(s"c_$th").as("n_correct"))
+    }
+    row.select(col("n_total"), explode(array(entries: _*)).as("e"))
+      .select(col("e.threshold_q").as("threshold_q"), col("n_total"),
+        col("e.n_kept").as("n_kept"),
+        round(col("e.n_kept").cast("double") * 1e6 / col("n_total"), 0)
+          .cast("long").as("coverage_micro"),
+        col("e.n_correct").as("n_correct"),
+        when(col("e.n_kept") === 0, 0L)
+          .otherwise(round(col("e.n_correct").cast("double") * 1e6 /
+            col("e.n_kept"), 0).cast("long")).as("acc_micro"))
   }
 
   /** Unigram distribution drift between two corpora — the crawl-over-crawl

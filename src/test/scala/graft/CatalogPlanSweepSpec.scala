@@ -57,9 +57,14 @@ class CatalogPlanSweepSpec extends SparkSpec {
                               //   pass IS the operator contract (scale path
                               //   swaps in LSH/IVF candidates upstream)
     "q177_domain_reweight",   // (t_toks, z) normalizers: 1-row broadcast
-    "q178_rank_agreement")    // (N, avgdl) corpus stats 1-row broadcast +
+    "q178_rank_agreement",    // (N, avgdl) corpus stats 1-row broadcast +
                               //   depth-grid × joined-top-k cross: both
                               //   sides bounded by maxDepth, never corpus
+    "q179_risk_coverage",     // q109's NB model-build scalars (contract
+                              //   above); the curve itself is one agg row
+    "q180_rater_kappa")       // q109's NB scalars + raterAgreement's
+                              //   (n_total, pe_s) 1-row broadcasts into
+                              //   the bounded |labels|² cell table
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

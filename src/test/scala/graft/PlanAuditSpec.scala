@@ -372,8 +372,16 @@ class PlanAuditSpec extends SparkSpec {
                              //   recall denominator): partial rows only
       "q177_domain_reweight", // (t_toks, z) normalizers: 1 partial row per
                              //   partition over the #domains stats frame
-      "q178_rank_agreement"  // (N, avgdl) 1-row corpus stats + the bounded
+      "q178_rank_agreement", // (N, avgdl) 1-row corpus stats + the bounded
                              //   top-k rank windows + ≤62-row RBO fold
+      "q179_risk_coverage",  // q109's NB global counts (contract above) +
+                             //   the curve's 1-row conditional-sum agg:
+                             //   2·|grid|+1 partial cells per partition
+      "q180_rater_kappa",    // q109's NB global counts + the (n_total,
+                             //   po_n) and pe_s 1-row aggs over the
+                             //   ≤|labels|² cell frame
+      "q181_fd_audit"        // per-pair 3-column global fold over the
+                             //   A-grain frame: 1 partial row/partition
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")
