@@ -5750,6 +5750,232 @@ object QueryCatalog {
             (x, y) -> x + y))), 6) AS cos_centroid
       FROM f ORDER BY label"""))
 
+  /** Heaps'-law vocabulary growth ([[TextAnalysis.vocabGrowth]]): types
+    * and cumulative tokens at each ingestion-id prefix cut — flat vocab
+    * under growing tokens = the source is mined out. Static cut grid so
+    * the same oracle text runs at every SF (cuts past max(doc_id) simply
+    * saturate — identical totals, still a well-defined curve point). */
+  private val q183 = {
+    val cuts = Seq(10L, 20L, 50L, 100L, 200L, 500L, 1000L, 2000L, 5000L)
+    QuerySpec(
+      "q183_vocab_growth",
+      (s, dir) => TextAnalysis.vocabGrowth(t(s, dir, "documents"),
+          "doc_id", "text", cuts)
+        .orderBy(col("cut_id")),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' '))
+            AS tok FROM documents),
+        fs AS (SELECT tok, min(doc_id) AS first_id FROM toks GROUP BY 1),
+        grid AS (SELECT unnest([${cuts.mkString(", ")}]::BIGINT[])
+            AS cut_id),
+        v AS (SELECT cut_id,
+            CAST(count(*) FILTER (WHERE first_id <= cut_id) AS BIGINT)
+              AS vocab_size
+          FROM fs CROSS JOIN grid GROUP BY 1),
+        d AS (SELECT cut_id,
+            CAST(count(*) FILTER (WHERE doc_id <= cut_id) AS BIGINT)
+              AS n_docs,
+            CAST(coalesce(sum(len(str_split(text, ' ')))
+              FILTER (WHERE doc_id <= cut_id), 0) AS BIGINT) AS cum_tokens
+          FROM documents CROSS JOIN grid GROUP BY 1)
+        SELECT cut_id, n_docs, cum_tokens, vocab_size
+        FROM d JOIN v USING (cut_id) ORDER BY cut_id"""))
+  }
+
+  /** 2-criteria Pareto frontier ([[graft.operators.ScaleOps
+    * .paretoFrontier]]): docs not dominated under (maximize distinct-token
+    * types, minimize total tokens) — the lexical-density skyline. The
+    * oracle replays the prefix-max formulation (sort + RANGE window);
+    * the engine runs it distributed (bucketed prefix-max, no global
+    * sort) — same rows either way. */
+  private val q184 = QuerySpec(
+    "q184_pareto_frontier",
+    (s, dir) => graft.operators.ScaleOps.paretoFrontier(
+        t(s, dir, "documents").select(col("doc_id"),
+          size(graft.functions.TokenCounts(col("text"))).cast("long")
+            .as("nd"),
+          size(split(col("text"), " ")).cast("long").as("nt")),
+        "doc_id", col("nd"), col("nt"))
+      .orderBy(col("min_v"), col("max_v"), col("doc_id")),
+    Some("""WITH pts AS (SELECT doc_id,
+          CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS max_v,
+          CAST(len(str_split(text, ' ')) AS BIGINT) AS min_v
+        FROM documents),
+      m AS (SELECT *,
+          max(max_v) OVER (ORDER BY min_v
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mlt,
+          max(max_v) OVER (PARTITION BY min_v) AS meq
+        FROM pts)
+      SELECT doc_id, max_v, min_v FROM m
+      WHERE (mlt IS NULL OR mlt < max_v) AND meq <= max_v
+      ORDER BY min_v, max_v, doc_id"""))
+
+  /** Markov stationary distribution over event types
+    * ([[graft.operators.EventOps.stationaryDistribution]]): q114's
+    * transition matrix iterated 8 rounds from uniform, sink types
+    * self-looped, every step floor-quantized to int64 micro so both
+    * engines replay the identical integers (the oracle unrolls the 8
+    * rounds as CTEs). */
+  private val q185 = {
+    val rounds = 8
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT e.next_type AS t,
+            CAST(sum(p.pi * e.p_micro) // 1000000 AS BIGINT) AS pi
+          FROM p${r - 1} p JOIN edges e ON e.prev_type = p.t GROUP BY 1)"""
+    }.mkString(",\n        ")
+    QuerySpec(
+      "q185_stationary_markov",
+      (s, dir) => graft.operators.EventOps.stationaryDistribution(
+          t(s, dir, "events"), "user_id", Seq("ts", "event_id"),
+          "event_type", rounds)
+        .orderBy(col("event_type")),
+      Some(s"""WITH p AS (SELECT
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev_type,
+          event_type AS next_type
+        FROM events),
+        c AS (SELECT prev_type, next_type, count(*) AS n FROM p
+          WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        trans AS (SELECT prev_type, next_type,
+            CAST(round(n * 1000000.0 / sum(n) OVER (PARTITION BY prev_type),
+              0) AS BIGINT) AS p_micro
+          FROM c),
+        types AS (SELECT DISTINCT event_type AS t FROM events),
+        ntypes AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types),
+        sinks AS (SELECT t AS prev_type, t AS next_type,
+            CAST(1000000 AS BIGINT) AS p_micro FROM types
+          WHERE t NOT IN (SELECT DISTINCT prev_type FROM trans)),
+        edges AS (SELECT prev_type, next_type, p_micro FROM trans
+          UNION ALL SELECT prev_type, next_type, p_micro FROM sinks),
+        p0 AS (SELECT t, CAST(1000000 // k AS BIGINT) AS pi
+          FROM types CROSS JOIN ntypes),
+        $roundCtes
+        SELECT ty.t AS event_type, CAST(coalesce(p.pi, 0) AS BIGINT)
+          AS pi_micro
+        FROM types ty LEFT JOIN p$rounds p ON p.t = ty.t
+        ORDER BY event_type"""))
+  }
+
+  /** MMR diversified top-k ([[graft.operators.Retrieval.mmrTopK]]) over
+    * the q88 BM25 candidates: greedy λ·relevance − (1−λ)·max-Jaccard
+    * re-rank, exact permille·micro integers; the oracle unrolls the k
+    * greedy steps (each an argmax LIMIT 1 over the not-yet-picked
+    * candidates carrying the picked list forward). */
+  private val q186 = {
+    val terms = Seq("hash", "stream", "vector", "big")
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val (c, k, lam) = (32, 10, 700L)
+    val stepCtes = (2 to k).map { r =>
+      s"""s$r AS (SELECT c.id, c.rel_n,
+            ${lam} * c.rel_n - ${1000L - lam} * coalesce(
+              (SELECT max(sim_micro) FROM sims
+               WHERE (ida = c.id AND list_contains(s${r - 1}.picked, idb))
+                  OR (idb = c.id AND list_contains(s${r - 1}.picked, ida))),
+              0) AS mmr,
+            list_append(s${r - 1}.picked, c.id) AS picked
+          FROM cand c, s${r - 1}
+          WHERE NOT list_contains(s${r - 1}.picked, c.id)
+          ORDER BY mmr DESC, c.id LIMIT 1)"""
+    }.mkString(",\n        ")
+    val unionAll = (1 to k)
+      .map(r => s"SELECT ${r}::BIGINT AS sel_rank, id, rel_n, mmr FROM s$r")
+      .mkString("\n          UNION ALL ")
+    QuerySpec(
+      "q186_mmr_topk",
+      (s, dir) => graft.operators.Retrieval.mmrTopK(
+          t(s, dir, "documents"), "doc_id", "text", terms, c, k, lam)
+        .select(col("sel_rank"), col("id").as("doc_id"),
+          col("rel_n_micro"), col("mmr_q"))
+        .orderBy(col("sel_rank")),
+      // MATERIALIZED pins the shared CTEs: the k unrolled greedy steps each
+      // reference `sims`/`cand`, and DuckDB's default inlining re-derives
+      // the whole candidate pipeline per step (measured 36.9 s → 0.38 s at
+      // sf0.1 — an unfair oracle, not a real baseline)
+      Some(s"""WITH docs AS MATERIALIZED (SELECT doc_id,
+          len(str_split(text, ' ')) AS dl, str_split(text, ' ') AS toks
+          FROM documents),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+        tf AS (SELECT doc_id, any_value(dl) AS dl, tok, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM docs)
+          WHERE tok IN $termList GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        term_scores AS (SELECT doc_id,
+            CAST(round(ln(((n_docs - df) + 0.5) / (df + 0.5) + 1.0) *
+              ((tf * (1.2 + 1.0)) /
+               (tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                 (CAST(dl AS DOUBLE) / avgdl)))) * 1000000.0, 0) AS BIGINT)
+              AS micro
+          FROM tf JOIN dfreq USING (tok) CROSS JOIN stats),
+        scored AS MATERIALIZED (SELECT doc_id,
+            CAST(sum(micro) AS BIGINT) AS score_micro
+          FROM term_scores GROUP BY 1
+          ORDER BY score_micro DESC, doc_id LIMIT $c),
+        mx AS (SELECT max(score_micro) AS ms FROM scored),
+        cand AS MATERIALIZED (SELECT doc_id AS id,
+            CAST((score_micro * 1000000) // ms AS BIGINT) AS rel_n
+          FROM scored CROSS JOIN mx),
+        ctoks AS MATERIALIZED (SELECT doc_id AS id,
+            unnest(list_distinct(toks)) AS tok
+          FROM docs WHERE doc_id IN (SELECT id FROM cand)),
+        csize AS (SELECT id, CAST(count(*) AS BIGINT) AS nt FROM ctoks
+          GROUP BY 1),
+        sims AS MATERIALIZED (SELECT a.id AS ida, b.id AS idb,
+            CAST((count(*) * 1000000) //
+              (any_value(sa.nt) + any_value(sb.nt) - count(*)) AS BIGINT)
+              AS sim_micro
+          FROM ctoks a JOIN ctoks b ON a.tok = b.tok AND a.id < b.id
+          JOIN csize sa ON sa.id = a.id JOIN csize sb ON sb.id = b.id
+          GROUP BY a.id, b.id),
+        s1 AS (SELECT id, rel_n, ${lam} * rel_n AS mmr, [id] AS picked
+          FROM cand ORDER BY mmr DESC, id LIMIT 1),
+        $stepCtes
+        SELECT sel_rank, id AS doc_id, CAST(rel_n AS BIGINT)
+            AS rel_n_micro, CAST(mmr AS BIGINT) AS mmr_q
+        FROM ($unionAll)
+        ORDER BY sel_rank"""))
+  }
+
+  /** Per-dimension embedding hygiene audit ([[Similarity
+    * .embeddingAudit]]): n/mean/variance/zero-fraction per coordinate in
+    * exact int64 micro — dead dims, biased dims, padding bugs. */
+  private val q187 = QuerySpec(
+    "q187_embedding_audit",
+    (s, dir) => Similarity.embeddingAudit(t(s, dir, "embeddings"),
+        "embedding")
+      .orderBy(col("dim")),
+    Some("""WITH q AS (SELECT i - 1 AS dim,
+          CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+            AS vq
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+      a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(vq) AS BIGINT) AS s,
+          CAST(sum(vq * vq) AS BIGINT) AS s2,
+          CAST(count(*) FILTER (WHERE vq = 0) AS BIGINT) AS n_zero
+        FROM q GROUP BY 1)
+      SELECT CAST(dim AS BIGINT) AS dim, n,
+        CAST(s // n AS BIGINT) AS mean_micro,
+        CAST((n * s2 - s * s) // (n * n * 1000000) AS BIGINT) AS var_micro,
+        CAST((n_zero * 1000000) // n AS BIGINT) AS zero_frac_micro
+      FROM a ORDER BY dim"""))
+
+  /** Tokenizer fertility per language ([[TextAnalysis
+    * .tokenizerFertility]]): BPE-ish subwords per whitespace word — the
+    * cross-lingual context-window price list feeding q177's token-share
+    * mixture. */
+  private val q188 = QuerySpec(
+    "q188_tokenizer_fertility",
+    (s, dir) => TextAnalysis.tokenizerFertility(t(s, dir, "documents"),
+        "text", col("lang"))
+      .orderBy(col("lang")),
+    Some(s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        CAST(sum(len(regexp_extract_all(text,
+          '${TextAnalysis.BpePattern.replace("'", "''")}'))) AS BIGINT)
+          AS bpe_tokens,
+        CAST((sum(len(regexp_extract_all(text,
+            '${TextAnalysis.BpePattern.replace("'", "''")}'))) * 1000000) //
+          sum(len(str_split(text, ' '))) AS BIGINT) AS fertility_micro
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -5769,5 +5995,6 @@ object QueryCatalog {
     q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153,
     q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182)
+    q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
+    q183, q184, q185, q186, q187, q188)
 }

@@ -665,4 +665,55 @@ object EventOps {
       .withColumn("rnk", row_number().over(Window.partitionBy(lit(0))
         .orderBy(col("n").desc, col("trigram"))).cast("long"))
   }
+
+  /** Stationary distribution of the first-order event-type Markov chain:
+    * where does a user's session settle in the long run? Feed for
+    * "expected steady-state traffic mix" capacity questions and the
+    * behavioral drift companion to [[eventTransitions]] (q114): compare
+    * π across corpus versions instead of eyeballing the full matrix.
+    *
+    * Semantics pinned for exact cross-engine replay:
+    *   - transition probabilities are [[eventTransitions]]' `p_micro`
+    *     (integer micro, q114's convention);
+    *   - types that occur but have no outgoing edge (sequence-final only)
+    *     get a self-loop with p_micro = 1e6 — the deterministic absorbing
+    *     convention (no teleport, no renormalize);
+    *   - π₀ is uniform floor(1e6 / |T|); each round is
+    *     πⱼ' = (Σᵢ πᵢ·p_micro(i,j)) div 1e6 — int64 products and an
+    *     order-free integer sum, then floor division. Mass decays by the
+    *     floor remainders (≤ |T| micro per round); both engines replay the
+    *     identical integers, which is the point.
+    *
+    * Scale shape: the data-sized work is [[eventTransitions]] (one entity
+    * exchange + a groupBy bounded by |alphabet|²). The iteration operates
+    * on that bounded matrix — collected to the driver (a documented
+    * bounded collect, |T|² rows where |T| is the event-type alphabet, the
+    * same contract as the per-stratum plan rows in [[ScaleOps]]) and
+    * folded exactly; 1000 executors would gain nothing on a ≤ dozens-row
+    * frame, and the driver fold keeps the plan two stages deep instead of
+    * `rounds` joins. */
+  def stationaryDistribution(events: DataFrame, keyCol: String,
+      orderCols: Seq[String], typeCol: String, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val trans = eventTransitions(events, keyCol, orderCols, typeCol)
+      .select(col("prev_type").cast("string"), col("next_type").cast("string"),
+        col("p_micro"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val allTypes = events.select(col(typeCol).cast("string").as("t"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val sinks = allTypes.toSet -- trans.map(_._1).toSet
+    val edges = trans ++ sinks.toSeq.sorted.map(t => (t, t, 1000000L))
+    val idx = allTypes.zipWithIndex.toMap
+    var pi = Array.fill(allTypes.length)(1000000L / allTypes.length)
+    for (_ <- 1 to rounds) {
+      val next = Array.fill(allTypes.length)(0L)
+      edges.foreach { case (i, j, p) => next(idx(j)) += pi(idx(i)) * p }
+      pi = next.map(_ / 1000000L)
+    }
+    allTypes.map(t => (t, pi(idx(t)))).toSeq
+      .toDF("event_type", "pi_micro")
+  }
 }

@@ -179,4 +179,81 @@ object Retrieval {
         org.apache.spark.sql.expressions.Window
           .partitionBy(lit(0)).orderBy(ord: _*)).cast("long"))
   }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998): greedily pick k of the top-`c` BM25 candidates, each step
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked —
+    * the re-rank that stops "10 near-identical top hits" in few-shot
+    * example selection and dedup-blind retrieval.
+    *
+    * Exact-integer semantics (cross-engine replayable):
+    *   - relevance = BM25 `score_micro` normalized to micro-units of the
+    *     candidate max: `rel_n = (score_micro·1e6) div max_score`;
+    *   - pairwise similarity = Jaccard over DISTINCT whitespace tokens in
+    *     micro: `(inter·1e6) div union`;
+    *   - mmr = λ‰·rel_n − (1000−λ‰)·max_sim over picked (permille·micro
+    *     int64s); seed pick = best rel_n; every tie breaks by id asc.
+    *
+    * Scale shape: the corpus-sized stages are [[bm25TopK]] (postings cut +
+    * TakeOrdered) and one candidate-filtered token explode; the candidate
+    * set is BOUNDED (c rows, c² pair frame — a designed bounded self-join,
+    * same contract as the q179 grid), so the greedy fold runs on the
+    * driver over ≤ c² collected rows (documented bounded collect) instead
+    * of k chained bounded-frame joins. Returns one row per pick:
+    * (sel_rank, id, score_micro, rel_n_micro, mmr_q). */
+  def mmrTopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], c: Int, k: Int,
+      lambdaPermille: Long = 700L): DataFrame = {
+    require(c >= k && k >= 1, "need c >= k >= 1")
+    require(lambdaPermille >= 0L && lambdaPermille <= 1000L, "lambda in [0,1000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cands = bm25TopK(df, idCol, textCol, queryTerms, c)
+    val candToks = df.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("txt"))
+      .join(cands.select(col("id").cast("long").as("id")), Seq("id"),
+        "left_semi")
+      .select(col("id"),
+        explode(graft.functions.TokenCounts(col("txt"))).as("tc"))
+      .select(col("id"), col("tc.tok").as("tok")) // distinct: one row/token
+    val sizes = candToks.groupBy("id").agg(count(lit(1)).as("nt"))
+    val a = candToks.select(col("id").as("ida"), col("tok"))
+    val b = candToks.select(col("id").as("idb"), col("tok"))
+    val pairs = a.join(b, Seq("tok")).where(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("ida"), col("nt").as("na")), Seq("ida"))
+      .join(sizes.select(col("id").as("idb"), col("nt").as("nb")), Seq("idb"))
+      .select(col("ida"), col("idb"),
+        expr("(inter * 1000000L) div (na + nb - inter)").as("sim_micro"))
+    // bounded collects: c candidate rows + <= c(c-1)/2 pair rows
+    val cRows = cands.select(col("id").cast("long"), col("score_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sim = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    pairs.collect().foreach { r =>
+      sim((r.getLong(0), r.getLong(1))) = r.getLong(2)
+    }
+    def simOf(x: Long, y: Long): Long =
+      if (x == y) 1000000L
+      else sim.getOrElse(if (x < y) (x, y) else (y, x), 0L)
+    val maxScore = cRows.map(_._2).max
+    val relN = cRows.map { case (id, s) =>
+      id -> (if (maxScore <= 0L) 0L else s * 1000000L / maxScore)
+    }.toMap
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val remaining = scala.collection.mutable.SortedSet(cRows.map(_._1): _*)
+    for (_ <- 1 to k) {
+      val best = remaining.map { id =>
+        val maxSim = if (picked.isEmpty) 0L
+          else picked.map(p => simOf(id, p._1)).max
+        val mmr = lambdaPermille * relN(id) - (1000L - lambdaPermille) * maxSim
+        (id, mmr)
+      }.minBy { case (id, mmr) => (-mmr, id) } // max mmr, ties id asc
+      picked += best
+      remaining -= best._1
+    }
+    val scoreOf = cRows.toMap
+    picked.zipWithIndex.map { case ((id, mmr), i) =>
+      ((i + 1).toLong, id, scoreOf(id), relN(id), mmr)
+    }.toSeq.toDF("sel_rank", "id", "score_micro", "rel_n_micro", "mmr_q")
+  }
 }

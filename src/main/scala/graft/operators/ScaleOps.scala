@@ -955,4 +955,59 @@ object ScaleOps {
               col("exact_distinct") <= lit(3 * rsd))
           .as("within_bound"))
   }
+
+  /** 2-criteria Pareto frontier (skyline): the rows not dominated under
+    * (maximize `maxCol`, minimize `minCol`) — "shortest doc at every
+    * quality level", the multi-criteria selection that single-score
+    * ranking flattens away. A row is dominated iff some other row is >= on
+    * the max axis AND <= on the min axis with at least one strict;
+    * coincident points are mutually non-dominating and all kept.
+    *
+    * Scale shape — the naive NOT EXISTS is an all-pairs O(n²); the classic
+    * single-machine fix (sort by min axis, keep a running max) is a global
+    * sort. This runs the prefix-max DISTRIBUTED: range-bucket the min axis
+    * (fixed arithmetic buckets from a 1-row min/max anchor, broadcast);
+    * per-bucket prefix-max runs as a RANGE-frame window partitioned by
+    * bucket (parallel across buckets, peers-by-value so tie-safe); the
+    * cross-bucket carry is a prefix-max over the |buckets|-row bucket-stats
+    * frame (bounded, single-partition window by design) broadcast back.
+    * Dominance is then two local comparisons per row:
+    * dominated ⇔ prefixMax(strictly smaller min) >= own max
+    *           ∨ max among equal-min peers > own max.
+    * Both criteria must be integers (micro-quantize upstream) so RANGE
+    * frames and equality are exact. */
+  def paretoFrontier(df: DataFrame, idCol: String, maxCol: Column,
+      minCol: Column, numBuckets: Int = 64): DataFrame = {
+    require(numBuckets >= 1, "numBuckets >= 1")
+    val pts = df.select(col(idCol), maxCol.cast("long").as("max_v"),
+        minCol.cast("long").as("min_v"))
+      .where(col("max_v").isNotNull && col("min_v").isNotNull)
+    val anchor = pts.agg(min("min_v").as("lo"), max("min_v").as("hi"))
+    // fixed arithmetic bucketing of the min axis; width >= 1 keeps the
+    // mapping monotone (bucket id never decreases as min_v grows)
+    val bucketed = pts.crossJoin(broadcast(anchor)) // 1-row anchor
+      .withColumn("width",
+        expr(s"(hi - lo) div ${numBuckets}L") + lit(1L))
+      .withColumn("bkt", expr("(min_v - lo) div width"))
+      .drop("lo", "hi", "width")
+    // cross-bucket carry: max over all strictly earlier buckets — the
+    // bucket-stats frame is bounded (<= numBuckets rows), so its
+    // single-partition window is a designed bounded frame
+    val carry = bucketed.groupBy("bkt").agg(max("max_v").as("bmax"))
+      .withColumn("pre_max", max(col("bmax")).over(Window
+        .partitionBy(lit(0)).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bkt"), col("pre_max"))
+    val wLt = Window.partitionBy(col("bkt")).orderBy(col("min_v"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("bkt")).orderBy(col("min_v"))
+      .rangeBetween(0, 0)
+    bucketed.join(broadcast(carry), Seq("bkt"))
+      .withColumn("m_lt", greatest(
+        coalesce(max(col("max_v")).over(wLt), lit(Long.MinValue)),
+        coalesce(col("pre_max"), lit(Long.MinValue))))
+      .withColumn("m_eq", max(col("max_v")).over(wEq))
+      .where(col("m_lt") < col("max_v") && col("m_eq") <= col("max_v"))
+      .select(col(idCol), col("max_v"), col("min_v"))
+  }
 }

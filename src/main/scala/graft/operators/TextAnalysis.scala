@@ -1015,4 +1015,77 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(Window.partitionBy(lit(0))
         .orderBy(col("pmi_micro").desc, col("bigram"))).cast("long"))
   }
+
+  /** Tokenizer fertility per language bucket: subword tokens emitted per
+    * whitespace word (the GPT-2-style [[BpePattern]] pre-tokenizer over
+    * [[tokenCount]] words), the cross-lingual token-budget gauge — a
+    * language at fertility 2.5 costs 2.5× the context window of one at
+    * 1.0, which is exactly what [[ScaleOps.domainReweight]]'s token
+    * shares need to price correctly. Integer-exact: per-doc counts are
+    * int64, fertility is one floor division of exact sums.
+    *
+    * Scale shape: two codegen'd per-row regex/size counts in ONE scan,
+    * map-side combined into a |languages|-row aggregate. Nothing else. */
+  def tokenizerFertility(df: DataFrame, textCol: String,
+      langCol: Column): DataFrame = {
+    df.select(langCol.as("lang"),
+        tokenCount(col(textCol)).cast("long").as("ws"),
+        bpeTokenCount(col(textCol)).cast("long").as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("ws").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        expr("(bpe_tokens * 1000000L) div ws_tokens").as("fertility_micro"))
+  }
+
+  /** Heaps'-law vocabulary-growth curve: distinct-type count and cumulative
+    * token count at each prefix of the corpus in ingestion-id order — the
+    * "is the crawl still finding new language?" gauge (vocab that flattens
+    * while tokens grow means the source is exhausted; Heaps 1978 predicts
+    * V ≈ K·nᵝ, β ≈ 0.5, so log-log-linear growth is healthy).
+    *
+    * The order axis is the caller's id column (ingestion order); the curve
+    * is evaluated at the caller's bounded `cutIds` grid, so no global sort
+    * or row-numbering ever happens. A token contributes to vocab at cut c
+    * iff its FIRST occurrence (min id over the corpus) is <= c — one
+    * token-keyed aggregate — and the doc/token running totals are
+    * conditional sums over the same grid (q179's one-pass trick:
+    * 2·|grid|+1 partial aggregates, map-side combined, then a bounded
+    * |grid|-row explode). All integer-exact.
+    *
+    * Scale shape: one [[graft.functions.TokenCounts]] corpus pass feeding
+    * (a) the tok-keyed min-id shuffle (data-sized, the only real exchange)
+    * and (b) a 1-row conditional-sum aggregate; the grid join is a
+    * bounded-frame crossJoin of two 1-row frames. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      cutIds: Seq[Long]): DataFrame = {
+    require(cutIds.nonEmpty, "need a cut grid")
+    val tf = df.select(col(idCol).cast("long").as("id"),
+        explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .select(col("id"), col("tc.tok").as("tok"), col("tc.tf").as("c"))
+    val firstSeen = tf.groupBy("tok").agg(min("id").as("first_id"))
+    val vocabSums = firstSeen.agg(
+      count(lit(1)).as("v_total"),
+      cutIds.map(cut => sum(when(col("first_id") <= cut, 1L).otherwise(0L))
+        .as(s"v_$cut")): _*)
+    val docSums = df.select(col(idCol).cast("long").as("id"),
+        graft.functions.TokenCounts(col(textCol)).as("tcs"))
+      .select(col("id"),
+        aggregate(col("tcs"), lit(0L), (a, x) => a + x.getField("tf"))
+          .as("nt"))
+      .agg(count(lit(1)).as("d_total"),
+        cutIds.flatMap(cut => Seq(
+          sum(when(col("id") <= cut, 1L).otherwise(0L)).as(s"d_$cut"),
+          sum(when(col("id") <= cut, col("nt")).otherwise(0L))
+            .as(s"t_$cut"))): _*)
+    val entries = cutIds.map { cut =>
+      struct(lit(cut).as("cut_id"), col(s"d_$cut").as("n_docs"),
+        col(s"t_$cut").as("cum_tokens"), col(s"v_$cut").as("vocab_size"))
+    }
+    docSums.crossJoin(vocabSums) // 1-row × 1-row (designed bounded BNLJ)
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.cut_id").as("cut_id"), col("e.n_docs").as("n_docs"),
+        col("e.cum_tokens").as("cum_tokens"),
+        col("e.vocab_size").as("vocab_size"))
+  }
 }

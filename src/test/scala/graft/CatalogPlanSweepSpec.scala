@@ -62,9 +62,12 @@ class CatalogPlanSweepSpec extends SparkSpec {
                               //   sides bounded by maxDepth, never corpus
     "q179_risk_coverage",     // q109's NB model-build scalars (contract
                               //   above); the curve itself is one agg row
-    "q180_rater_kappa")       // q109's NB scalars + raterAgreement's
+    "q180_rater_kappa",       // q109's NB scalars + raterAgreement's
                               //   (n_total, pe_s) 1-row broadcasts into
                               //   the bounded |labels|² cell table
+    "q183_vocab_growth",      // (docSums × vocabSums): two 1-row
+                              //   conditional-sum frames
+    "q184_pareto_frontier")   // (lo, hi) bucket anchor: 1-row broadcast
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

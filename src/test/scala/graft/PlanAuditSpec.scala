@@ -380,8 +380,13 @@ class PlanAuditSpec extends SparkSpec {
       "q180_rater_kappa",    // q109's NB global counts + the (n_total,
                              //   po_n) and pe_s 1-row aggs over the
                              //   ≤|labels|² cell frame
-      "q181_fd_audit"        // per-pair 3-column global fold over the
+      "q181_fd_audit",       // per-pair 3-column global fold over the
                              //   A-grain frame: 1 partial row/partition
+      "q183_vocab_growth",   // two 1-row conditional-sum aggregates
+                             //   (2·|grid|+1 partial cells per partition)
+      "q184_pareto_frontier" // (lo, hi) 1-row anchor + the cross-bucket
+                             //   carry window over the ≤numBuckets-row
+                             //   bucket-stats frame
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")
