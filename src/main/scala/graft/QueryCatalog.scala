@@ -5976,6 +5976,214 @@ object QueryCatalog {
           sum(len(str_split(text, ' '))) AS BIGINT) AS fertility_micro
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** Split-conformal prediction sets ([[TextAnalysis.conformalSets]]):
+    * calibration threshold on even ids, coverage + set size on odd ids,
+    * α grid {5%, 10%, 20%} — q179's risk–coverage with a finite-sample
+    * guarantee attached. Milli-nat nonconformity keeps the threshold
+    * histogram bounded; every division truncates identically. */
+  private val q189 = {
+    val alphas = Seq(50L, 100L, 200L)
+    QuerySpec(
+      "q189_conformal_sets",
+      (s, dir) => TextAnalysis.conformalSets(t(s, dir, "documents"),
+          "doc_id", "text", "lang", alphas, _ % 2 === 0)
+        .orderBy(col("alpha_permille")),
+      Some(s"""WITH $NbOracleCtes,
+        p12 AS (SELECT id, max(CASE WHEN rn = 1 THEN post_q END) AS p1,
+            max(CASE WHEN rn = 2 THEN post_q END) AS p2
+          FROM ranked WHERE rn <= 2 GROUP BY 1),
+        nc AS (SELECT r.id, r.label, r.cls,
+            (CASE WHEN r.rn = 1 THEN coalesce(p12.p2, p12.p1)
+              ELSE p12.p1 END - r.post_q) // 1000 AS nc_mq,
+            (r.id % 2 = 0) AS is_cal
+          FROM ranked r JOIN p12 ON p12.id = r.id),
+        caln AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM nc
+          WHERE is_cal AND cls = label),
+        calc AS (SELECT nc_mq, sum(count(*)) OVER (ORDER BY nc_mq) AS cum
+          FROM nc WHERE is_cal AND cls = label GROUP BY nc_mq),
+        grid AS (SELECT unnest([${alphas.mkString(", ")}]::BIGINT[])
+            AS alpha_permille),
+        ks AS (SELECT alpha_permille, n_cal,
+            ((n_cal + 1) * (1000 - alpha_permille) + 999) // 1000 AS k_rank
+          FROM grid CROSS JOIN caln),
+        thr AS (SELECT alpha_permille, n_cal, k_rank,
+            min(CASE WHEN cum >= k_rank THEN nc_mq END) AS threshold_mq
+          FROM ks CROSS JOIN calc GROUP BY 1, 2, 3),
+        ev AS (SELECT * FROM nc WHERE NOT is_cal),
+        agg AS (SELECT t.alpha_permille, t.n_cal, t.k_rank, t.threshold_mq,
+            CAST(count(DISTINCT e.id) AS BIGINT) AS n_eval,
+            CAST(count(*) FILTER (WHERE e.cls = e.label AND
+              (t.threshold_mq IS NULL OR e.nc_mq <= t.threshold_mq))
+              AS BIGINT) AS n_covered,
+            CAST(count(*) FILTER (WHERE t.threshold_mq IS NULL OR
+              e.nc_mq <= t.threshold_mq) AS BIGINT) AS set_size_sum
+          FROM thr t CROSS JOIN ev e GROUP BY 1, 2, 3, 4)
+        SELECT alpha_permille, n_cal, CAST(k_rank AS BIGINT) AS k_rank,
+          threshold_mq, n_eval, n_covered,
+          CAST((n_covered * 1000000) // n_eval AS BIGINT) AS coverage_micro,
+          set_size_sum,
+          CAST((set_size_sum * 1000000) // n_eval AS BIGINT)
+            AS avg_set_size_micro
+        FROM agg ORDER BY alpha_permille"""))
+  }
+
+  /** Per-class precision/recall/F1 of the NB classifier against the lang
+    * metadata ([[graft.operators.DataChecks.classifierReport]]) — q180
+    * names the agreement, this names WHICH classes are safe. */
+  private val q190 = QuerySpec(
+    "q190_classifier_report",
+    (s, dir) => graft.operators.DataChecks.classifierReport(
+        TextAnalysis.naiveBayesPredict(t(s, dir, "documents"),
+          "doc_id", "text", "lang"),
+        col("label"), col("predicted"))
+      .orderBy(col("label")),
+    Some(s"""WITH $NbOracleCtes,
+      pred AS (SELECT id, label AS t, cls AS p FROM ranked WHERE rn = 1),
+      cells AS (SELECT t, p, CAST(count(*) AS BIGINT) AS n FROM pred
+        GROUP BY 1, 2),
+      rt AS (SELECT t AS label, CAST(sum(n) AS BIGINT) AS n_truth
+        FROM cells GROUP BY 1),
+      ct AS (SELECT p AS label, CAST(sum(n) AS BIGINT) AS n_pred
+        FROM cells GROUP BY 1),
+      dg AS (SELECT t AS label, n AS tp FROM cells WHERE t = p),
+      j AS (SELECT coalesce(rt.label, ct.label) AS label,
+          coalesce(n_truth, 0) AS n_truth, coalesce(n_pred, 0) AS n_pred
+        FROM rt FULL JOIN ct ON rt.label = ct.label),
+      f AS (SELECT j.label, j.n_truth, j.n_pred,
+          coalesce(dg.tp, 0) AS tp FROM j LEFT JOIN dg ON dg.label = j.label)
+      SELECT label, n_truth, n_pred, tp,
+        CAST(n_pred - tp AS BIGINT) AS fp, CAST(n_truth - tp AS BIGINT)
+          AS fn,
+        CAST(CASE WHEN n_pred = 0 THEN 0
+          ELSE (tp * 1000000) // n_pred END AS BIGINT) AS precision_micro,
+        CAST(CASE WHEN n_truth = 0 THEN 0
+          ELSE (tp * 1000000) // n_truth END AS BIGINT) AS recall_micro,
+        CAST(CASE WHEN n_pred + n_truth = 0 THEN 0
+          ELSE (2 * tp * 1000000) // (n_pred + n_truth) END AS BIGINT)
+          AS f1_micro
+      FROM f ORDER BY label"""))
+
+  /** Batch retrieval quality eval ([[graft.operators.Retrieval
+    * .rankEval]]): MRR + nDCG@10 per query against the graded tf
+    * relevance standard (gain floored at relMin=2) — whether the ranker
+    * actually orders well, per query. Discount constants are generated
+    * ONCE in Scala and injected into both engines. */
+  private val q191 = {
+    val queries = Seq(
+      "q_hash" -> Seq("hash", "table"),
+      "q_sort" -> Seq("sort", "merge", "scan"),
+      "q_stream" -> Seq("stream", "window"),
+      "q_vector" -> Seq("vector", "index"))
+    val (k, relMin) = (10, 2L)
+    val allTerms = queries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString("(", ", ", ")")
+    val qtVals = queries.flatMap { case (q, ts) =>
+      ts.map(t => s"('$q', '$t')") }.mkString(", ")
+    val wVals = graft.operators.Retrieval.dcgWeightsMicro(k).zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, ${w})" }.mkString(", ")
+    QuerySpec(
+      "q191_rank_eval",
+      (s, dir) => graft.operators.Retrieval.rankEval(
+          t(s, dir, "documents"), "doc_id", "text", queries, k, relMin)
+        .withColumn("first_rel_rank", col("first_rel_rank").cast("long"))
+        .orderBy(col("qid")),
+      Some(s"""WITH docs AS MATERIALIZED (SELECT doc_id,
+          len(str_split(text, ' ')) AS dl, str_split(text, ' ') AS toks
+          FROM documents),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+        posts AS (SELECT doc_id, any_value(dl) AS dl, tok, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM docs)
+          WHERE tok IN $allTerms GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, count(*) AS df FROM posts GROUP BY 1),
+        qt(qid, tok) AS (VALUES $qtVals),
+        ts AS (SELECT qt.qid, p.doc_id AS id, p.tf,
+            CAST(round(ln(((n_docs - df) + 0.5) / (df + 0.5) + 1.0) *
+              ((p.tf * (1.2 + 1.0)) /
+               (p.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+                 (CAST(p.dl AS DOUBLE) / avgdl)))) * 1000000.0, 0)
+              AS BIGINT) AS micro
+          FROM posts p JOIN qt ON qt.tok = p.tok
+          JOIN dfreq ON dfreq.tok = p.tok CROSS JOIN stats),
+        scored AS MATERIALIZED (SELECT qid, id,
+            CAST(sum(micro) AS BIGINT) AS score_micro,
+            CAST(sum(tf) AS BIGINT) AS rel_raw
+          FROM ts GROUP BY 1, 2),
+        g AS (SELECT *, CASE WHEN rel_raw >= $relMin THEN rel_raw
+            ELSE 0 END AS gain FROM scored),
+        wts(rn, w) AS (VALUES $wVals),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY score_micro DESC, id) AS rn FROM g),
+        dcg AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_ranked,
+            CAST(sum(gain * w) AS BIGINT) AS dcg_micro,
+            min(CASE WHEN gain > 0 THEN rn END) AS first_rel_rank
+          FROM rk JOIN wts USING (rn) WHERE rn <= $k GROUP BY 1),
+        irk AS (SELECT qid, gain, row_number() OVER (PARTITION BY qid
+            ORDER BY gain DESC, id) AS rn FROM g WHERE gain > 0),
+        idcg AS (SELECT qid, CAST(sum(gain * w) AS BIGINT) AS idcg_micro
+          FROM irk JOIN wts USING (rn) WHERE rn <= $k GROUP BY 1),
+        nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM g
+          WHERE gain > 0 GROUP BY 1)
+        SELECT d.qid, d.n_ranked, coalesce(n.n_rel, 0) AS n_rel,
+          CAST(d.first_rel_rank AS BIGINT) AS first_rel_rank,
+          CAST(coalesce(1000000 // d.first_rel_rank, 0) AS BIGINT)
+            AS mrr_micro,
+          d.dcg_micro,
+          CAST(coalesce(i.idcg_micro, 0) AS BIGINT) AS idcg_micro,
+          CAST(CASE WHEN coalesce(i.idcg_micro, 0) = 0 THEN 0
+            ELSE (d.dcg_micro * 1000000) // i.idcg_micro END AS BIGINT)
+            AS ndcg_micro
+        FROM dcg d LEFT JOIN idcg i ON i.qid = d.qid
+        LEFT JOIN nrel n ON n.qid = d.qid
+        ORDER BY d.qid"""))
+  }
+
+  /** l-diversity audit ([[graft.operators.DataChecks
+    * .lDiversityViolations]]): (nation, segment) classes where every
+    * customer shares one account-balance sign — k-anonymous yet fully
+    * leaky classes that q145 cannot see. */
+  private val q192 = QuerySpec(
+    "q192_l_diversity",
+    (s, dir) => graft.operators.DataChecks.lDiversityViolations(
+        t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+        when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("nonneg")),
+        l = 2)
+      .orderBy(col("c_nationkey"), col("c_mktsegment")),
+    Some("""WITH s AS (SELECT c_nationkey, c_mktsegment,
+          CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END AS sv
+        FROM customer),
+      c AS (SELECT c_nationkey, c_mktsegment, sv, count(*) AS c
+        FROM s GROUP BY 1, 2, 3),
+      g AS (SELECT c_nationkey, c_mktsegment,
+          CAST(sum(c) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_distinct_sensitive
+        FROM c GROUP BY 1, 2)
+      SELECT * FROM g WHERE n_distinct_sensitive < 2
+      ORDER BY c_nationkey, c_mktsegment"""))
+
+  /** Fano-factor burstiness per event type ([[graft.operators.EventOps
+    * .fanoFactor]], hourly windows): dispersion of per-window counts —
+    * ≈1e6 Poisson-organic, ≫1e6 bursty, ≪1e6 metronomic. */
+  private val q193 = QuerySpec(
+    "q193_fano_burstiness",
+    (s, dir) => graft.operators.EventOps.fanoFactor(
+        t(s, dir, "events"), "event_type", windowSec = 3600L)
+      .orderBy(col("event_type")),
+    Some("""WITH pw AS (SELECT event_type,
+          epoch_ns(ts) // 3600000000000 AS w, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      anchor AS (SELECT min(w) AS w_lo, max(w) AS w_hi FROM pw),
+      a AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+          CAST(sum(c * c) AS BIGINT) AS s2,
+          CAST(count(*) AS BIGINT) AS n_active_windows
+        FROM pw GROUP BY 1)
+      SELECT event_type, n_events,
+        CAST(w_hi - w_lo + 1 AS BIGINT) AS n_windows, n_active_windows,
+        CAST((n_events * 1000000) // (w_hi - w_lo + 1) AS BIGINT)
+          AS mean_micro,
+        CAST((((w_hi - w_lo + 1) * s2 - n_events * n_events) * 1000000) //
+          ((w_hi - w_lo + 1) * n_events) AS BIGINT) AS fano_micro
+      FROM a CROSS JOIN anchor ORDER BY event_type"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -5996,5 +6204,5 @@ object QueryCatalog {
     q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
-    q183, q184, q185, q186, q187, q188)
+    q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193)
 }

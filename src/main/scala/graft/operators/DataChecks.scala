@@ -219,6 +219,74 @@ object DataChecks {
     }.reduce(_.unionAll(_))
   }
 
+  /** Per-class precision/recall/F1 of a predicted label against a truth
+    * label — the class-resolved companion to [[raterAgreement]]'s single
+    * kappa (kappa says "trust them where they agree"; this names WHICH
+    * classes a cheap labeler is safe on). Exact int64: tp/fp/fn come from
+    * the confusion cells; the three rates are truncating integer micro
+    * divisions (0 when the denominator is 0 — a class never predicted has
+    * precision 0 by convention, not NULL).
+    *
+    * Scale shape: one (truth, pred)-keyed count aggregate (map-side
+    * combined, ≤ |labels|² rows), then everything runs on that bounded
+    * cell frame: diagonal + both marginals re-aggregated from cells,
+    * outer-joined on the label alphabet. */
+  def classifierReport(df: DataFrame, truthCol: Column,
+      predCol: Column): DataFrame = {
+    val cells = graft.core.CacheScope.persist(
+      df.select(truthCol.as("t"), predCol.as("p"))
+        .groupBy("t", "p").agg(count(lit(1)).as("n")))
+    val rowT = cells.groupBy(col("t").as("label"))
+      .agg(sum("n").as("n_truth"))
+    val colT = cells.groupBy(col("p").as("label"))
+      .agg(sum("n").as("n_pred"))
+    val diag = cells.where(col("t") === col("p"))
+      .select(col("t").as("label"), col("n").as("tp"))
+    rowT.join(colT, Seq("label"), "full_outer")
+      .join(diag, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("label"), col("n_truth"), col("n_pred"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"))
+      .select(col("label"), col("n_truth"), col("n_pred"), col("tp"),
+        col("fp"), col("fn"),
+        when(col("n_pred") === 0, 0L)
+          .otherwise(expr("(tp * 1000000L) div n_pred"))
+          .as("precision_micro"),
+        when(col("n_truth") === 0, 0L)
+          .otherwise(expr("(tp * 1000000L) div n_truth"))
+          .as("recall_micro"),
+        when(col("n_pred") + col("n_truth") === 0, 0L)
+          .otherwise(expr("(2L * tp * 1000000L) div (n_pred + n_truth)"))
+          .as("f1_micro"))
+  }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007): quasi-identifier
+    * classes whose sensitive attribute takes FEWER than `l` distinct
+    * values — the classes where linking someone to their class reveals
+    * the sensitive value outright, which k-anonymity (q145) alone never
+    * catches (a class of 50 rows that all share one diagnosis is
+    * k-anonymous and fully leaky). Returns only violating classes with
+    * their size and distinct-count.
+    *
+    * Scale shape: one (quasi..., sensitive)-keyed count, re-aggregated to
+    * quasi grain — the exact [[fdViolations]] two-level shape, map-side
+    * combined at both levels; the violation filter runs on the class
+    * frame. */
+  def lDiversityViolations(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: Column, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2, "need quasi columns and l >= 2")
+    val qs = quasiCols.map(col)
+    df.groupBy(qs :+ sensitiveCol.as("sv"): _*)
+      .agg(count(lit(1)).as("c"))
+      .groupBy(qs: _*)
+      .agg(sum("c").as("n_rows"), count(lit(1)).as("n_distinct_sensitive"))
+      .where(col("n_distinct_sensitive") < l)
+  }
+
   def numericProfile(df: DataFrame, cols: Seq[String],
       bins: Int = 10): DataFrame = {
     require(cols.nonEmpty && bins >= 1, "need columns and bins >= 1")

@@ -666,6 +666,43 @@ object EventOps {
         .orderBy(col("n").desc, col("trigram"))).cast("long"))
   }
 
+  /** Fano factor (index of dispersion, var/mean of per-window counts) per
+    * event type over fixed time windows — the burstiness gauge: ≈ 1.0 is
+    * Poisson-like organic traffic, ≫ 1 is bursty (flash crowds, retry
+    * storms, batch jobs), ≪ 1 is metronomic (schedulers, the q149 bot
+    * signature at population grain). Empty windows inside the corpus span
+    * COUNT (a type firing once an hour vs once at minute 0–5 of each hour
+    * differ exactly there).
+    *
+    * Exact integers: with W = global window count, n = events of the
+    * type, s2 = Σ per-window count², population var/mean reduces to
+    * fano = (W·s2 − n²) / (W·n) — one truncating micro division of exact
+    * int64s. Headroom: W·s2·1e6 must fit int64 (fine to ~10⁹ events/type
+    * at hourly windows over months; widen `windowSec` beyond that).
+    *
+    * Scale shape: one (type, window)-keyed count (map-side combined),
+    * re-aggregated to type grain; the global (min, max) window anchor is
+    * a 1-row broadcast. No windows, no sorts. */
+  def fanoFactor(events: DataFrame, typeCol: String,
+      windowSec: Long = 3600L): DataFrame = {
+    require(windowSec >= 1L, "windowSec >= 1")
+    val win = expr(s"ts div ${windowSec * 1000000000L}L")
+    val perWin = events.select(col(typeCol).as("event_type"), win.as("w"))
+      .groupBy("event_type", "w").agg(count(lit(1)).as("c"))
+    val anchor = perWin.agg(min("w").as("w_lo"), max("w").as("w_hi"))
+    perWin.groupBy("event_type")
+      .agg(sum("c").as("n_events"),
+        sum(col("c") * col("c")).as("s2"),
+        count(lit(1)).as("n_active_windows"))
+      .crossJoin(broadcast(anchor)) // 1-row span anchor
+      .withColumn("n_windows", col("w_hi") - col("w_lo") + 1L)
+      .select(col("event_type"), col("n_events"), col("n_windows"),
+        col("n_active_windows"),
+        expr("(n_events * 1000000L) div n_windows").as("mean_micro"),
+        expr("((n_windows * s2 - n_events * n_events) * 1000000L) div " +
+          "(n_windows * n_events)").as("fano_micro"))
+  }
+
   /** Stationary distribution of the first-order event-type Markov chain:
     * where does a user's session settle in the long run? Feed for
     * "expected steady-state traffic mix" capacity questions and the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lexical retrieval over the corpus — the keyword-side complement of
@@ -178,6 +179,101 @@ object Retrieval {
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(lit(0)).orderBy(ord: _*)).cast("long"))
+  }
+
+  /** Discount weight for nDCG rank i (1-based): 1/log2(i+1) in micro,
+    * rounded half-up once in Scala — the SAME constants are injected into
+    * the oracle SQL, so the discounted sums are exact integer products on
+    * both engines. */
+  private[graft] def dcgWeightsMicro(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** Batch retrieval quality eval — MRR and nDCG@k per query against a
+    * graded term-frequency relevance standard: a doc's gain for query q is
+    * its total occurrence count of q's terms, zeroed below `relMin` (so
+    * "relevant" means genuinely about the terms, not brushing one once —
+    * without the floor every BM25 hit is trivially relevant and MRR pins
+    * at 1). The measurement that says whether q88/q137's ranker is
+    * actually ordering well, per query, the way q174 says it for ANN
+    * recall.
+    *
+    * Exact integers end to end: gains are int64 tf sums; rank discounts
+    * are the shared [[dcgWeightsMicro]] constants; DCG/IDCG are
+    * Σ gain·w_micro; nDCG and MRR are truncating integer micro divisions.
+    *
+    * Scale shape: ONE postings scan for ALL queries (union of term lists,
+    * then a broadcast (qid, term) tag join — |Q|·|terms| rows, never
+    * corpus-sized); per-query ranking and ideal ranking are two
+    * qid-partitioned window ranks cut at k (parallel across queries);
+    * every aggregate after the cut runs on ≤ |Q|·k rows. */
+  def rankEval(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])], k: Int,
+      relMin: Long = 2L): DataFrame = {
+    require(queries.nonEmpty && k >= 1 && relMin >= 1, "bad rankEval args")
+    require(queries.forall { case (_, ts) =>
+      ts.nonEmpty && ts.distinct.size == ts.size }, "duplicate-free terms")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val postings = graft.core.CacheScope.persist(
+      df.select(col(idCol).as("id"),
+          size(split(col(textCol), " ")).cast("long").as("dl"),
+          explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+        .where(col("tc.tok").isin(allTerms: _*))
+        .select(col("id"), col("dl"), col("tc.tok").as("tok"),
+          col("tc.tf").as("tf")))
+    val stats = df.agg(count(lit(1)).as("n_docs"),
+      avg(size(split(col(textCol), " ")).cast("long")).as("avgdl"))
+    val dfreq = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    val qterms = queries.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("qid", "tok")
+    val (k1, b) = (1.2, 0.75)
+    val idf = log(((col("n_docs") - col("df")) + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val denom = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / col("avgdl")))
+    val scored = graft.core.CacheScope.persist(postings
+      .join(broadcast(qterms), Seq("tok"))
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("micro",
+        round(idf * ((col("tf") * lit(k1 + 1.0)) / denom) * lit(1e6), 0)
+          .cast("long"))
+      .groupBy("qid", "id")
+      .agg(sum("micro").as("score_micro"), sum("tf").as("rel_raw"))
+      .withColumn("gain",
+        when(col("rel_raw") >= relMin, col("rel_raw")).otherwise(0L)))
+    val weights = dcgWeightsMicro(k)
+    val wArr = array(weights.map(lit): _*)
+    val byScore = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("id"))
+    val byGain = Window.partitionBy(col("qid"))
+      .orderBy(col("gain").desc, col("id"))
+    val ranked = scored.withColumn("rn", row_number().over(byScore))
+      .where(col("rn") <= k)
+    val dcg = ranked.groupBy("qid").agg(
+      count(lit(1)).as("n_ranked"),
+      sum(col("gain") * element_at(wArr, col("rn"))).as("dcg_micro"),
+      min(when(col("gain") > 0, col("rn"))).as("first_rel_rank"))
+    val ideal = scored.where(col("gain") > 0)
+      .withColumn("rn", row_number().over(byGain))
+      .where(col("rn") <= k)
+      .groupBy("qid").agg(
+        sum(col("gain") * element_at(wArr, col("rn"))).as("idcg_micro"))
+    val nRel = scored.where(col("gain") > 0)
+      .groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    dcg.join(ideal, Seq("qid"), "left").join(nRel, Seq("qid"), "left")
+      .select(col("qid"), col("n_ranked"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("first_rel_rank"),
+        coalesce(expr("1000000L div first_rel_rank"), lit(0L))
+          .as("mrr_micro"),
+        col("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        when(coalesce(col("idcg_micro"), lit(0L)) === 0L, 0L)
+          .otherwise(expr("(dcg_micro * 1000000L) div idcg_micro"))
+          .as("ndcg_micro"))
   }
 
   /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein

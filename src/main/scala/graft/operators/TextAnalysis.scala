@@ -1016,6 +1016,89 @@ object TextAnalysis {
         .orderBy(col("pmi_micro").desc, col("bigram"))).cast("long"))
   }
 
+  /** Split-conformal prediction sets over the naive-Bayes classifier
+    * (Vovk et al. 2005; Angelopoulos & Bates 2023 recipe): calibrate a
+    * nonconformity threshold on one half of the corpus, then measure, on
+    * the other half, the coverage and average size of the label sets
+    * {y : nonconf(x, y) ≤ τ} — the distribution-free upgrade of q179's
+    * risk–coverage curve (q179 picks an operating point empirically;
+    * conformal τ carries a finite-sample ≥ 1−α coverage guarantee).
+    *
+    * Pinned semantics (cross-engine exact):
+    *   - nonconformity of label y = max over OTHER labels of post_q minus
+    *     post_q(y), in micro-nats, TRUNCATED to milli-nats (`div 1000` —
+    *     bounds the threshold histogram's cardinality; both engines
+    *     truncate toward zero identically). A tie for the top posterior
+    *     gives every tied label nonconformity 0;
+    *   - τ(α) = the k-th smallest calibration nonconformity of the TRUE
+    *     label, k = ⌈(n_cal+1)(1−α)⌉ (exact integer ceiling); k > n_cal
+    *     → τ = ∞ (every label set is the full alphabet);
+    *   - coverage/avg-set-size are truncating integer micro divisions.
+    *
+    * Scale shape: the data-sized stages are q109's NB posterior build
+    * (tok-keyed scoring join + one doc window). The threshold comes from
+    * a (milli-nat value → count) histogram cumsum — a bounded frame, same
+    * contract as [[qualityGate]]'s boundary histogram — crossed with the
+    * bounded α grid; the coverage pass is one conditional-sum aggregate
+    * over the (doc × label) frame joined to the ≤|grid|-row threshold
+    * table. No global sort, no driver collect. */
+  def conformalSets(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, alphaPermille: Seq[Long],
+      calSplit: Column => Column): DataFrame = {
+    require(alphaPermille.nonEmpty &&
+      alphaPermille.forall(a => a >= 0L && a < 1000L), "alpha in [0,1000)")
+    val scored = nbPosteriors(df, idCol, textCol, labelCol)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("post_q").desc, col("cls"))
+    val withRn = scored.withColumn("rn", row_number().over(w))
+    val p12 = withRn.where(col("rn") <= 2).groupBy("id")
+      .agg(max(when(col("rn") === 1, col("post_q"))).as("p1"),
+        max(when(col("rn") === 2, col("post_q"))).as("p2"))
+    val nc = graft.core.CacheScope.persist(withRn.join(p12, Seq("id"))
+      .select(col("id"), col("label"), col("cls"),
+        expr("(CASE WHEN rn = 1 THEN coalesce(p2, p1) ELSE p1 END - post_q)" +
+          " div 1000").as("nc_mq"),
+        calSplit(col("id")).as("is_cal")))
+    val calN = nc.where(col("is_cal") && col("cls") === col("label"))
+      .agg(count(lit(1)).as("n_cal"))
+    // bounded histogram cumsum over distinct milli-nat values (the
+    // [[qualityGate]] contract; partitionBy(lit(0)) is the designed
+    // bounded single-partition frame)
+    val calCum = nc.where(col("is_cal") && col("cls") === col("label"))
+      .groupBy("nc_mq").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.partitionBy(lit(0))
+        .orderBy(col("nc_mq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val grid = alphaPermille.map(a => struct(lit(a).as("alpha_permille")))
+    val ks = calN.select(col("n_cal"),
+        explode(array(grid: _*)).as("g"))
+      .select(col("n_cal"), col("g.alpha_permille").as("alpha_permille"),
+        expr("((n_cal + 1) * (1000 - alpha_permille) + 999) div 1000")
+          .as("k_rank"))
+    val thr = ks.crossJoin(calCum) // bounded |grid| × |histogram|
+      .groupBy("alpha_permille", "n_cal", "k_rank")
+      .agg(min(when(col("cum") >= col("k_rank"), col("nc_mq")))
+        .as("threshold_mq"))
+    val ev = nc.where(!col("is_cal"))
+    ev.crossJoin(broadcast(thr)) // bounded ≤|grid|-row threshold table
+      .groupBy("alpha_permille", "n_cal", "k_rank", "threshold_mq")
+      .agg(
+        countDistinct(col("id")).as("n_eval"),
+        sum(when(col("threshold_mq").isNull ||
+          col("nc_mq") <= col("threshold_mq"), 1L).otherwise(0L))
+          .as("set_size_sum"),
+        sum(when((col("cls") === col("label")) &&
+          (col("threshold_mq").isNull ||
+            col("nc_mq") <= col("threshold_mq")), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("alpha_permille"), col("n_cal"), col("k_rank"),
+        col("threshold_mq"), col("n_eval"), col("n_covered"),
+        expr("(n_covered * 1000000L) div n_eval").as("coverage_micro"),
+        col("set_size_sum"),
+        expr("(set_size_sum * 1000000L) div n_eval")
+          .as("avg_set_size_micro"))
+  }
+
   /** Tokenizer fertility per language bucket: subword tokens emitted per
     * whitespace word (the GPT-2-style [[BpePattern]] pre-tokenizer over
     * [[tokenCount]] words), the cross-lingual token-budget gauge — a

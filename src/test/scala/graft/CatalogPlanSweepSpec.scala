@@ -67,7 +67,15 @@ class CatalogPlanSweepSpec extends SparkSpec {
                               //   the bounded |labels|² cell table
     "q183_vocab_growth",      // (docSums × vocabSums): two 1-row
                               //   conditional-sum frames
-    "q184_pareto_frontier")   // (lo, hi) bucket anchor: 1-row broadcast
+    "q184_pareto_frontier",   // (lo, hi) bucket anchor: 1-row broadcast
+    "q189_conformal_sets",    // q109's NB scalars + the 1-row n_cal ×
+                              //   α-grid explode and the ≤|grid|-row
+                              //   threshold table into the eval pass
+    "q190_classifier_report", // q109's NB scalars (the report itself runs
+                              //   on the bounded |labels|² cell frame)
+    "q191_rank_eval",         // (N, avgdl) corpus stats 1-row broadcast
+                              //   (the q88 contract, batched per query)
+    "q193_fano_burstiness")   // (w_lo, w_hi) span anchor: 1-row broadcast
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

@@ -384,9 +384,18 @@ class PlanAuditSpec extends SparkSpec {
                              //   A-grain frame: 1 partial row/partition
       "q183_vocab_growth",   // two 1-row conditional-sum aggregates
                              //   (2·|grid|+1 partial cells per partition)
-      "q184_pareto_frontier" // (lo, hi) 1-row anchor + the cross-bucket
+      "q184_pareto_frontier", // (lo, hi) 1-row anchor + the cross-bucket
                              //   carry window over the ≤numBuckets-row
                              //   bucket-stats frame
+      "q189_conformal_sets", // q109's NB global counts + the n_cal 1-row
+                             //   agg and the bounded nonconformity
+                             //   histogram cumsum (qualityGate contract)
+      "q190_classifier_report", // q109's NB global counts; report runs on
+                             //   the ≤|labels|² cell frame
+      "q191_rank_eval",      // (N, avgdl) 1-row corpus stats; rank
+                             //   windows are qid-partitioned, the final
+                             //   joins are over ≤|Q| rows
+      "q193_fano_burstiness" // (w_lo, w_hi) 1-row span anchor
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")

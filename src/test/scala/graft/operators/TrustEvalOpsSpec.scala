@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Round-11 trust/eval wave: split-conformal prediction sets, per-class
+  * classifier report, retrieval rank eval (MRR/nDCG), l-diversity audit,
+  * Fano-factor burstiness. */
+class TrustEvalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -------------------------------------------------------- conformalSets
+
+  /** Perfectly symmetric two-class corpus: every doc's margin is the same
+    * integer, so the calibration quantile equals every eval nonconformity
+    * and the guarantee saturates. */
+  private def symmetricDocs = (0 until 40).map { i =>
+    if (i % 4 < 2) (i.toLong, "aa aa", "A") else (i.toLong, "bb bb", "B")
+  }.toDF("doc_id", "text", "lab")
+  // doc_id % 2 == 0 → calibration; the %4 layout puts both classes in
+  // both halves
+
+  test("conformalSets: symmetric corpus covers fully with singleton sets") {
+    val out = TextAnalysis.conformalSets(symmetricDocs, "doc_id", "text",
+        "lab", Seq(100L, 500L), _ % 2 === 0)
+      .orderBy("alpha_permille").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("coverage_micro") === 1000000L)
+      assert(r.getAs[Long]("avg_set_size_micro") === 1000000L)
+      assert(r.getAs[Long]("n_cal") === 20L)
+      assert(r.getAs[Long]("n_eval") === 20L)
+    }
+  }
+
+  test("conformalSets: alpha=0 forces k > n_cal, the full-alphabet set") {
+    val out = TextAnalysis.conformalSets(symmetricDocs, "doc_id", "text",
+        "lab", Seq(0L), _ % 2 === 0)
+      .collect()
+    val r = out.head
+    assert(r.getAs[Long]("k_rank") === 21L)     // (20+1)·1000/1000
+    assert(r.isNullAt(r.fieldIndex("threshold_mq")))
+    assert(r.getAs[Long]("coverage_micro") === 1000000L)
+    assert(r.getAs[Long]("avg_set_size_micro") === 2000000L) // both labels
+  }
+
+  test("conformalSets: threshold and coverage are monotone in alpha") {
+    val docs = (0 until 80).map { i =>
+      (i.toLong, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11}",
+        s"L${i % 3}")
+    }.toDF("doc_id", "text", "lab")
+    val out = TextAnalysis.conformalSets(docs, "doc_id", "text", "lab",
+        Seq(50L, 200L, 500L, 900L), _ % 2 === 0)
+      .orderBy("alpha_permille").collect()
+    val thr = out.toSeq.map(r => Option(r.getAs[Any]("threshold_mq"))
+      .map(_.asInstanceOf[Long]))
+    // larger alpha → smaller k → smaller (or equal) threshold
+    thr.sliding(2).foreach {
+      case Seq(Some(a), Some(b)) => assert(b <= a)
+      case _ => () // null (∞) thresholds only appear at the small-alpha end
+    }
+    val cov = out.map(_.getAs[Long]("coverage_micro")).toSeq
+    assert(cov === cov.sorted.reverse, s"coverage not monotone: $cov")
+    val sz = out.map(_.getAs[Long]("avg_set_size_micro")).toSeq
+    assert(sz === sz.sorted.reverse, s"set size not monotone: $sz")
+  }
+
+  // ----------------------------------------------------- classifierReport
+
+  test("classifierReport: hand-computed 2x2 plus a pred-only class") {
+    // truth A: 3 predicted A, 1 predicted B; truth B: 2 B; 1 truth B
+    // predicted C (C never true)
+    val rows = Seq(
+      ("A", "A"), ("A", "A"), ("A", "A"), ("A", "B"),
+      ("B", "B"), ("B", "B"), ("B", "C")).toDF("t", "p")
+    val out = DataChecks.classifierReport(rows, col("t"), col("p"))
+      .orderBy("label").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert((a.getAs[Long]("tp"), a.getAs[Long]("fp"), a.getAs[Long]("fn"))
+      === ((3L, 0L, 1L)))
+    assert(a.getAs[Long]("precision_micro") === 1000000L)
+    assert(a.getAs[Long]("recall_micro") === 750000L)
+    assert(a.getAs[Long]("f1_micro") === (2L * 3 * 1000000L) / 7L)
+    val c = out("C")
+    assert((c.getAs[Long]("n_truth"), c.getAs[Long]("n_pred"),
+      c.getAs[Long]("tp")) === ((0L, 1L, 0L)))
+    assert(c.getAs[Long]("precision_micro") === 0L)
+    assert(c.getAs[Long]("recall_micro") === 0L)
+  }
+
+  // ------------------------------------------------------------- rankEval
+
+  test("rankEval: hand-checked gains, MRR and nDCG on a planted ranking") {
+    // q terms (x, y): doc 1 has x·3 (gain 3); doc 2 has x·1 (below
+    // relMin → gain 0) but longer idf-boost… keep it simple: doc 2
+    // matches once, doc 3 matches y twice (gain 2), doc 4 no match
+    val docs = Seq(
+      (1L, "x x x filler filler"),
+      (2L, "x filler filler filler filler"),
+      (3L, "y y filler filler filler"),
+      (4L, "filler only doc here none")).toDF("doc_id", "text")
+    val out = Retrieval.rankEval(docs, "doc_id", "text",
+        Seq("q0" -> Seq("x", "y")), k = 3, relMin = 2L)
+      .collect().head
+    assert(out.getAs[Long]("n_ranked") === 3L)
+    assert(out.getAs[Long]("n_rel") === 2L)
+    // ranking by BM25: doc 1 (tf 3) first → first_rel_rank 1, mrr 1.0
+    assert(out.getAs[Int]("first_rel_rank") === 1)
+    assert(out.getAs[Long]("mrr_micro") === 1000000L)
+    // dcg uses actual ranks of gains {3 @ r1, 2 @ r?}; idcg packs {3, 2}
+    // at ranks 1,2 — dcg <= idcg always, and both are exact int sums
+    assert(out.getAs[Long]("dcg_micro") <= out.getAs[Long]("idcg_micro"))
+    assert(out.getAs[Long]("ndcg_micro") <= 1000000L)
+    assert(out.getAs[Long]("ndcg_micro") > 0L)
+  }
+
+  test("rankEval: perfect ordering gives nDCG exactly 1.0; miss gives 0") {
+    val docs = Seq(
+      (1L, "z z z z"), (2L, "z z pad pad"), (3L, "pad pad pad z"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.rankEval(docs, "doc_id", "text",
+        Seq("hit" -> Seq("z"), "miss" -> Seq("absent")), k = 2, relMin = 2L)
+      .orderBy("qid").collect()
+    val hit = out.find(_.getString(0) == "hit").get
+    // BM25 ranks doc1 (tf 4, shortest-dl tie-free) over doc2; gains 4 > 2
+    // in the same order → dcg == idcg
+    assert(hit.getAs[Long]("ndcg_micro") === 1000000L)
+    // a query matching nothing produces no ranked rows at all
+    assert(!out.exists(_.getString(0) == "miss"))
+  }
+
+  // -------------------------------------------------- lDiversityViolations
+
+  test("lDiversityViolations: only the single-valued classes surface") {
+    val rows = Seq(
+      (1, "A", "s1"), (1, "A", "s2"),   // diverse — clean
+      (1, "B", "s1"), (1, "B", "s1"),   // uniform — violation
+      (2, "A", "s3")).toDF("k1", "k2", "sv")
+    val out = DataChecks.lDiversityViolations(rows, Seq("k1", "k2"),
+        col("sv"), l = 2)
+      .orderBy("k1", "k2").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq === Seq((1, "B", 2L, 1L), (2, "A", 1L, 1L)))
+  }
+
+  // ----------------------------------------------------------- fanoFactor
+
+  test("fanoFactor: metronome is 0, a single burst is ~n(W-1)/W") {
+    val h = 3600L * 1000000000L
+    val metro = (0 until 8).map(i => ("tick", i * h + 1L))
+    val burst = (0 until 8).map(_ => ("boom", 3L * h + 5L)) ++
+      Seq(("boom", 0L), ("boom", 7L * h + 1L)) // pin the same 8-window span
+    val ev = (metro ++ burst).toDF("event_type", "ts")
+    val out = EventOps.fanoFactor(ev, "event_type", 3600L)
+      .orderBy("event_type").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("tick").getAs[Long]("n_windows") === 8L)
+    assert(out("tick").getAs[Long]("fano_micro") === 0L)
+    val boom = out("boom")
+    assert(boom.getAs[Long]("n_active_windows") === 3L)
+    // counts (1, 8, 1) over 8 windows: n=10, s2=66 →
+    // (8·66 − 100)·1e6 / (8·10) = 5350000
+    assert(boom.getAs[Long]("fano_micro") === 5350000L)
+  }
+}
