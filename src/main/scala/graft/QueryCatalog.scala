@@ -6184,6 +6184,116 @@ object QueryCatalog {
           ((w_hi - w_lo + 1) * n_events) AS BIGINT) AS fano_micro
       FROM a CROSS JOIN anchor ORDER BY event_type"""))
 
+  /** Contamination rate per source ([[Dedup.contaminationBySource]]):
+    * q51's decontamination semi-join rolled up by provenance — "drop the
+    * source, not the docs" evidence. Same ref/corpus split and shingle
+    * parameters as q51. */
+  private val q194 = QuerySpec(
+    "q194_contamination_by_source",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.where(col("doc_id") % 97 === 0)
+      val corpus = docs.where(col("doc_id") % 97 =!= 0)
+      Dedup.contaminationBySource(corpus, "doc_id", "text", "source",
+          ref, "text", n = 3, minShared = 3, maxDocFreq = 1000)
+        .orderBy(col("source"))
+    },
+    Some("""WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          list_transform(range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
+            i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')),
+          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647))) AS sh
+        FROM documents),
+      corpus AS (SELECT doc_id, sh FROM (
+          SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df
+          FROM sh WHERE doc_id % 97 <> 0)
+        WHERE df <= 1000),
+      ref AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+      bad AS (SELECT doc_id FROM corpus JOIN ref USING (sh)
+        GROUP BY 1 HAVING count(*) >= 3),
+      srcs AS (SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0),
+      per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM srcs GROUP BY 1),
+      bs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated
+        FROM srcs WHERE doc_id IN (SELECT doc_id FROM bad) GROUP BY 1)
+      SELECT per.source, per.n_docs,
+        coalesce(bs.n_contaminated, 0) AS n_contaminated,
+        CAST((coalesce(bs.n_contaminated, 0) * 1000000) // per.n_docs
+          AS BIGINT) AS rate_micro
+      FROM per LEFT JOIN bs ON bs.source = per.source
+      ORDER BY per.source"""))
+
+  /** Shard-skew audit ([[graft.operators.ScaleOps.shardSkewAudit]]) of
+    * the q107 sharding, token-weighted: per shard, rows, tokens, share,
+    * and the signed deviation from the uniform share. */
+  private val q195 = QuerySpec(
+    "q195_shard_skew",
+    (s, dir) => graft.operators.ScaleOps.shardSkewAudit(
+        t(s, dir, "documents"), "doc_id", numShards = 16,
+        size(split(col("text"), " ")).cast("long"))
+      .orderBy(col("shard")),
+    Some("""WITH r AS (SELECT
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 16 AS INT) AS shard,
+          CAST(len(str_split(text, ' ')) AS BIGINT) AS w
+        FROM documents),
+      per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(w) AS BIGINT) AS weight FROM r GROUP BY 1),
+      tot AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM per)
+      SELECT shard, n_rows, weight,
+        CAST((weight * 1000000) // w_total AS BIGINT) AS share_micro,
+        CAST((weight * 16 * 1000000) // w_total - 1000000 AS BIGINT)
+          AS dev_from_uniform_micro
+      FROM per CROSS JOIN tot ORDER BY shard"""))
+
+  /** Active-learning label routing ([[TextAnalysis.labelRouting]]): the
+    * 5 lowest-margin docs per predicted class — the class-balanced
+    * human-review queue under q179's auto-accept cut. */
+  private val q196 = QuerySpec(
+    "q196_label_routing",
+    (s, dir) => TextAnalysis.labelRouting(t(s, dir, "documents"),
+        "doc_id", "text", "lang", perClassK = 5)
+      .select(col("predicted"), col("rnk"), col("id").as("doc_id"),
+        col("margin_q"))
+      .orderBy(col("predicted"), col("rnk")),
+    Some(s"""WITH $NbOracleCtes,
+      top2 AS (SELECT id,
+          max(CASE WHEN rn = 1 THEN post_q END) AS p1,
+          max(CASE WHEN rn = 2 THEN post_q END) AS p2,
+          max(CASE WHEN rn = 1 THEN cls END) AS predicted
+        FROM ranked WHERE rn <= 2 GROUP BY id),
+      m AS (SELECT id, predicted,
+          p1 - coalesce(p2, p1) AS margin_q FROM top2),
+      rk AS (SELECT predicted, id, margin_q, row_number() OVER (
+          PARTITION BY predicted ORDER BY margin_q, id) AS rnk FROM m)
+      SELECT predicted, CAST(rnk AS BIGINT) AS rnk, id AS doc_id, margin_q
+      FROM rk WHERE rnk <= 5 ORDER BY predicted, rnk"""))
+
+  /** Join-key skew profile ([[graft.operators.ScaleOps.keySkewProfile]])
+    * over events.user_id: top-20 hot keys + distribution entropy — the
+    * "should I salt this join?" pre-flight. */
+  private val q197 = QuerySpec(
+    "q197_key_skew_profile",
+    (s, dir) => graft.operators.ScaleOps.keySkewProfile(
+        t(s, dir, "events"), "user_id", topK = 20)
+      .orderBy(col("rnk")),
+    Some("""WITH counts AS (SELECT CAST(user_id AS VARCHAR) AS key,
+          CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_keys FROM counts),
+      ent AS (SELECT CAST(sum(CAST(floor(
+            -(CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE)) *
+            ln(CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE)) * 1000000.0
+            + 0.5) AS BIGINT)) AS BIGINT) AS entropy_micro
+        FROM counts CROSS JOIN n),
+      topk AS (SELECT key, c, row_number() OVER (ORDER BY c DESC, key)
+          AS rnk FROM counts)
+      SELECT CAST(rnk AS BIGINT) AS rnk, key, c AS n_rows_key,
+        n_rows, n_keys,
+        CAST((c * 1000000) // n_rows AS BIGINT) AS share_micro,
+        entropy_micro
+      FROM topk CROSS JOIN n CROSS JOIN ent
+      WHERE rnk <= 20 ORDER BY rnk"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -6204,5 +6314,6 @@ object QueryCatalog {
     q154, q155, q156, q157, q158, q159, q160,
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
-    q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193)
+    q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193,
+    q194, q195, q196, q197)
 }

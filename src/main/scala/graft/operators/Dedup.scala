@@ -505,6 +505,33 @@ object Dedup {
       .where(col("shared_ngrams") >= minShared)
   }
 
+  /** Contamination rate per provenance bucket: [[contaminatedIds]] rolled
+    * up by source — the report that turns a flat droplist into a
+    * decision ("source X is 40% benchmark-leaked: drop the source, not
+    * the docs"). One row per source with corpus size, contaminated
+    * count, and the truncating micro rate.
+    *
+    * Scale shape: the contamination semi-join is [[contaminatedIds]]
+    * unchanged; the rollup joins its (id)-grain output back to the
+    * (id, source) projection once and aggregates per source — bounded
+    * |sources| output, map-side combined. */
+  def contaminationBySource(corpus: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, reference: DataFrame,
+      refTextCol: String, n: Int = 5, minShared: Long = 5,
+      maxDocFreq: Long = 1000): DataFrame = {
+    val bad = contaminatedIds(corpus, idCol, textCol, reference, refTextCol,
+      n, minShared, maxDocFreq)
+    val src = corpus.select(col(idCol).as("id"), col(sourceCol).as("source"))
+    val perSrc = src.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val badSrc = src.join(bad.select("id"), Seq("id"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
+    perSrc.join(badSrc, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("rate_micro",
+        expr("(n_contaminated * 1000000L) div n_docs"))
+  }
+
   /** SimHash near-dup pairs via band-bucketed self-join: the signature's
     * `bands` fixed-width slices are the join keys — two docs within
     * `maxHamming` < bands differing bits MUST agree on at least one slice

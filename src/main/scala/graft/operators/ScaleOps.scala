@@ -956,6 +956,72 @@ object ScaleOps {
           .as("within_bound"))
   }
 
+  /** Shard-skew audit for a [[shardShuffle]]-style hash sharding: per
+    * shard, row count and a caller-chosen weight (tokens, bytes), plus the
+    * signed deviation of its weight share from the uniform share in micro
+    * units — the pre-flight that catches "shard 7 carries 3× the tokens"
+    * before a training run stalls on its longest shard. Deviation is
+    * (w·S·1e6) div W − 1e6 (exact integers; 0 = perfectly uniform).
+    *
+    * Scale shape: one (shard)-keyed aggregate (map-side combined to ≤ S
+    * rows/partition) + a 1-row total broadcast. Output is S rows. */
+  def shardSkewAudit(df: DataFrame, keyCol: String, numShards: Int,
+      weight: Column): DataFrame = {
+    require(numShards >= 1, "numShards >= 1")
+    val h = graft.functions.Hashing.stableHash(col(keyCol).cast("string"))
+    val per = df.select((h % numShards).cast("int").as("shard"),
+        weight.cast("long").as("w"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), sum("w").as("weight"))
+    val tot = per.agg(sum("weight").as("w_total"))
+    per.crossJoin(broadcast(tot)) // 1-row total
+      .select(col("shard"), col("n_rows"), col("weight"),
+        expr("(weight * 1000000L) div w_total").as("share_micro"),
+        expr(s"(weight * ${numShards}L * 1000000L) div w_total - 1000000L")
+          .as("dev_from_uniform_micro"))
+  }
+
+  /** Join-key skew profile — the "should I salt this?" pre-flight: the
+    * top-`topK` hottest keys with their corpus share, plus the key
+    * distribution's entropy and distinct count riding every row. A top
+    * key at share ≫ 1/parallelism means the plain hash join/agg stalls on
+    * one reducer ([[saltedJoin]]/[[saltedSum]] are the fix); entropy ≪
+    * ln(n_keys) quantifies how far from uniform the whole distribution
+    * sits.
+    *
+    * Entropy is Σ −(c/N)·ln(c/N) with each key's contribution rounded to
+    * micro BEFORE the sum (one canonical parenthesization, mirrored in
+    * the oracle — the q128 floor convention), so the total is an exact
+    * int64 sum.
+    *
+    * Scale shape: one key-keyed count (map-side combined), a 1-row
+    * (N, n_keys, entropy) fold over the key-grain frame, and a top-k
+    * TakeOrdered — never a global sort. */
+  def keySkewProfile(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, "topK >= 1")
+    val counts = graft.core.CacheScope.persist(
+      df.groupBy(col(keyCol).cast("string").as("key"))
+        .agg(count(lit(1)).as("c")))
+    // entropy needs N inside the per-key term → second pass over the
+    // key-grain frame with the 1-row N broadcast
+    val n = counts.agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"))
+    val ent = counts.crossJoin(broadcast(n))
+      .select(floor(-(col("c").cast("double") / col("n_rows")
+          .cast("double")) *
+        log(col("c").cast("double") / col("n_rows").cast("double")) *
+        lit(1e6) + lit(0.5)).cast("long").as("h"))
+      .agg(sum("h").as("entropy_micro"))
+    counts.orderBy(col("c").desc, col("key")).limit(topK)
+      .withColumn("rnk", row_number().over(Window.partitionBy(lit(0))
+        .orderBy(col("c").desc, col("key"))).cast("long"))
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(ent))
+      .select(col("rnk"), col("key"), col("c").as("n_rows_key"),
+        col("n_rows"), col("n_keys"),
+        expr("(n_rows_key * 1000000L) div n_rows").as("share_micro"),
+        col("entropy_micro"))
+  }
+
   /** 2-criteria Pareto frontier (skyline): the rows not dominated under
     * (maximize `maxCol`, minimize `minCol`) — "shortest doc at every
     * quality level", the multi-criteria selection that single-score

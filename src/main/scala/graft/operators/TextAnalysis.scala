@@ -844,13 +844,17 @@ object TextAnalysis {
     * partial aggregates over the margins (2·|grid|+1 running sums,
     * map-side combined — no per-threshold scan, no sort, no join), then a
     * bounded |grid|-row explode of the single result row. */
-  def selectiveRiskCurve(df: DataFrame, idCol: String, textCol: String,
-      labelCol: String, thresholdsMicroNats: Seq[Long]): DataFrame = {
-    require(thresholdsMicroNats.nonEmpty, "need a threshold grid")
+  /** Per-doc posterior margin of the NB classifier (the standard
+    * abstention score): (id, label, predicted, margin_q) where margin_q =
+    * top posterior − runner-up in micro-nats (0 for a single-class
+    * corpus). Shared by [[selectiveRiskCurve]] (sweep) and
+    * [[labelRouting]] (bottom-margin picks). */
+  private[graft] def nbMargins(df: DataFrame, idCol: String,
+      textCol: String, labelCol: String): DataFrame = {
     val scored = nbPosteriors(df, idCol, textCol, labelCol)
     val w = Window.partitionBy(col("id"))
       .orderBy(col("post_q").desc, col("cls"))
-    val margins = scored.withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= 2)
       .groupBy("id")
       .agg(
@@ -858,8 +862,15 @@ object TextAnalysis {
         max(when(col("rn") === 2, col("post_q"))).as("p2"),
         max(when(col("rn") === 1, col("cls"))).as("predicted"),
         max(when(col("rn") === 1, col("label"))).as("label"))
-      .select(
-        (col("p1") - coalesce(col("p2"), col("p1"))).as("margin_q"),
+      .select(col("id"), col("label"), col("predicted"),
+        (col("p1") - coalesce(col("p2"), col("p1"))).as("margin_q"))
+  }
+
+  def selectiveRiskCurve(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, thresholdsMicroNats: Seq[Long]): DataFrame = {
+    require(thresholdsMicroNats.nonEmpty, "need a threshold grid")
+    val margins = nbMargins(df, idCol, textCol, labelCol)
+      .select(col("margin_q"),
         (col("predicted") === col("label")).as("correct"))
     val condSums = thresholdsMicroNats.flatMap { th =>
       Seq(
@@ -1014,6 +1025,29 @@ object TextAnalysis {
       .limit(k)
       .withColumn("rnk", row_number().over(Window.partitionBy(lit(0))
         .orderBy(col("pmi_micro").desc, col("bigram"))).cast("long"))
+  }
+
+  /** Active-learning label routing: the `perClassK` LOWEST-margin docs
+    * per predicted class — the review queue that closes q179's loop
+    * (q179 picks "auto-accept above margin M"; this hands the human
+    * labeler exactly the docs under it, class-balanced so one confusable
+    * class can't hog the annotation budget — classic uncertainty
+    * sampling, Lewis & Gale 1994). Margins are [[nbMargins]]' exact
+    * micro-nat integers; ties break by id.
+    *
+    * Scale shape: q109's posterior build, then ONE window rank per
+    * predicted class cut at k — the rank-limit pushes map-side
+    * (WindowGroupLimit), so only ≤ k·|classes| rows survive per
+    * partition. */
+  def labelRouting(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, perClassK: Int): DataFrame = {
+    require(perClassK >= 1, "perClassK >= 1")
+    val w = Window.partitionBy(col("predicted"))
+      .orderBy(col("margin_q"), col("id"))
+    nbMargins(df, idCol, textCol, labelCol)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= perClassK)
+      .select(col("predicted"), col("rnk"), col("id"), col("margin_q"))
   }
 
   /** Split-conformal prediction sets over the naive-Bayes classifier

@@ -75,7 +75,13 @@ class CatalogPlanSweepSpec extends SparkSpec {
                               //   on the bounded |labels|² cell frame)
     "q191_rank_eval",         // (N, avgdl) corpus stats 1-row broadcast
                               //   (the q88 contract, batched per query)
-    "q193_fano_burstiness")   // (w_lo, w_hi) span anchor: 1-row broadcast
+    "q193_fano_burstiness",   // (w_lo, w_hi) span anchor: 1-row broadcast
+    "q195_shard_skew",        // w_total: 1-row broadcast into the ≤S-row
+                              //   shard frame
+    "q196_label_routing",     // q109's NB model-build scalars (vocab ×
+                              //   class totals — the q179 contract)
+    "q197_key_skew_profile")  // (n_rows, n_keys) + entropy 1-row
+                              //   broadcasts into the ≤topK frame
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

@@ -395,7 +395,11 @@ class PlanAuditSpec extends SparkSpec {
       "q191_rank_eval",      // (N, avgdl) 1-row corpus stats; rank
                              //   windows are qid-partitioned, the final
                              //   joins are over ≤|Q| rows
-      "q193_fano_burstiness" // (w_lo, w_hi) 1-row span anchor
+      "q193_fano_burstiness", // (w_lo, w_hi) 1-row span anchor
+      "q195_shard_skew",     // w_total 1-row aggregate (partial rows only)
+      "q196_label_routing",  // q109's NB global counts (the q179 contract)
+      "q197_key_skew_profile" // (n_rows, n_keys) + entropy 1-row folds
+                             //   over the key-grain frame + the ≤topK rank
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")

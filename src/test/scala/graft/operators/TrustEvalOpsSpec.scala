@@ -143,6 +143,86 @@ class TrustEvalOpsSpec extends SparkSpec {
       r.getLong(3))).toSeq === Seq((1, "B", 2L, 1L), (2, "A", 1L, 1L)))
   }
 
+  // ------------------------------------------- contaminationBySource
+
+  test("contaminationBySource: the leaked source carries the whole rate") {
+    val ref = Seq((1000L, "secret benchmark passage tokens here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "secret benchmark passage tokens here", "leaky"),
+      (2L, "secret benchmark passage tokens here", "leaky"),
+      (3L, "perfectly ordinary clean text body", "leaky"),
+      (4L, "another clean doc entirely fresh words", "clean"),
+      (5L, "more clean material nothing shared", "clean"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.contaminationBySource(corpus, "doc_id", "text",
+        "source", ref, "text", n = 3, minShared = 2, maxDocFreq = 1000)
+      .orderBy("source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("leaky") === ((3L, 2L, 666666L)))
+    assert(out("clean") === ((2L, 0L, 0L)))
+  }
+
+  // --------------------------------------------------- shardSkewAudit
+
+  test("shardSkewAudit: weight conserves and deviations sum to ~0") {
+    val docs = (0 until 200).map(i => (i.toLong, (i % 7 + 1).toLong))
+      .toDF("id", "w")
+    val out = ScaleOps.shardSkewAudit(docs, "id", 8, col("w")).collect()
+    assert(out.map(_.getAs[Long]("weight")).sum ===
+      (0 until 200).map(_ % 7 + 1).sum.toLong)
+    // truncating division: each deviation is within one micro-unit of
+    // exact, so the sum sits near 0 (within 8 units of slack per shard)
+    val devSum = out.map(_.getAs[Long]("dev_from_uniform_micro")).sum
+    assert(math.abs(devSum) <= 8L * 8L, s"deviations don't balance: $devSum")
+    assert(out.map(_.getAs[Long]("share_micro")).sum <= 1000000L)
+  }
+
+  // ----------------------------------------------------- labelRouting
+
+  test("labelRouting picks the lowest-margin docs per predicted class") {
+    // class A docs are confident; one "ab" doc straddles both vocabularies
+    // → minimal margin, must head the queue of whichever class wins it
+    val docs = (
+      (0 until 8).map(i => (i.toLong, "aa aa aa", "A")) ++
+      (8 until 16).map(i => (i.toLong, "bb bb bb", "B")) ++
+      Seq((16L, "aa bb", "A"))).toDF("doc_id", "text", "lab")
+    val out = TextAnalysis.labelRouting(docs, "doc_id", "text", "lab",
+        perClassK = 2)
+      .orderBy("predicted", "rnk").collect()
+    // ranks are 1..k per class, ids unique
+    val ids = out.map(_.getAs[Long]("id"))
+    assert(ids.distinct.length === ids.length)
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ===
+        (1L to rows.length).toSeq)
+    }
+    // the straddler has the global minimum margin → rnk 1 in its class
+    val straddler = out.find(_.getAs[Long]("id") == 16L).get
+    assert(straddler.getAs[Long]("rnk") === 1L)
+    assert(straddler.getAs[Long]("margin_q") ===
+      out.map(_.getAs[Long]("margin_q")).min)
+  }
+
+  // -------------------------------------------------- keySkewProfile
+
+  test("keySkewProfile: hot key leads; uniform entropy ≈ ln(n)") {
+    val rows = ((0 until 100).map(_ => "hot") ++
+      (0 until 50).map(i => s"k$i")).toDF("k")
+    val out = ScaleOps.keySkewProfile(rows, "k", topK = 3)
+      .orderBy("rnk").collect()
+    assert(out.head.getAs[String]("key") === "hot")
+    assert(out.head.getAs[Long]("share_micro") === 666666L) // 100/150
+    assert(out.head.getAs[Long]("n_keys") === 51L)
+    // uniform distribution: entropy must hit ln(n)·1e6 within per-key
+    // rounding slack
+    val uni = (0 until 64).map(i => s"u$i").toDF("k")
+    val e = ScaleOps.keySkewProfile(uni, "k", topK = 1)
+      .collect().head.getAs[Long]("entropy_micro")
+    val want = math.log(64.0) * 1e6
+    assert(math.abs(e - want) <= 64L, s"entropy $e vs ln(64)=$want")
+  }
+
   // ----------------------------------------------------------- fanoFactor
 
   test("fanoFactor: metronome is 0, a single burst is ~n(W-1)/W") {
