@@ -6294,6 +6294,105 @@ object QueryCatalog {
       FROM topk CROSS JOIN n CROSS JOIN ent
       WHERE rnk <= 20 ORDER BY rnk"""))
 
+  /** Frequency-threshold vocabulary curve
+    * ([[TextAnalysis.vocabThresholdCurve]]): vocab size / coverage / OOV
+    * at each candidate min_count floor — the "where does the Zipf tail
+    * stop paying for itself" knee-finder, q183's complementary axis. */
+  private val q198 = {
+    val grid = Seq(1L, 2L, 3L, 5L, 10L, 20L, 50L, 100L)
+    QuerySpec(
+      "q198_vocab_threshold_curve",
+      (s, dir) => TextAnalysis.vocabThresholdCurve(t(s, dir, "documents"),
+          "text", grid)
+        .orderBy(col("min_count")),
+      Some(s"""WITH toks AS (SELECT unnest(str_split(text, ' ')) AS tok
+            FROM documents),
+        types AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total_types,
+            CAST(sum(c) AS BIGINT) AS t_total FROM types),
+        grid AS (SELECT unnest([${grid.mkString(", ")}]::BIGINT[])
+            AS min_count),
+        per AS (SELECT min_count,
+            CAST(count(*) FILTER (WHERE c >= min_count) AS BIGINT)
+              AS vocab_size,
+            CAST(coalesce(sum(c) FILTER (WHERE c >= min_count), 0)
+              AS BIGINT) AS kept_tokens
+          FROM types CROSS JOIN grid GROUP BY 1)
+        SELECT min_count, vocab_size, total_types, kept_tokens,
+          t_total AS total_tokens,
+          CAST((kept_tokens * 1000000) // t_total AS BIGINT)
+            AS coverage_micro,
+          CAST(((t_total - kept_tokens) * 1000000) // t_total AS BIGINT)
+            AS oov_micro
+        FROM per CROSS JOIN tot ORDER BY min_count"""))
+  }
+
+  /** Source × language joint census with independence lift
+    * ([[graft.operators.DataChecks.jointCensus]]): which sources
+    * over/under-produce which languages — 1e6 = independent mix. */
+  private val q199 = QuerySpec(
+    "q199_source_lang_census",
+    (s, dir) => graft.operators.DataChecks.jointCensus(
+        t(s, dir, "documents"), col("source"), col("lang"))
+      .select(col("x").as("source"), col("y").as("lang"), col("n"),
+        col("n_x").as("n_source"), col("n_y").as("n_lang"),
+        col("n_total"), col("lift_micro"))
+      .orderBy(col("source"), col("lang")),
+    Some("""WITH cells AS (SELECT source, lang,
+          CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2),
+      rm AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_source
+        FROM cells GROUP BY 1),
+      cm AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+        FROM cells GROUP BY 1),
+      tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells)
+      SELECT source, lang, n, n_source, n_lang, n_total,
+        CAST(floor((CAST(n AS DOUBLE) / CAST(n_source AS DOUBLE)) *
+          (CAST(n_total AS DOUBLE) / CAST(n_lang AS DOUBLE)) *
+          1000000.0 + 0.5) AS BIGINT) AS lift_micro
+      FROM cells JOIN rm USING (source) JOIN cm USING (lang) CROSS JOIN tt
+      ORDER BY source, lang"""))
+
+  /** Session entry/exit census ([[graft.operators.EventOps
+    * .sessionEntryExit]]): per landing event type, sessions opened,
+    * bounce rate, mean session length — q30's sessionization turned into
+    * the acquisition-leak report. */
+  private val q200 = QuerySpec(
+    "q200_session_entry_exit",
+    (s, dir) => graft.operators.EventOps.sessionEntryExit(
+        t(s, dir, "events"), "user_id", gapSec = 1800)
+      .orderBy(col("entry_type")),
+    Some("""WITH marked AS (SELECT user_id, ts, event_id, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      grp AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked),
+      grp2 AS (SELECT *,
+          row_number() OVER (PARTITION BY user_id, sid
+            ORDER BY ts, event_id) AS rn_a,
+          row_number() OVER (PARTITION BY user_id, sid
+            ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM grp),
+      sess AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+          max(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+          max(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type
+        FROM grp2 GROUP BY 1, 2),
+      census AS (SELECT entry_type,
+          CAST(count(*) AS BIGINT) AS n_sessions,
+          CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+          CAST(sum(n_events) AS BIGINT) AS n_ev,
+          CAST(count(*) FILTER (WHERE exit_type = entry_type) AS BIGINT)
+            AS n_exit_same
+        FROM sess GROUP BY 1)
+      SELECT entry_type, n_sessions, n_bounces,
+        CAST((n_bounces * 1000000) // n_sessions AS BIGINT) AS bounce_micro,
+        CAST((n_ev * 1000000) // n_sessions AS BIGINT) AS len_micro,
+        n_exit_same
+      FROM census ORDER BY entry_type"""))
+
   // ----------------------------------------------------------- catalog
 
   val all: Seq[QuerySpec] = Seq(
@@ -6315,5 +6414,5 @@ object QueryCatalog {
     q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
     q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193,
-    q194, q195, q196, q197)
+    q194, q195, q196, q197, q198, q199, q200)
 }

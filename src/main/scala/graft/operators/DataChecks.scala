@@ -305,4 +305,40 @@ object DataChecks {
       .groupBy(col("col_name"), col("bin"))
       .agg(count(lit(1)).as("n_rows"))
   }
+
+  /** Joint census of two categorical (or pre-bucketed) features with a
+    * pointwise independence lift — the 2-D histogram behind "does source
+    * X over-produce language Y?" dashboards. Per occupied (x, y) cell:
+    * its count, both marginals, and lift = P(x,y) / (P(x)·P(y)) in micro
+    * units (1e6 = independent; ≫ means the features co-occur, ≪ means
+    * they repel — the PMI census q128 runs over token pairs, applied to
+    * feature values).
+    *
+    * Lift is the one fixed-parenthesization double expression
+    * `floor((n/rx)·(N/cy)·1e6 + 0.5)` — each factor is exact-int-to-
+    * double, the two divisions and one multiply are IEEE-determined, so
+    * any engine replays it bit-for-bit (the q197 entropy convention;
+    * int64-only would overflow at n·N·1e6 ≈ 1e22).
+    *
+    * Scale shape: ONE (x, y)-keyed count over the data (map-side
+    * combined; the cell frame is bounded by the bucket grids), then two
+    * marginal rollups OF THE CELL FRAME (never the data) and a 1-row
+    * total, all broadcast back onto the cells. */
+  def jointCensus(df: DataFrame, xBucket: Column, yBucket: Column)
+      : DataFrame = {
+    val cells = graft.core.CacheScope.persist(
+      df.select(xBucket.as("x"), yBucket.as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("n")))
+    val rowM = cells.groupBy("x").agg(sum("n").as("n_x"))
+    val colM = cells.groupBy("y").agg(sum("n").as("n_y"))
+    val tot = cells.agg(sum("n").as("n_total"))
+    val d = (c: Column) => c.cast("double")
+    cells.join(broadcast(rowM), "x").join(broadcast(colM), "y")
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("n"), col("n_x"), col("n_y"),
+        col("n_total"),
+        floor((d(col("n")) / d(col("n_x"))) *
+            (d(col("n_total")) / d(col("n_y"))) * lit(1e6) + lit(0.5))
+          .cast("long").as("lift_micro"))
+  }
 }

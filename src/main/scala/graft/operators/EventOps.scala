@@ -753,4 +753,51 @@ object EventOps {
     allTypes.map(t => (t, pi(idx(t)))).toSeq
       .toDF("event_type", "pi_micro")
   }
+
+  /** Session entry/exit census — per entry event type: sessions started
+    * there, single-event ("bounce") sessions, bounce rate, and the mean
+    * session length in micro events. The landing-page report of classic
+    * web analytics, generalized to any event stream: a type that opens
+    * many sessions and bounces most of them is an acquisition leak.
+    * Sessions are [[sessionTrigrams]]' gap rule (a new session when the
+    * gap to the previous event ≥ `gapSec`); entry/exit are the first/last
+    * events by (ts, event_id) — deterministic because event ids are
+    * unique. All exact integers.
+    *
+    * Scale shape: ONE entity-keyed exchange for the session-id window
+    * (the per-entity sequence contract in the object doc), then the
+    * session-grain reduction rides a (key, sid)-keyed aggregate whose
+    * min/max-of-struct partials collapse map-side; the final census is a
+    * bounded \|types\|-row aggregate. No self-joins, nothing
+    * session-grain ever sorts globally. */
+  def sessionEntryExit(events: DataFrame, keyCol: String,
+      gapSec: Long = 1800): DataFrame = {
+    require(gapSec >= 1, "gapSec >= 1")
+    val gapNanos = gapSec * 1000000000L
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = events
+      .select(col(keyCol), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(col("ts") - lag(col("ts"), 1).over(w) < gapNanos, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("sid", sum(col("new_s")).over(run))
+    val sessions = marked
+      .groupBy(col(keyCol), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        max(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("exit_type"))
+    sessions.groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("n_events")).as("n_events"),
+        sum(when(col("exit_type") === col("entry_type"), 1L).otherwise(0L))
+          .as("n_exit_same"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        expr("(n_bounces * 1000000L) div n_sessions").as("bounce_micro"),
+        expr("(n_events * 1000000L) div n_sessions").as("len_micro"),
+        col("n_exit_same"))
+  }
 }

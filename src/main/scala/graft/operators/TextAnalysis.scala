@@ -1205,4 +1205,49 @@ object TextAnalysis {
         col("e.cum_tokens").as("cum_tokens"),
         col("e.vocab_size").as("vocab_size"))
   }
+
+  /** Frequency-threshold vocabulary curve — the "pick min_count" tool for
+    * vocabulary construction: for each candidate floor f in `minCounts`,
+    * the vocabulary size if types under f occurrences are dropped, the
+    * token occurrences that stay covered, and the resulting OOV rate. The
+    * complement of [[vocabGrowth]]'s axis: growth asks "is the crawl
+    * exhausted?", this asks "where does the frequency tail stop paying
+    * for itself?" (the Zipf tail means vocab shrinks ~geometrically in f
+    * while coverage barely moves — the curve makes the knee visible).
+    *
+    * All integer-exact: per-type counts are int64 sums, coverage/OOV are
+    * truncating micro divisions over exact totals.
+    *
+    * Scale shape: one [[graft.functions.TokenCounts]] corpus pass into a
+    * tok-keyed count (the only data-sized exchange), then q179's
+    * conditional-sum trick — 2·|grid|+2 partial aggregates over the
+    * type-grain frame, map-side combined into ONE row, exploded to the
+    * bounded |grid| output. No rank, no global sort, no per-threshold
+    * rescan. */
+  def vocabThresholdCurve(df: DataFrame, textCol: String,
+      minCounts: Seq[Long]): DataFrame = {
+    require(minCounts.nonEmpty, "need a min-count grid")
+    val types = df.select(
+        explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .groupBy(col("tc.tok").as("tok"))
+      .agg(sum(col("tc.tf")).as("c"))
+    val sums = types.agg(
+      count(lit(1)).as("v_total"),
+      sum(col("c")).as("t_total") +: minCounts.flatMap(f => Seq(
+        sum(when(col("c") >= f, 1L).otherwise(0L)).as(s"v_$f"),
+        sum(when(col("c") >= f, col("c")).otherwise(0L)).as(s"k_$f"))): _*)
+    val entries = minCounts.map { f =>
+      struct(lit(f).as("min_count"), col(s"v_$f").as("vocab_size"),
+        col(s"k_$f").as("kept_tokens"))
+    }
+    sums.select(col("v_total"), col("t_total"),
+        explode(array(entries: _*)).as("e"))
+      .select(col("e.min_count").as("min_count"),
+        col("e.vocab_size").as("vocab_size"), col("v_total").as("total_types"),
+        col("e.kept_tokens").as("kept_tokens"),
+        col("t_total").as("total_tokens"),
+        expr("(e.kept_tokens * 1000000L) div t_total").as("coverage_micro"),
+        expr("((t_total - e.kept_tokens) * 1000000L) div t_total")
+          .as("oov_micro"))
+  }
 }

@@ -80,8 +80,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
                               //   shard frame
     "q196_label_routing",     // q109's NB model-build scalars (vocab ×
                               //   class totals — the q179 contract)
-    "q197_key_skew_profile")  // (n_rows, n_keys) + entropy 1-row
+    "q197_key_skew_profile",  // (n_rows, n_keys) + entropy 1-row
                               //   broadcasts into the ≤topK frame
+    "q199_source_lang_census") // n_total: 1-row broadcast into the
+                              //   bounded |sources|×|langs| cell frame
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

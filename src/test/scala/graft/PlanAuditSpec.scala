@@ -398,8 +398,13 @@ class PlanAuditSpec extends SparkSpec {
       "q193_fano_burstiness", // (w_lo, w_hi) 1-row span anchor
       "q195_shard_skew",     // w_total 1-row aggregate (partial rows only)
       "q196_label_routing",  // q109's NB global counts (the q179 contract)
-      "q197_key_skew_profile" // (n_rows, n_keys) + entropy 1-row folds
+      "q197_key_skew_profile", // (n_rows, n_keys) + entropy 1-row folds
                              //   over the key-grain frame + the ≤topK rank
+      "q198_vocab_threshold_curve", // 2·|grid|+2 conditional sums over the
+                             //   type-grain frame (q183's contract: one
+                             //   partial row per partition)
+      "q199_source_lang_census" // n_total 1-row agg over the bounded
+                             //   |sources|×|langs| cell frame
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")

@@ -242,4 +242,76 @@ class TrustEvalOpsSpec extends SparkSpec {
     // (8·66 − 100)·1e6 / (8·10) = 5350000
     assert(boom.getAs[Long]("fano_micro") === 5350000L)
   }
+
+  // --------------------------------------------- vocabThresholdCurve
+
+  test("vocabThresholdCurve: hand-computed knee on a 3-type corpus") {
+    // type counts across the corpus: a=3, b=2, c=1 → 6 tokens, 3 types
+    val docs = Seq("a a b", "a b c").toDF("text")
+    val out = TextAnalysis.vocabThresholdCurve(docs, "text", Seq(1L, 2L, 3L))
+      .orderBy("min_count").collect()
+      .map(r => r.getAs[Long]("min_count") ->
+        (r.getAs[Long]("vocab_size"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("coverage_micro"), r.getAs[Long]("oov_micro")))
+      .toMap
+    assert(out(1L) === ((3L, 6L, 1000000L, 0L)))
+    assert(out(2L) === ((2L, 5L, 833333L, 166666L)))
+    assert(out(3L) === ((1L, 3L, 500000L, 500000L)))
+  }
+
+  // ------------------------------------------------------ jointCensus
+
+  test("jointCensus: independent features sit at lift exactly 1e6") {
+    // balanced 2×2: every cell n=2, marginals 4, N=8 → lift (2/4)·(8/4)=1
+    val rows = for { x <- Seq("p", "q"); y <- Seq("u", "v"); _ <- 1 to 2 }
+      yield (x, y)
+    val out = DataChecks.jointCensus(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect()
+    assert(out.length === 4)
+    out.foreach(r => assert(r.getAs[Long]("lift_micro") === 1000000L))
+  }
+
+  test("jointCensus: a skewed cell's lift is the hand-computed ratio") {
+    // cells: (x1,y1)=2, (x1,y2)=1, (x2,y1)=1 → N=4
+    val rows = Seq(("x1", "y1"), ("x1", "y1"), ("x1", "y2"), ("x2", "y1"))
+    val out = DataChecks.jointCensus(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().map(r => (r.getAs[String]("x"), r.getAs[String]("y")) -> r)
+      .toMap
+    // (2/3)·(4/3) = 0.888…89 → 888889
+    assert(out(("x1", "y1")).getAs[Long]("lift_micro") === 888889L)
+    assert(out(("x1", "y1")).getAs[Long]("n_x") === 3L)
+    assert(out(("x1", "y1")).getAs[Long]("n_y") === 3L)
+    // (1/3)·(4/1) = 1.333…33 → 1333333
+    assert(out(("x1", "y2")).getAs[Long]("lift_micro") === 1333333L)
+    // (1/1)·(4/3) = 1.333…33 → 1333333
+    assert(out(("x2", "y1")).getAs[Long]("lift_micro") === 1333333L)
+  }
+
+  // ------------------------------------------------- sessionEntryExit
+
+  test("sessionEntryExit: bounces, lengths, and same-type exits") {
+    val sec = 1000000000L
+    val ev = Seq(
+      // user 1, session 1: home → search (2 events)
+      (1L, 0L * sec, 10L, "home"),
+      (1L, 10L * sec, 11L, "search"),
+      // user 1, session 2 (gap 10000 s): lone home → bounce, exit = entry
+      (1L, 10000L * sec, 12L, "home"),
+      // user 2: lone promo → bounce
+      (2L, 0L * sec, 20L, "promo"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventOps.sessionEntryExit(ev, "user_id", gapSec = 1800)
+      .orderBy("entry_type").collect()
+      .map(r => r.getAs[String]("entry_type") -> r).toMap
+    val home = out("home")
+    assert(home.getAs[Long]("n_sessions") === 2L)
+    assert(home.getAs[Long]("n_bounces") === 1L)
+    assert(home.getAs[Long]("bounce_micro") === 500000L)
+    assert(home.getAs[Long]("len_micro") === 1500000L)
+    assert(home.getAs[Long]("n_exit_same") === 1L)
+    val promo = out("promo")
+    assert(promo.getAs[Long]("n_sessions") === 1L)
+    assert(promo.getAs[Long]("bounce_micro") === 1000000L)
+    assert(promo.getAs[Long]("n_exit_same") === 1L)
+  }
 }
