@@ -24,8 +24,10 @@ import graft.operators.ChannelOps._
   *  - two allocation implementations exist (window vs groupBy+join-back) and
   *    both are kept, matching the reference's two code paths;
   *  - the coalesce-keyed FULL JOIN (S1:1024-1025) degrades to a nested-loop
-  *    join — ported verbatim; it only ever runs over small aggregated inputs
-  *    (channel × month grain), so the quadratic join is bounded.
+  *    join — ported verbatim; its LEFT side is detail-grain (`allHcp`), but
+  *    the OTHER side of the nested loop is the bounded channel × month
+  *    allocations grid, so total cost is linear in detail rows × a small
+  *    constant — scale-safe without being key-equi.
   */
 object NvsPipeline {
 

@@ -741,6 +741,10 @@ object EventOps {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val allTypes = events.select(col(typeCol).cast("string").as("t"))
       .distinct().collect().map(_.getString(0)).sorted
+    if (allTypes.isEmpty) {
+      // empty event stream: empty π, not a divide-by-zero on the driver
+      return Seq.empty[(String, Long)].toDF("event_type", "pi_micro")
+    }
     val sinks = allTypes.toSet -- trans.map(_._1).toSet
     val edges = trans ++ sinks.toSeq.sorted.map(t => (t, t, 1000000L))
     val idx = allTypes.zipWithIndex.toMap

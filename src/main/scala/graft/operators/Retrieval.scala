@@ -295,13 +295,27 @@ object Retrieval {
     * set is BOUNDED (c rows, c² pair frame — a designed bounded self-join,
     * same contract as the q179 grid), so the greedy fold runs on the
     * driver over ≤ c² collected rows (documented bounded collect) instead
-    * of k chained bounded-frame joins. Returns one row per pick:
+    * of k chained bounded-frame joins.
+    *
+    * Sparse corpora: `c >= k` bounds the REQUEST, not the supply — when
+    * fewer than k docs match any query term the greedy loop stops early
+    * and returns however many candidates exist (possibly zero rows),
+    * matching the oracle's LIMIT-step degradation. `idCol` must be an
+    * integral column (the greedy fold keys and tie-breaks on int64 ids);
+    * non-integral ids are rejected up front rather than silently nulled
+    * by a cast. Returns one row per pick:
     * (sel_rank, id, score_micro, rel_n_micro, mmr_q). */
   def mmrTopK(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], c: Int, k: Int,
       lambdaPermille: Long = 700L): DataFrame = {
     require(c >= k && k >= 1, "need c >= k >= 1")
     require(lambdaPermille >= 0L && lambdaPermille <= 1000L, "lambda in [0,1000]")
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"mmrTopK requires an integral id column; '$idCol' is $other")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val cands = bm25TopK(df, idCol, textCol, queryTerms, c)
@@ -324,6 +338,12 @@ object Retrieval {
     // bounded collects: c candidate rows + <= c(c-1)/2 pair rows
     val cRows = cands.select(col("id").cast("long"), col("score_micro"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (cRows.isEmpty) {
+      // no doc matched any query term: same fewer-rows degradation as the
+      // oracle's LIMIT CTEs (zero rows, full schema)
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("sel_rank", "id", "score_micro", "rel_n_micro", "mmr_q")
+    }
     val sim = scala.collection.mutable.Map.empty[(Long, Long), Long]
     pairs.collect().foreach { r =>
       sim((r.getLong(0), r.getLong(1))) = r.getLong(2)
@@ -337,7 +357,7 @@ object Retrieval {
     }.toMap
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val remaining = scala.collection.mutable.SortedSet(cRows.map(_._1): _*)
-    for (_ <- 1 to k) {
+    while (picked.size < k && remaining.nonEmpty) {
       val best = remaining.map { id =>
         val maxSim = if (picked.isEmpty) 0L
           else picked.map(p => simOf(id, p._1)).max

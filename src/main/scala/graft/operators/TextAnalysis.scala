@@ -1109,7 +1109,10 @@ object TextAnalysis {
       .select(col("n_cal"), col("g.alpha_permille").as("alpha_permille"),
         expr("((n_cal + 1) * (1000 - alpha_permille) + 999) div 1000")
           .as("k_rank"))
-    val thr = ks.crossJoin(calCum) // bounded |grid| × |histogram|
+    // LEFT join (not crossJoin): an empty calibration histogram must keep
+    // one row per alpha with threshold_mq null — the documented
+    // "k > n_cal => tau = infinity => full-alphabet sets" path
+    val thr = ks.join(broadcast(calCum), lit(true), "left")
       .groupBy("alpha_permille", "n_cal", "k_rank")
       .agg(min(when(col("cum") >= col("k_rank"), col("nc_mq")))
         .as("threshold_mq"))

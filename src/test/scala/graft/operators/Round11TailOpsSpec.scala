@@ -89,6 +89,15 @@ class Round11TailOpsSpec extends SparkSpec {
       Seq(("A", 500000L), ("B", 500000L)))
   }
 
+  test("stationaryDistribution: empty event stream yields an empty pi") {
+    val ev = Seq.empty[(Long, Long, String)]
+      .toDF("user_id", "ts", "event_type")
+    val out = EventOps.stationaryDistribution(ev, "user_id", Seq("ts"),
+      "event_type", rounds = 4)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("event_type", "pi_micro"))
+  }
+
   test("stationaryDistribution: mass drains into an absorbing sink") {
     // A always moves to B; B only ever ends sequences → B self-loops
     val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (2L, 1L, "A"), (2L, 2L, "B"))
@@ -116,6 +125,32 @@ class Round11TailOpsSpec extends SparkSpec {
         c = 10, k = 5, lambdaPermille = 1000L)
       .orderBy("sel_rank").collect().map(_.getLong(1)).toSeq
     assert(mmr === pure)
+  }
+
+  test("mmrTopK: sparse corpus returns fewer than k rows, empty match " +
+      "returns zero rows (no crash)") {
+    val docs = Seq(
+      (1L, "hash stream alpha"),
+      (2L, "filler text"),
+      (3L, "more filler")).toDF("doc_id", "text")
+    // only doc 1 matches → 1 row despite k = 3
+    val sparse = Retrieval.mmrTopK(docs, "doc_id", "text",
+      Seq("hash", "stream"), c = 5, k = 3).collect()
+    assert(sparse.map(_.getLong(1)).toSeq === Seq(1L))
+    // nothing matches → 0 rows, schema intact
+    val none = Retrieval.mmrTopK(docs, "doc_id", "text",
+      Seq("zzz"), c = 5, k = 3)
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq ===
+      Seq("sel_rank", "id", "score_micro", "rel_n_micro", "mmr_q"))
+  }
+
+  test("mmrTopK: rejects a non-integral id column up front") {
+    val docs = Seq(("a", "hash stream")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.mmrTopK(docs, "doc_id", "text", Seq("hash"), c = 2, k = 1)
+    }
+    assert(e.getMessage.contains("integral id column"))
   }
 
   test("mmrTopK: diversity beats a near-duplicate runner-up") {

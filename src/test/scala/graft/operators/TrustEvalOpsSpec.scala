@@ -43,6 +43,21 @@ class TrustEvalOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("avg_set_size_micro") === 2000000L) // both labels
   }
 
+  test("conformalSets: empty calibration split keeps one row per alpha " +
+      "with a null (infinite) threshold and full-alphabet sets") {
+    // calSplit never selects: n_cal = 0, k_rank = 1 > 0 → τ = ∞
+    val out = TextAnalysis.conformalSets(symmetricDocs, "doc_id", "text",
+        "lab", Seq(100L, 500L), _ < lit(0L))
+      .orderBy("alpha_permille").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_cal") === 0L)
+      assert(r.isNullAt(r.fieldIndex("threshold_mq")))
+      assert(r.getAs[Long]("coverage_micro") === 1000000L)
+      assert(r.getAs[Long]("avg_set_size_micro") === 2000000L) // both labels
+    }
+  }
+
   test("conformalSets: threshold and coverage are monotone in alpha") {
     val docs = (0 until 80).map { i =>
       (i.toLong, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11}",
