@@ -365,12 +365,17 @@ object StressMain {
         .repartition(32)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       time(s"materialize ${replicas}x docs")(big.count())
-      time("boilerplateStrip")({
-        val out = Dedup.boilerplateStrip(big, "doc_id", "text")
-        val agg = out.agg(count(lit(1)), sum("n_dropped")).head()
-        println(s"STRESS dropped segment occurrences: ${agg.getLong(1)}")
-        agg.getLong(0)
-      })
+      // three timed passes in one session: the host's wall-clock noise
+      // spans 4x run-to-run, so a single number is meaningless — report
+      // all three and read the median
+      (1 to 3).foreach { pass =>
+        time(s"boilerplateStrip pass$pass")({
+          val out = Dedup.boilerplateStrip(big, "doc_id", "text")
+          val agg = out.agg(count(lit(1)), sum("n_dropped")).head()
+          println(s"STRESS dropped segment occurrences: ${agg.getLong(1)}")
+          agg.getLong(0)
+        })
+      }
       graft.core.CacheScope.drain()
     } else if (args.headOption.contains("bloom")) {
       // runtime-filter value at volume: FACT = lineitem replicated N× (each

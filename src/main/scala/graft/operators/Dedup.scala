@@ -604,38 +604,43 @@ object Dedup {
     * kept_tokens = n_tokens − n_dropped·segWords (the trailing partial
     * segment never drops).
     *
-    * Scale shape: segment rows are tokens/segWords (~8× fewer rows than the
-    * token explode), id+hash only; the df count is (hash, doc)-distinct +
-    * one map-side-combining aggregate; the hot set is small by construction
-    * (segments repeated across >= maxDocFreq docs) and joins back
-    * left-semi-style — AQE picks broadcast when it fits, no forced hint
-    * (unbounded on a boilerplate-heavy corpus). */
+    * Scale shape — nothing segment-grain is ever cached or shuffled whole:
+    *   - doc frequency: `array_distinct` dedups within-doc repeats PER ROW
+    *     (no global (hash, doc) distinct exchange), and the hash-keyed
+    *     count combines map-side, so only each partition's distinct hashes
+    *     shuffle;
+    *   - the verdict pass is explode_outer → LEFT join against the hot
+    *     set (AQE broadcasts it when it fits, so rows never leave their
+    *     scan partition) → ONE id-keyed aggregate whose partials collapse
+    *     map-side to one row per doc (a doc's segments are contiguous —
+    *     they come from one input row), so the only exchange is doc-grain.
+    *     No id-keyed join back to the corpus exists at all;
+    *   - n_segs needs no aggregate: [[graft.functions.SegmentHashes]]
+    *     tokenizes exactly like `split(text, ' ')` (empty tokens included)
+    *     and emits floor(n_tokens / w) segments, so n_segs is per-row
+    *     integer arithmetic on n_tokens. */
   def boilerplateStrip(df: DataFrame, idCol: String, textCol: String,
       segWords: Int = 8, maxDocFreq: Long = 3): DataFrame = {
-    // persist: feeds the df-count aggregate AND the per-doc join-back
-    // (CacheScope-registered; the session owner drains after the action)
-    val segs = graft.core.CacheScope.persist(
-      df.select(col(idCol).as("id"),
-        explode(graft.functions.SegmentHashes(col(textCol), segWords))
-          .as("seg_hash")))
-    val hot = segs.select("seg_hash", "id").distinct()
+    val segArr = graft.functions.SegmentHashes(col(textCol), segWords)
+    val hot = df.select(explode(array_distinct(segArr)).as("seg_hash"))
       .groupBy("seg_hash").agg(count(lit(1)).as("df_docs"))
       .where(col("df_docs") >= maxDocFreq)
       .select("seg_hash")
-    val perDoc = segs
+    df.select(col(idCol).as("id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        // explode_outer: zero-segment and null-text docs keep their row
+        // (null seg_hash never matches hot → n_dropped 0)
+        explode_outer(segArr).as("seg_hash"))
       .join(hot.withColumn("is_hot", lit(1)), Seq("seg_hash"), "left")
       .groupBy("id")
-      .agg(count(lit(1)).as("n_segs"),
+      .agg(first(col("n_tokens")).as("n_tokens"),
         coalesce(sum(col("is_hot")), lit(0L)).cast("long").as("n_dropped"))
-    df.select(col(idCol).as("id"),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
-      .join(perDoc, Seq("id"), "left")
       .select(col("id"),
         col("n_tokens"),
-        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-        (col("n_tokens") - coalesce(col("n_dropped"), lit(0L)) * segWords)
-          .as("kept_tokens"))
+        // null text mirrors the old aggregate path: 0 segments
+        coalesce(expr(s"n_tokens div $segWords"), lit(0L)).as("n_segs"),
+        col("n_dropped"),
+        (col("n_tokens") - col("n_dropped") * segWords).as("kept_tokens"))
   }
 
   /** Shingle CONTAINMENT pairs: `shared / min(|A|, |B|)` instead of Jaccard's
