@@ -9,7 +9,13 @@ object Bench {
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY=q169,q140 restricts the run to the named
+    // query prefixes — for targeted iteration; the driver's full run
+    // leaves it unset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // discarded FULL warmup pass: the first executions pay JVM C2/JIT
     // compilation of the engine's own hot paths, janino codegen, and
     // per-table scan metadata — costs that otherwise land unevenly on

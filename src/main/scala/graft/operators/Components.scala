@@ -48,13 +48,22 @@ object Components {
     * shuffle files if someone reads it after release, and the id tracked is
     * exactly the one this function created. */
   private def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+    val (out, ids, _) = checkpointedCounted(df)
+    (out, ids)
+  }
+
+  /** [[checkpointed]], also returning the materialization count — the
+    * eager count is a job the caller usually needs anyway (loop-exit
+    * tests, small-graph dispatch), so returning it saves one action per
+    * round over a separate `.count()`. */
+  private def checkpointedCounted(df: DataFrame): (DataFrame, Set[Int], Long) = {
     // toRdd rows are mutable per-partition buffers — copy before caching
     val rdd = df.queryExecution.toRdd.map(_.copy())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rdd.count() // eager, like localCheckpoint(true): one job, then reuse
+    val n = rdd.count() // eager, like localCheckpoint(true): one job, then reuse
     val out = org.apache.spark.sql.graftshim.Bridge
       .internalCreateDataFrame(df.sparkSession, rdd, df.schema)
-    (out, Set(rdd.id))
+    (out, Set(rdd.id), n)
   }
 
   private def release(df: DataFrame, ids: Set[Int]): Unit = {
@@ -63,18 +72,53 @@ object Components {
   }
 
   /** Returns (id, component) for every node appearing in `edges`, where
-    * `component` is the minimum node id in the connected component. */
+    * `component` is the minimum node id in the connected component.
+    *
+    * `localEdgeLimit`: when the canonical edge count (known exactly from
+    * the init materialization — no extra job) is at or under this bound,
+    * the whole closure runs as ONE driver union-find over the collected
+    * edges instead of the iterative loop. The collect is BOUNDED by the
+    * limit (default 1M edges ≈ 16 MB), the result is identical (min-label
+    * per component), and the job count drops from ~4/round to 2 total —
+    * the scheduling floor is the entire cost of closing a small graph, and
+    * near-dup edge sets at the tail of a dedup funnel are routinely small
+    * even when the corpus is 100 TB. Pass 0 to force the distributed path. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 30, verbose: Boolean = false): DataFrame = {
+      maxIter: Int = 30, verbose: Boolean = false,
+      localEdgeLimit: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    var (g0, gIds) = checkpointed(edges
+    var (g0, gIds, nEdges) = checkpointedCounted(edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct())
     var g = g0.as[(Long, Long)]
+
+    if (nEdges <= localEdgeLimit) {
+      // bounded collect (≤ localEdgeLimit canonical rows, counted above):
+      // one path-compressed union-find on the driver, one local frame out
+      val es = g.collect()
+      release(g.toDF(), gIds)
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (c != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
+      }
+      // min-label: roots are already the min member under (rx < ry) unions
+      val out = es.iterator.flatMap { case (x, y) => Iterator(x, y) }
+        .toSet[Long].toSeq.sorted.map(n => (n, find(n)))
+      if (verbose) println(s"[components] local path: ${es.length} edges")
+      return out.toDF("id", "comp")
+    }
 
     // identity labels over every node that appears in an edge
     var (labels, labelIds) = checkpointed(g.toDF("a", "b")
@@ -82,7 +126,7 @@ object Components {
       .withColumn("comp", col("id")))
 
     var iter = 0
-    var remaining = g.count()
+    var remaining = nEdges
     while (remaining > 0 && iter < maxIter) {
       // (1) partition-local union-find: one linear pass per task. The edges
       // are RANGE-partitioned by endpoint so id-locality becomes partition
@@ -114,11 +158,17 @@ object Components {
         es.iterator.flatMap { case (x, y) => Iterator(x, y) }
           .map(n => (n, find(n)))
       }
-      // (2) reconcile nodes seen by several tasks: global min per node
-      val (lab, labIds) = checkpointed(local.toDF("id", "comp")
-        .groupBy("id").agg(min("comp").as("comp")))
-      // (3) contract: relabel edges, drop collapsed (self-loop) edges
-      val (g2, g2Ids) = checkpointed(g.toDF("a", "b")
+      // (2) reconcile nodes seen by several tasks: global min per node.
+      // Lazily CACHED, not eagerly checkpointed: its three consumers ((3)'s
+      // two relabel joins and (4)'s compose) materialize it once and reuse
+      // the blocks, lineage still truncates through (3)/(4)'s checkpoints,
+      // and skipping the eager count saves one job per round
+      val lab = local.toDF("id", "comp")
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (3) contract: relabel edges, drop collapsed (self-loop) edges —
+      // the materialization count IS the loop-exit test (no separate count)
+      val (g2, g2Ids, rem2) = checkpointedCounted(g.toDF("a", "b")
         .join(lab.select(col("id").as("a"), col("comp").as("ca")), "a")
         .join(lab.select(col("id").as("b"), col("comp").as("cb")), "b")
         .where(col("ca") =!= col("cb"))
@@ -131,10 +181,10 @@ object Components {
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("_next"), col("comp")).as("comp")))
       // free the superseded round's pinned blocks
-      release(g.toDF(), gIds); release(labels, labelIds); release(lab, labIds)
+      release(g.toDF(), gIds); release(labels, labelIds); lab.unpersist(false)
       g = g2.as[(Long, Long)]; gIds = g2Ids
       labels = labels2; labelIds = labels2Ids
-      remaining = g.count()
+      remaining = rem2
       iter += 1
       if (verbose) println(s"[components] round $iter: $remaining edges remain")
     }

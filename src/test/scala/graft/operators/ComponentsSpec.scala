@@ -63,9 +63,36 @@ class ComponentsSpec extends SparkSpec {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     val e = intercept[IllegalStateException] {
-      Components.connectedComponents(edges, "a", "b", maxIter = 0)
+      // localEdgeLimit = 0 forces the distributed loop (the local path
+      // needs no rounds, so maxIter can't bind it)
+      Components.connectedComponents(edges, "a", "b", maxIter = 0,
+        localEdgeLimit = 0L)
     }
     assert(e.getMessage.contains("edges remain"))
+  }
+
+  test("distributed loop (localEdgeLimit = 0) matches the local fast path") {
+    val edges = (0 until 120).map { i =>
+      val a = (i * 41 + 7) % 90
+      val b = (i * 67 + 31) % 90
+      (a.toLong, b.toLong)
+    }.filter { case (a, b) => a != b }.toDF("a", "b")
+    val localP = Components.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val distP = Components.connectedComponents(edges, "a", "b",
+        localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(localP == distP)
+    // chain + clique + pair through the distributed loop specifically
+    val shaped = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("a", "b")
+    val got = Components.connectedComponents(shaped, "a", "b",
+        localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+    assert(Seq(20L, 21L).forall(got(_) == 20L))
   }
 
   /** Both edge directions of an undirected edge list. */
