@@ -650,5 +650,51 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
         n_exit_same
       FROM census ORDER BY entry_type"""))
 
+  /** Capped-vocabulary naive-Bayes twin
+    * ([[TextAnalysis.naiveBayesHashedPredict]]): q109's classifier with
+    * hashed features (q148's md5-bucket trick, dim = 64) instead of the
+    * raw vocabulary — the 100-TB-safe variant whose model frame is FIXED
+    * width (dim × classes) no matter how the corpus vocabulary grows, so
+    * its 10×/100× factors stay flat where the exact model's track the
+    * vocab. Same micro-nat integer posterior contract; argmax ties break
+    * by class name in both engines. */
+  private[graft] val q201 = QuerySpec(
+    "q201_nb_hashed_predict",
+    (s, dir) => TextAnalysis.naiveBayesHashedPredict(
+        t(s, dir, "documents"), "doc_id", "text", "lang", dim = 64)
+      .orderBy(col("id")),
+    Some("""WITH tk AS (SELECT doc_id AS id, lang AS label,
+          unnest(str_split(text, ' ')) AS tok
+        FROM documents),
+      tfh AS (SELECT id, label,
+          (('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 + 64) % 64 AS idx,
+          CAST(count(*) AS BIGINT) AS c
+        FROM tk GROUP BY 1, 2, 3),
+      ckt AS (SELECT label AS cls, idx, CAST(sum(c) AS BIGINT) AS kct
+        FROM tfh GROUP BY 1, 2),
+      ctot AS (SELECT cls, CAST(sum(kct) AS BIGINT) AS ctot FROM ckt GROUP BY 1),
+      dpc AS (SELECT lang AS cls, count(*) AS nd FROM documents GROUP BY 1),
+      tot AS (SELECT count(*) AS ntot FROM documents),
+      priors AS (SELECT cls,
+          CAST(round(ln(CAST(nd AS DOUBLE) / ntot) * 1000000.0, 0) AS BIGINT)
+            AS prq
+        FROM dpc CROSS JOIN tot),
+      model AS (SELECT g.i AS idx, ct.cls,
+          CAST(round(ln((coalesce(k.kct, 0) + 1.0) / (ct.ctot + 64))
+            * 1000000.0, 0) AS BIGINT) AS llq
+        FROM range(64) g(i) CROSS JOIN ctot ct
+        LEFT JOIN ckt k ON k.idx = g.i AND k.cls = ct.cls),
+      post AS (SELECT tfh.id, tfh.label, m.cls,
+          CAST(sum(tfh.c * m.llq) AS BIGINT) AS ll
+        FROM tfh JOIN model m ON m.idx = tfh.idx GROUP BY 1, 2, 3),
+      scored AS (SELECT post.id, post.label, post.cls,
+          post.ll + p.prq AS post_q
+        FROM post JOIN priors p ON p.cls = post.cls),
+      ranked AS (SELECT id, label, cls, post_q, row_number() OVER (
+          PARTITION BY id ORDER BY post_q DESC, cls) AS rn
+        FROM scored)
+      SELECT id, label, cls AS predicted, post_q, (cls = label) AS correct
+      FROM ranked WHERE rn = 1 ORDER BY id"""))
+
   // ----------------------------------------------------------- catalog
 }

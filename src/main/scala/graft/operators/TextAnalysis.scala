@@ -785,6 +785,70 @@ object TextAnalysis {
         (col("cls") === col("label")).as("correct"))
   }
 
+  /** Capped-vocabulary twin of [[naiveBayesPredict]]: multinomial NB over
+    * HASHED bag-of-words features (the [[hashedFeatures]] hashing trick —
+    * Weinberger et al. 2009) instead of the raw vocabulary. Tokens
+    * colliding into a bucket pool their counts; smoothing is add-1 over
+    * the FIXED `dim` buckets. Same output shape and integer micro-nat
+    * contract as the exact model: (id, label, predicted, post_q, correct),
+    * argmax ties broken by class name.
+    *
+    * Why it exists: the exact model's (vocab × classes) frame is the
+    * catalog's one corpus-tracking index — a crawl whose vocabulary grows
+    * 100× grows the model 100× with it. The hashed twin's model is
+    * `dim × |classes|` — FIXED width at any corpus size, so the scoring
+    * join's build side stays broadcastable at 100 TB. Accuracy trades
+    * only through collisions (negligible while distinct tokens ≪ dim).
+    *
+    * Scale shape: per-doc bucket weights come fused from
+    * [[graft.functions.TokenCounts]] + one per-row pmod (the id-keyed
+    * aggregate collapses map-side); the model build is two bucket-keyed
+    * aggregates over ≤ dim·|classes| rows; the dense grid is
+    * `spark.range(dim)` × the class totals; scoring is a broadcast join
+    * (the model is fixed-width by construction) + one doc-keyed sum. */
+  def naiveBayesHashedPredict(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int = 1 << 18): DataFrame = {
+    require(dim >= 2, "dim >= 2")
+    val tfh = graft.core.CacheScope.persist(
+      df.select(col(idCol).as("id"), col(labelCol).as("label"),
+          explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+        .select(col("id"), col("label"),
+          pmod(graft.functions.Hashing.stableHash(col("tc.tok")), lit(dim))
+            .as("idx"),
+          col("tc.tf").as("c"))
+        .groupBy(col("id"), col("label"), col("idx"))
+        .agg(sum("c").as("c")))
+    val classIdx = tfh.groupBy(col("label").as("cls"), col("idx"))
+      .agg(sum("c").as("ckt"))
+    val classTotals = classIdx.groupBy("cls").agg(sum("ckt").as("ctot"))
+    val docsPerClass = df.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("nd"))
+    val totalDocs = df.groupBy().agg(count(lit(1)).as("ntot"))
+    val priors = docsPerClass.crossJoin(totalDocs).select(col("cls"),
+      round(log(col("nd").cast("double") / col("ntot")) * 1e6, 0)
+        .cast("long").as("prq"))
+    // dense (bucket × class) log-likelihoods — dim·|classes| rows, fixed
+    val grid = df.sparkSession.range(dim).select(col("id").as("idx"))
+    val model = grid.crossJoin(classTotals)
+      .join(classIdx, Seq("idx", "cls"), "left")
+      .select(col("idx"), col("cls"),
+        round(log((coalesce(col("ckt"), lit(0L)) + 1).cast("double") /
+          (col("ctot") + dim).cast("double")) * 1e6, 0)
+          .cast("long").as("llq"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("post_q").desc, col("cls"))
+    tfh.join(broadcast(model), Seq("idx"))
+      .groupBy(col("id"), col("label"), col("cls"))
+      .agg(sum(col("c") * col("llq")).as("ll"))
+      .join(broadcast(priors), Seq("cls"))
+      .select(col("id"), col("label"), col("cls"),
+        (col("ll") + col("prq")).as("post_q"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("id"), col("label"), col("cls").as("predicted"),
+        col("post_q"),
+        (col("cls") === col("label")).as("correct"))
+  }
+
   /** The shared trainer/scorer behind [[naiveBayesPredict]] and
     * [[selectiveRiskCurve]]: one row per (doc, class) with the integer
     * micro-nat posterior `post_q` — the argmax/margin consumers differ

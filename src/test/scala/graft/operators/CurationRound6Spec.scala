@@ -156,4 +156,52 @@ class CurationRound6Spec extends SparkSpec {
       .orderBy("id").collect()
     assert(out.map(_.getAs[String]("predicted")).toSeq === Seq("a", "a"))
   }
+
+  // --------------------------------------------- naiveBayesHashedPredict
+
+  test("naiveBayesHashedPredict: separable labels recovered, fixed dim") {
+    val rows = (0 until 30).map { i =>
+      if (i % 2 == 0) (i.toLong, "aa aa bb", "A") else (i.toLong, "cc cc dd", "B")
+    }
+    val out = TextAnalysis.naiveBayesHashedPredict(
+        rows.toDF("doc_id", "text", "lab"), "doc_id", "text", "lab", dim = 64)
+      .collect()
+    assert(out.length === 30)
+    assert(out.forall(_.getAs[Boolean]("correct")))
+  }
+
+  test("naiveBayesHashedPredict: posterior matches the hand-computed " +
+      "hashed-bucket micro-nat sum") {
+    // 2 docs, 2 classes; with a huge dim the tokens {x, y} land in two
+    // distinct buckets, so the math is the exact model's with V -> dim
+    val dim = 1 << 16
+    val df = Seq((1L, "x x y", "p"), (2L, "y y", "q")).toDF("doc_id", "text", "lab")
+    val out = TextAnalysis.naiveBayesHashedPredict(df, "doc_id", "text",
+        "lab", dim).orderBy("id").collect()
+    def q(x: Double) = math.round(math.log(x) * 1e6)
+    // class p: ckt(bx)=2, ckt(by)=1, ctot=3; class q: ckt(by)=2, ctot=2
+    val llpx = q(3.0 / (3 + dim)); val llpy = q(2.0 / (3 + dim))
+    val llqx = q(1.0 / (2 + dim)); val llqy = q(3.0 / (2 + dim))
+    val prior = q(0.5)
+    val d1p = prior + 2 * llpx + 1 * llpy
+    val d1q = prior + 2 * llqx + 1 * llqy
+    val r1 = out.head
+    assert(r1.getAs[String]("predicted") === (if (d1p >= d1q) "p" else "q"))
+    assert(r1.getAs[Long]("post_q") === math.max(d1p, d1q))
+  }
+
+  test("naiveBayesHashedPredict: model width is dim-bound, not vocab-bound") {
+    // 500 distinct tokens into dim = 8: collisions pool counts but every
+    // doc still scores and the argmax is deterministic
+    val rows = (0 until 100).map { i =>
+      (i.toLong, s"tok${i % 50} tok${(i * 7) % 50} tok${(i * 13) % 50}",
+        if (i % 2 == 0) "A" else "B")
+    }
+    val out = TextAnalysis.naiveBayesHashedPredict(
+        rows.toDF("doc_id", "text", "lab"), "doc_id", "text", "lab", dim = 8)
+      .collect()
+    assert(out.length === 100)
+    assert(out.forall(r => r.getAs[String]("predicted") == "A" ||
+      r.getAs[String]("predicted") == "B"))
+  }
 }
