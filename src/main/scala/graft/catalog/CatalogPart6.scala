@@ -696,5 +696,50 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
       SELECT id, label, cls AS predicted, post_q, (cls = label) AS correct
       FROM ranked WHERE rn = 1 ORDER BY id"""))
 
+  /** Streaming driver-gate row ([[graft.streaming.EventStreams
+    * .funnelReplay]]): the live funnel tracker run through a REAL
+    * MemoryStream micro-batch script — three global time slices, so every
+    * user's events arrive in order and the at-arrival stream walk equals
+    * the batch-greedy walk exactly. The oracle replays that greedy walk
+    * in SQL: stage k's advance is the first event of the k-th step type
+    * strictly after stage k−1's advance in (ts, event_id) order. This is
+    * the EventStreams family's first CORRECTNESS row (previously
+    * spec-only): it exercises flatMapGroupsWithState, cross-batch state
+    * carry, and completed-user state drop under the driver gate. */
+  private[graft] val q202 = QuerySpec(
+    "q202_stream_funnel_replay",
+    (s, dir) => {
+      val ev = graft.streaming.EventStreams.withEventTime(t(s, dir, "events"))
+        .where(col("user_id") % 5 === 0)
+      graft.streaming.EventStreams.funnelReplay(s, ev,
+          Seq("signup", "view", "purchase"), nBatches = 3)
+        .orderBy("user_id", "stage")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+          event_type
+        FROM events WHERE user_id % 5 = 0),
+      s1 AS (SELECT user_id, ts, event_id FROM (
+          SELECT user_id, ts, event_id, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM e WHERE event_type = 'signup') WHERE rn = 1),
+      s2 AS (SELECT user_id, ts, event_id FROM (
+          SELECT e.user_id, e.ts, e.event_id, row_number() OVER (
+            PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+          FROM e JOIN s1 ON s1.user_id = e.user_id
+          WHERE e.event_type = 'view'
+            AND (e.ts, e.event_id) > (s1.ts, s1.event_id)) WHERE rn = 1),
+      s3 AS (SELECT user_id, ts, event_id FROM (
+          SELECT e.user_id, e.ts, e.event_id, row_number() OVER (
+            PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+          FROM e JOIN s2 ON s2.user_id = e.user_id
+          WHERE e.event_type = 'purchase'
+            AND (e.ts, e.event_id) > (s2.ts, s2.event_id)) WHERE rn = 1),
+      adv AS (SELECT user_id, 1 AS stage, 'signup' AS stage_name, ts FROM s1
+        UNION ALL SELECT user_id, 2, 'view', ts FROM s2
+        UNION ALL SELECT user_id, 3, 'purchase', ts FROM s3)
+      SELECT user_id, CAST(stage AS BIGINT) AS stage, stage_name,
+        CAST(ts AS BIGINT) AS ts_us
+      FROM adv ORDER BY user_id, stage"""))
+
   // ----------------------------------------------------------- catalog
 }

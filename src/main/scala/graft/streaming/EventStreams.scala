@@ -521,9 +521,12 @@ object EventStreams {
     * current stage index), advanced greedily as stage events arrive; each
     * advance emits a (user, stage, ts) record immediately, so dashboards see
     * conversions at event latency instead of at batch-recompute cadence.
-    * Completed users drop their state (the funnel can't advance further), so
-    * the state store holds only in-flight funnels — bounded by active users,
-    * not by event volume.
+    * Completed users KEEP a terminal state row (stage = |steps|): dropping
+    * it would make the next batch's events restart the funnel from stage 0
+    * — a repeat-conversion semantic the batch twin doesn't have (caught by
+    * the q202 driver gate). State is one Int per user that ever entered the
+    * funnel — bounded by users, not by event volume; add a state timeout
+    * upstream if completed users must eventually evict.
     *
     * Ordering contract: rows are time-sorted WITHIN each micro-batch, so the
     * walk is exactly the batch operator's greedy time-order walk whenever
@@ -549,14 +552,64 @@ object EventStreams {
           out += FunnelAdvance(userId, stage, stepArr(stage - 1), e.ts)
         }
       }
-      if (stage >= stepArr.length) state.remove()
-      else state.update(FunnelState(stage))
+      state.update(FunnelState(stage)) // terminal stage kept: no restart
       out.result().iterator
     }
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
+  }
+
+  private val replaySeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Deterministic micro-batch REPLAY of [[funnelAdvances]] — the
+    * driver-gate harness that turns the streaming funnel into an
+    * oracle-checkable batch frame: the events are cut into `nBatches`
+    * GLOBAL TIME slices (so every user's rows arrive in time order across
+    * micro-batches), fed through a MemoryStream with a
+    * processAllAvailable barrier per slice, and the committed advances
+    * come back as (user_id, stage, stage_name, ts_us). Because the feed
+    * is in-order, the at-arrival stream walk equals the batch-greedy
+    * funnel walk EXACTLY, so a SQL oracle can replay it row-for-row —
+    * while the run still exercises the real streaming machinery:
+    * flatMapGroupsWithState, cross-batch state carry, completed-user
+    * state drop.
+    *
+    * This is a TEST-HARNESS shape, not a production plan: MemoryStream is
+    * driver-fed by contract, so the events are collected to the driver
+    * (bounded by the caller's pre-filter — the catalog row feeds a fixed
+    * user slice). Production streams read files/queues executor-side via
+    * [[readEvents]]. */
+  def funnelReplay(spark: SparkSession, events: DataFrame,
+      steps: Seq[String], nBatches: Int = 3): DataFrame = {
+    require(nBatches >= 1, "nBatches >= 1")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // driver feed (documented bounded collect), sorted so the time cuts
+    // below slice a deterministic sequence
+    val rows = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val name = s"funnel_replay_${replaySeq.incrementAndGet()}"
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = funnelAdvances(in.toDS(), steps).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      if (rows.nonEmpty) {
+        val (lo, hi) = (rows.head.ts.getTime, rows.last.ts.getTime)
+        val width = math.max(1L, (hi - lo) / nBatches + 1L)
+        rows.groupBy(e => (e.ts.getTime - lo) / width).toSeq.sortBy(_._1)
+          .foreach { case (_, slice) =>
+            in.addData(slice.toSeq: _*); q.processAllAvailable()
+          }
+      }
+    } finally q.stop()
+    spark.table(name)
+      .select(col("user_id"), col("stage").cast("long").as("stage"),
+        col("stage_name"), unix_micros(col("ts")).as("ts_us"))
   }
 
   /** Per-user last-touch channel (top-level for the state encoder). */

@@ -82,8 +82,12 @@ class CatalogPlanSweepSpec extends SparkSpec {
                               //   class totals — the q179 contract)
     "q197_key_skew_profile",  // (n_rows, n_keys) + entropy 1-row
                               //   broadcasts into the ≤topK frame
-    "q199_source_lang_census") // n_total: 1-row broadcast into the
+    "q199_source_lang_census", // n_total: 1-row broadcast into the
                               //   bounded |sources|×|langs| cell frame
+    "q201_nb_hashed_predict") // (nd, ntot) prior scalars 1-row broadcast +
+                              //   dense model grid: range(dim) ×
+                              //   |classes|-row class totals — FIXED
+                              //   dim·|classes| rows by construction
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

@@ -765,4 +765,43 @@ class EventStreamsSpec extends SparkSpec {
       ("signup", "click", 1L), ("click", "view", 1L),
       ("view", "purchase", 1L), ("view", "view", 1L)))
   }
+
+  test("funnelReplay: micro-batch replay equals the batch-greedy walk, " +
+      "including cross-batch advances") {
+    import spark.implicits._
+    val steps = Seq("signup", "view", "purchase")
+    // u1 completes (purchase lands in a later time slice than signup/view)
+    // then sees another signup in a still-later slice — a completed funnel
+    // must NOT restart; u2's pre-signup view must not count; u3 never
+    // advances past signup
+    val ev = Seq(
+      (1L, ts(0), 1L, "signup", 0.0), (2L, ts(1), 1L, "view", 0.0),
+      (3L, ts(0), 2L, "view", 0.0), (4L, ts(1), 2L, "signup", 0.0),
+      (5L, ts(40), 1L, "purchase", 0.0), (6L, ts(41), 2L, "view", 0.0),
+      (7L, ts(42), 3L, "signup", 0.0), (8L, ts(58), 1L, "signup", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.funnelReplay(spark, ev, steps, nBatches = 3)
+      .orderBy("user_id", "stage")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      (1L, 1L, "signup"), (1L, 2L, "view"), (1L, 3L, "purchase"),
+      (2L, 1L, "signup"), (2L, 2L, "view"),
+      (3L, 1L, "signup")))
+    // stage counts equal the batch operator's funnel
+    val batch = graft.operators.EventOps.funnelSteps(
+        ev.withColumn("ts", expr("unix_micros(ts) * 1000")),
+        "user_id", Seq("ts", "event_id"), "event_type", steps)
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(2)).toMap
+    val stream = got.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    assert(stream === batch)
+  }
+
+  test("funnelReplay: empty input yields an empty frame, schema intact") {
+    import spark.implicits._
+    val ev = Seq.empty[(Long, Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreams.funnelReplay(spark, ev, Seq("signup"), 2)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("user_id", "stage", "stage_name", "ts_us"))
+  }
 }
