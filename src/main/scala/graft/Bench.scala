@@ -27,15 +27,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       graft.core.CacheScope.drain()
     }
-    // Two timed executions per query, report the MIN — symmetric with the
-    // DuckDB oracle methodology (scripts/time_oracle.py discards a warm run
-    // and reports the second), and robust to the one-off multi-second noise
-    // spikes a ~3-minute single-pass session collects from unrelated machine
-    // activity (measured round 6: the same query swings 1.3 s ↔ 5.4 s across
-    // identical fresh sessions while stable over 6 reps in isolation).
+    // MEDIAN of three timed executions per query (warmup pass discarded
+    // above). Round 11 showed adjacent identical sessions spreading 108 s
+    // vs 135 s on one-off noise spikes (q150: 10.1 s vs 1.6 s) — a median
+    // of three absorbs a single spike per query without the min's
+    // best-case bias, and all three per-pass TOTALS are recorded in the
+    // JSON so two closing runs can be compared for stability.
+    // SPARK_GRAFT_BENCH_PASSES overrides for quick iteration.
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val errored = scala.collection.mutable.SortedSet.empty[String]
+    val perPass = Array.fill(nPasses)(0.0)
     val results = ordered.map { case (name, fn) =>
-      val dt = (1 to 2).map { _ =>
+      val ts = (0 until nPasses).map { p =>
         val t0 = System.nanoTime()
         // a crashed query must not masquerade as a fast one: record it for
         // the JSON's errors field (the harness keeps only a short output
@@ -46,9 +49,10 @@ object Bench {
         // per-query cache release is part of session hygiene, not query
         // compute — drained outside the timed region
         graft.core.CacheScope.drain()
+        perPass(p) += t
         t
-      }.min
-      name -> dt
+      }
+      name -> ts.sorted.apply(nPasses / 2)
     }
     // The harness reading this line only keeps a ~2000-char tail of the run
     // output; even short qNN keys overflowed it at 159 queries (round 10's
@@ -64,16 +68,19 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val passes = perPass.map(f3).mkString("[", ",", "]")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
     val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-      s""""queries":${toJson(results)},"errors":$errs,"sf":"$sfDir"}"""
+      s""""queries":${toJson(results)},"pass_totals":$passes,""" +
+      s""""errors":$errs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val slowest = results.sortBy(-_._2).take(40).sortBy(_._1)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":${toJson(slowest)},"n_queries":${results.size},""" +
-      s""""detail":"$detailPath","errors":$errs,"sf":"$sfDir"}""")
+      s""""pass_totals":$passes,"detail":"$detailPath",""" +
+      s""""errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
