@@ -403,8 +403,12 @@ class PlanAuditSpec extends SparkSpec {
       "q198_vocab_threshold_curve", // 2·|grid|+2 conditional sums over the
                              //   type-grain frame (q183's contract: one
                              //   partial row per partition)
-      "q199_source_lang_census" // n_total 1-row agg over the bounded
+      "q199_source_lang_census", // n_total 1-row agg over the bounded
                              //   |sources|×|langs| cell frame
+      "q201_nb_hashed_predict" // ntot 1-row agg (partial rows only) +
+                             //   |classes|-row ctot; the model grid is the
+                             //   FIXED dim×|classes| frame — the bounded
+                             //   funnels are the point of the hashed twin
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")
