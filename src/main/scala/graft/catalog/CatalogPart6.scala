@@ -741,5 +741,94 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
         CAST(ts AS BIGINT) AS ts_us
       FROM adv ORDER BY user_id, stage"""))
 
+  /** The bitext miner's 100-TB path ([[Similarity.bitextMarginMineLsh]]):
+    * the round-12 scale audit caught the exact twin's (q175) quadratic
+    * cliff at 100× — by construction, it scores |src|·|tgt| pairs. This
+    * twin generates candidates from OR-amplified sign-LSH collisions (the
+    * q83 table family), scores ONLY colliding pairs, and runs the same
+    * ratio-margin + mutual-best algebra over the candidate k-NN lists —
+    * how production CCMatrix mining uses FAISS kNN lists. The oracle
+    * replays every signature from the identical md5 plane weights, so the
+    * approximate result value-matches exactly. */
+  private[graft] val q203 = {
+    val (k, minMargin, tables, planes) = (4, 1.0, 3, 8)
+    val cosSql = (a: String, b: String) =>
+      s"""list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]),
+          (x, y) -> x + y) /
+        (sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]),
+          (x, y) -> x + y)) *
+         sqrt(list_reduce(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]),
+          (x, y) -> x + y)))"""
+    val sigSql = (src: String) =>
+      s"""SELECT vec_id, embedding::DOUBLE[] AS v,
+          list_transform(range(0, $tables), t ->
+            list_reduce(list_transform(range(0, $planes), p ->
+              CASE WHEN list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+                  embedding[i]::DOUBLE *
+                    ((('0x' || substr(md5((t * $planes + p)::VARCHAR || '_' ||
+                        (i - 1)::VARCHAR), 1, 15))::BIGINT
+                      % 2147483647)::DOUBLE / 2147483647.0 - 0.5)),
+                (x, y) -> x + y) >= 0 THEN 1 << p ELSE 0 END),
+              (x, y) -> x + y)) AS buckets
+        FROM $src"""
+    QuerySpec(
+      "q203_bitext_margin_lsh",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bitextMarginMineLsh(
+            emb.where(col("label") === 0), emb.where(col("label") === 1),
+            k = k, minMargin = minMargin, numTables = tables,
+            numPlanes = planes)
+          .select(col("src_id"), col("tgt_id"),
+            round(col("cosine"), 6).as("cosine"),
+            round(col("margin"), 6).as("margin"))
+          .orderBy(col("src_id"))
+      },
+      Some(s"""WITH siga AS (${sigSql("(SELECT * FROM embeddings WHERE label = 0)")}),
+        sigb AS (${sigSql("(SELECT * FROM embeddings WHERE label = 1)")}),
+        ta AS (SELECT vec_id AS src_id, v AS av, t.t AS t,
+            buckets[t.t + 1] AS bucket
+          FROM siga, range(0, $tables) AS t(t)),
+        tb AS (SELECT vec_id AS tgt_id, v AS bv, t.t AS t,
+            buckets[t.t + 1] AS bucket
+          FROM sigb, range(0, $tables) AS t(t)),
+        cand AS (SELECT DISTINCT src_id, tgt_id
+          FROM ta JOIN tb USING (t, bucket)),
+        scored0 AS (SELECT c.src_id, c.tgt_id,
+            ${cosSql("sa.v", "sb.v")} AS cosine
+          FROM cand c
+          JOIN siga sa ON sa.vec_id = c.src_id
+          JOIN sigb sb ON sb.vec_id = c.tgt_id),
+        scored AS (SELECT src_id, tgt_id, cosine,
+            row_number() OVER (PARTITION BY src_id
+              ORDER BY cosine DESC, tgt_id ASC) AS xrn,
+            row_number() OVER (PARTITION BY tgt_id
+              ORDER BY cosine DESC, src_id ASC) AS yrn
+          FROM scored0),
+        da AS (SELECT src_id,
+            list_reduce(list_transform(
+              list_sort(list({'r': xrn, 'c': cosine})), s -> s.c),
+              (x, y) -> x + y) / CAST(count(*) AS DOUBLE) AS da
+          FROM scored WHERE xrn <= $k GROUP BY 1),
+        db AS (SELECT tgt_id,
+            list_reduce(list_transform(
+              list_sort(list({'r': yrn, 'c': cosine})), s -> s.c),
+              (x, y) -> x + y) / CAST(count(*) AS DOUBLE) AS db
+          FROM scored WHERE yrn <= $k GROUP BY 1),
+        margins AS (SELECT s.src_id, s.tgt_id, s.cosine,
+            s.cosine / ((da.da + db.db) / 2.0) AS margin
+          FROM scored s JOIN da USING (src_id) JOIN db USING (tgt_id)),
+        best AS (SELECT src_id, tgt_id, cosine, margin,
+            row_number() OVER (PARTITION BY src_id
+              ORDER BY margin DESC, tgt_id ASC) AS f,
+            row_number() OVER (PARTITION BY tgt_id
+              ORDER BY margin DESC, src_id ASC) AS w
+          FROM margins)
+        SELECT src_id, tgt_id, round(cosine, 6) AS cosine,
+          round(margin, 6) AS margin
+        FROM best WHERE f = 1 AND w = 1 AND margin >= $minMargin
+        ORDER BY src_id"""))
+  }
+
   // ----------------------------------------------------------- catalog
 }

