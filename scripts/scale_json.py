@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Pivot ScaleAudit JSONL lines (SPARK_GRAFT_SCALE_OUT) into the per-round
+SCALE_rN.json the driver can regress round-over-round: one object per query
+with the median seconds and output rows at each measured tier, plus the
+decade factors when adjacent tiers are present.
+
+Tier names come from the data directory: .../sf0.1 -> "1x",
+.../graft_sf_x10 -> "10x", .../graft_sf_x100 -> "100x".
+Multiple lines for the same (query, tier) keep the MINIMUM median — the
+volatile-host protocol's stall-robust estimator (see BASELINE.md).
+
+Usage: python3 scripts/scale_json.py <jsonl> <out.json>
+"""
+import json
+import sys
+
+
+def tier(d: str) -> str:
+    if d.rstrip("/").endswith("x100"):
+        return "100x"
+    if d.rstrip("/").endswith("x10"):
+        return "10x"
+    return "1x"
+
+
+def main(src: str, dst: str) -> None:
+    acc = {}
+    with open(src) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            r = json.loads(line)
+            q = acc.setdefault(r["query"], {})
+            t = tier(r["dir"])
+            cur = q.get(t)
+            if cur is None or r["median_s"] < cur["median_s"]:
+                q[t] = {"median_s": r["median_s"], "rows": r["rows"]}
+    out = {}
+    for name in sorted(acc):
+        tiers = acc[name]
+        row = {t: v for t, v in tiers.items()}
+        if "1x" in tiers and "10x" in tiers and tiers["1x"]["median_s"] > 0:
+            row["decade1"] = round(
+                tiers["10x"]["median_s"] / tiers["1x"]["median_s"], 2)
+        if "10x" in tiers and "100x" in tiers and tiers["10x"]["median_s"] > 0:
+            row["decade2"] = round(
+                tiers["100x"]["median_s"] / tiers["10x"]["median_s"], 2)
+        out[name] = row
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"{dst}: {len(out)} queries")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

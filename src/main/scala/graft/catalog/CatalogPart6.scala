@@ -830,5 +830,272 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
         ORDER BY src_id"""))
   }
 
+  /** The self-sizing successor to q203 ([[Similarity
+    * .bitextMarginMineLshAuto]]): round 12 measured the FIXED 3×2⁸ bucket
+    * structure at 25.8× time for 10× data — per-bucket candidate volume
+    * grows quadratically once the corpus outgrows `tables × 2^planes`.
+    * This row derives `numPlanes` from the side counts via
+    * [[Similarity.lshPlanesFor]] (ceil-division + bit-length — integer
+    * arithmetic, NOT floating log2, so the oracle re-derives the identical
+    * value from its own count(*) with `length(bin(m-1))`), keeping
+    * expected bucket occupancy ≈ targetBucket at ANY corpus size. The
+    * mining algebra is q203's verbatim; only the structure sizing is new,
+    * so the two rows green together prove sizing changes candidates, not
+    * semantics. */
+  private[graft] val q204 = {
+    val (k, minMargin, tables, targetBucket) = (4, 1.0, 3, 4L)
+    val (minPlanes, maxPlanes) = (2, 28)
+    val cosSql = (a: String, b: String) =>
+      s"""list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]),
+          (x, y) -> x + y) /
+        (sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]),
+          (x, y) -> x + y)) *
+         sqrt(list_reduce(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]),
+          (x, y) -> x + y)))"""
+    // identical md5 plane family as q203, but the plane count comes from
+    // the cross-joined `pr` CTE instead of a baked literal
+    val sigSql = (src: String) =>
+      s"""SELECT vec_id, embedding::DOUBLE[] AS v,
+          list_transform(range(0, $tables), t ->
+            list_reduce(list_transform(range(0, pr.planes), p ->
+              CASE WHEN list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+                  embedding[i]::DOUBLE *
+                    ((('0x' || substr(md5((t * pr.planes + p)::VARCHAR || '_' ||
+                        (i - 1)::VARCHAR), 1, 15))::BIGINT
+                      % 2147483647)::DOUBLE / 2147483647.0 - 0.5)),
+                (x, y) -> x + y) >= 0 THEN 1 << p ELSE 0 END),
+              (x, y) -> x + y)) AS buckets
+        FROM $src CROSS JOIN pr"""
+    QuerySpec(
+      "q204_bitext_lsh_auto",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bitextMarginMineLshAuto(
+            emb.where(col("label") === 0), emb.where(col("label") === 1),
+            k = k, minMargin = minMargin, numTables = tables,
+            targetBucket = targetBucket)
+          .select(col("src_id"), col("tgt_id"),
+            round(col("cosine"), 6).as("cosine"),
+            round(col("margin"), 6).as("margin"))
+          .orderBy(col("src_id"))
+      },
+      Some(s"""WITH np AS (SELECT greatest(
+            (SELECT count(*) FROM embeddings WHERE label = 0),
+            (SELECT count(*) FROM embeddings WHERE label = 1)) AS n),
+        pr AS (SELECT CAST(greatest($minPlanes, least($maxPlanes,
+            CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END)) AS INT)
+              AS planes
+          FROM (SELECT CAST((n + $targetBucket - 1) // $targetBucket AS BIGINT)
+              AS m FROM np)),
+        siga AS (${sigSql("(SELECT * FROM embeddings WHERE label = 0)")}),
+        sigb AS (${sigSql("(SELECT * FROM embeddings WHERE label = 1)")}),
+        ta AS (SELECT vec_id AS src_id, v AS av, t.t AS t,
+            buckets[t.t + 1] AS bucket
+          FROM siga, range(0, $tables) AS t(t)),
+        tb AS (SELECT vec_id AS tgt_id, v AS bv, t.t AS t,
+            buckets[t.t + 1] AS bucket
+          FROM sigb, range(0, $tables) AS t(t)),
+        cand AS (SELECT DISTINCT src_id, tgt_id
+          FROM ta JOIN tb USING (t, bucket)),
+        scored0 AS (SELECT c.src_id, c.tgt_id,
+            ${cosSql("sa.v", "sb.v")} AS cosine
+          FROM cand c
+          JOIN siga sa ON sa.vec_id = c.src_id
+          JOIN sigb sb ON sb.vec_id = c.tgt_id),
+        scored AS (SELECT src_id, tgt_id, cosine,
+            row_number() OVER (PARTITION BY src_id
+              ORDER BY cosine DESC, tgt_id ASC) AS xrn,
+            row_number() OVER (PARTITION BY tgt_id
+              ORDER BY cosine DESC, src_id ASC) AS yrn
+          FROM scored0),
+        da AS (SELECT src_id,
+            list_reduce(list_transform(
+              list_sort(list({'r': xrn, 'c': cosine})), s -> s.c),
+              (x, y) -> x + y) / CAST(count(*) AS DOUBLE) AS da
+          FROM scored WHERE xrn <= $k GROUP BY 1),
+        db AS (SELECT tgt_id,
+            list_reduce(list_transform(
+              list_sort(list({'r': yrn, 'c': cosine})), s -> s.c),
+              (x, y) -> x + y) / CAST(count(*) AS DOUBLE) AS db
+          FROM scored WHERE yrn <= $k GROUP BY 1),
+        margins AS (SELECT s.src_id, s.tgt_id, s.cosine,
+            s.cosine / ((da.da + db.db) / 2.0) AS margin
+          FROM scored s JOIN da USING (src_id) JOIN db USING (tgt_id)),
+        best AS (SELECT src_id, tgt_id, cosine, margin,
+            row_number() OVER (PARTITION BY src_id
+              ORDER BY margin DESC, tgt_id ASC) AS f,
+            row_number() OVER (PARTITION BY tgt_id
+              ORDER BY margin DESC, src_id ASC) AS w
+          FROM margins)
+        SELECT src_id, tgt_id, round(cosine, 6) AS cosine,
+          round(margin, 6) AS margin
+        FROM best WHERE f = 1 AND w = 1 AND margin >= $minMargin
+        ORDER BY src_id"""))
+  }
+
+  /** q189's conformal sets over the HASHED classifier ([[TextAnalysis
+    * .conformalSetsHashed]], dim = 64 — q201's fixed-width model): round
+    * 12 measured the exact row's second decade at 9.8×, inherited from the
+    * corpus-tracking vocab model its posterior build pays for; this twin's
+    * model frame is `dim × |classes|` at any corpus size, so its decade
+    * factors track data, not vocabulary. Split-conformal validity holds
+    * for any score function, so the guarantee survives hashing — only set
+    * size pays for collisions. The oracle composes q201's hashed-posterior
+    * CTEs with q189's conformal CTEs verbatim. */
+  private[graft] val q205 = {
+    val alphas = Seq(50L, 100L, 200L)
+    QuerySpec(
+      "q205_conformal_hashed",
+      (s, dir) => TextAnalysis.conformalSetsHashed(t(s, dir, "documents"),
+          "doc_id", "text", "lang", alphas, _ % 2 === 0, dim = 64)
+        .orderBy(col("alpha_permille")),
+      Some(s"""WITH tk AS (SELECT doc_id AS id, lang AS label,
+            unnest(str_split(text, ' ')) AS tok
+          FROM documents),
+        tfh AS (SELECT id, label,
+            (('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 + 64) % 64 AS idx,
+            CAST(count(*) AS BIGINT) AS c
+          FROM tk GROUP BY 1, 2, 3),
+        ckt AS (SELECT label AS cls, idx, CAST(sum(c) AS BIGINT) AS kct
+          FROM tfh GROUP BY 1, 2),
+        ctot AS (SELECT cls, CAST(sum(kct) AS BIGINT) AS ctot FROM ckt GROUP BY 1),
+        dpc AS (SELECT lang AS cls, count(*) AS nd FROM documents GROUP BY 1),
+        tot AS (SELECT count(*) AS ntot FROM documents),
+        priors AS (SELECT cls,
+            CAST(round(ln(CAST(nd AS DOUBLE) / ntot) * 1000000.0, 0) AS BIGINT)
+              AS prq
+          FROM dpc CROSS JOIN tot),
+        model AS (SELECT g.i AS idx, ct.cls,
+            CAST(round(ln((coalesce(k.kct, 0) + 1.0) / (ct.ctot + 64))
+              * 1000000.0, 0) AS BIGINT) AS llq
+          FROM range(64) g(i) CROSS JOIN ctot ct
+          LEFT JOIN ckt k ON k.idx = g.i AND k.cls = ct.cls),
+        post AS (SELECT tfh.id, tfh.label, m.cls,
+            CAST(sum(tfh.c * m.llq) AS BIGINT) AS ll
+          FROM tfh JOIN model m ON m.idx = tfh.idx GROUP BY 1, 2, 3),
+        scored AS (SELECT post.id, post.label, post.cls,
+            post.ll + p.prq AS post_q
+          FROM post JOIN priors p ON p.cls = post.cls),
+        ranked AS (SELECT id, label, cls, post_q, row_number() OVER (
+            PARTITION BY id ORDER BY post_q DESC, cls) AS rn
+          FROM scored),
+        p12 AS (SELECT id, max(CASE WHEN rn = 1 THEN post_q END) AS p1,
+            max(CASE WHEN rn = 2 THEN post_q END) AS p2
+          FROM ranked WHERE rn <= 2 GROUP BY 1),
+        nc AS (SELECT r.id, r.label, r.cls,
+            (CASE WHEN r.rn = 1 THEN coalesce(p12.p2, p12.p1)
+              ELSE p12.p1 END - r.post_q) // 1000 AS nc_mq,
+            (r.id % 2 = 0) AS is_cal
+          FROM ranked r JOIN p12 ON p12.id = r.id),
+        caln AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM nc
+          WHERE is_cal AND cls = label),
+        calc AS (SELECT nc_mq, sum(count(*)) OVER (ORDER BY nc_mq) AS cum
+          FROM nc WHERE is_cal AND cls = label GROUP BY nc_mq),
+        grid AS (SELECT unnest([${alphas.mkString(", ")}]::BIGINT[])
+            AS alpha_permille),
+        ks AS (SELECT alpha_permille, n_cal,
+            ((n_cal + 1) * (1000 - alpha_permille) + 999) // 1000 AS k_rank
+          FROM grid CROSS JOIN caln),
+        thr AS (SELECT alpha_permille, n_cal, k_rank,
+            min(CASE WHEN cum >= k_rank THEN nc_mq END) AS threshold_mq
+          FROM ks CROSS JOIN calc GROUP BY 1, 2, 3),
+        ev AS (SELECT * FROM nc WHERE NOT is_cal),
+        agg AS (SELECT t.alpha_permille, t.n_cal, t.k_rank, t.threshold_mq,
+            CAST(count(DISTINCT e.id) AS BIGINT) AS n_eval,
+            CAST(count(*) FILTER (WHERE e.cls = e.label AND
+              (t.threshold_mq IS NULL OR e.nc_mq <= t.threshold_mq))
+              AS BIGINT) AS n_covered,
+            CAST(count(*) FILTER (WHERE t.threshold_mq IS NULL OR
+              e.nc_mq <= t.threshold_mq) AS BIGINT) AS set_size_sum
+          FROM thr t CROSS JOIN ev e GROUP BY 1, 2, 3, 4)
+        SELECT alpha_permille, n_cal, CAST(k_rank AS BIGINT) AS k_rank,
+          threshold_mq, n_eval, n_covered,
+          CAST((n_covered * 1000000) // n_eval AS BIGINT) AS coverage_micro,
+          set_size_sum,
+          CAST((set_size_sum * 1000000) // n_eval AS BIGINT)
+            AS avg_set_size_micro
+        FROM agg ORDER BY alpha_permille"""))
+  }
+
+  /** Second streaming driver-gate row ([[graft.streaming.EventStreams
+    * .lastTouchReplay]]): the live last-touch attributor run through the
+    * q202 replay harness — 3 global time slices through a real
+    * MemoryStream, so at-arrival credits equal the batch walk and the
+    * oracle can replay them: each purchase credits the latest click/view
+    * strictly before it in (ts, event_id) order ("direct" when none),
+    * via a frame-bounded last_value IGNORE NULLS window. Exercises
+    * cross-batch SWAP state (one channel string replaced as touches
+    * arrive; a batch-1 touch must credit a batch-3 conversion). */
+  private[graft] val q206 = QuerySpec(
+    "q206_stream_last_touch",
+    (s, dir) => {
+      val ev = graft.streaming.EventStreams.withEventTime(t(s, dir, "events"))
+        .where(col("user_id") % 5 === 1)
+      graft.streaming.EventStreams.lastTouchReplay(s, ev,
+          Seq("click", "view"), "purchase", nBatches = 3)
+        .select(col("user_id"), col("channel"),
+          round(col("value"), 6).as("value"), col("ts_us"))
+        .orderBy("user_id", "ts_us", "channel")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+          event_type, value
+        FROM events WHERE user_id % 5 = 1
+          AND event_type IN ('click', 'view', 'purchase')),
+      walk AS (SELECT user_id, ts, value, event_type,
+          last_value(CASE WHEN event_type IN ('click', 'view')
+              THEN event_type END IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+        FROM e)
+      SELECT user_id, coalesce(ch, 'direct') AS channel,
+        round(value, 6) AS value, CAST(ts AS BIGINT) AS ts_us
+      FROM walk WHERE event_type = 'purchase'
+      ORDER BY user_id, ts_us, channel"""))
+
+  /** Third streaming driver-gate row ([[graft.streaming.EventStreams
+    * .linearReplay]]): the equal-split attributor through the same replay
+    * harness, 4 slices — the per-batch MERGE-state complement to q206's
+    * swap state (the distinct-touch SET unions across batches; verdict
+    * item 4's ask). Each purchase emits value/|set| per channel seen
+    * strictly before it; the oracle rebuilds every split set with a
+    * distinct pair join + a per-conversion count window, and the division
+    * is the same single IEEE op in both engines. */
+  private[graft] val q207 = QuerySpec(
+    "q207_stream_linear_split",
+    (s, dir) => {
+      val ev = graft.streaming.EventStreams.withEventTime(t(s, dir, "events"))
+        .where(col("user_id") % 5 === 2)
+      graft.streaming.EventStreams.linearReplay(s, ev,
+          Seq("click", "view"), "purchase", nBatches = 4)
+        .select(col("user_id"), col("channel"),
+          round(col("value"), 6).as("value"), col("ts_us"))
+        .orderBy("user_id", "ts_us", "channel")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+          event_type, value
+        FROM events WHERE user_id % 5 = 2
+          AND event_type IN ('click', 'view', 'purchase')),
+      conv AS (SELECT user_id, ts, event_id, value FROM e
+        WHERE event_type = 'purchase'),
+      tch AS (SELECT user_id, ts, event_id, event_type FROM e
+        WHERE event_type IN ('click', 'view')),
+      sets AS (SELECT DISTINCT c.user_id, c.ts, c.event_id, c.value,
+          t.event_type AS ch
+        FROM conv c JOIN tch t ON t.user_id = c.user_id
+          AND (t.ts, t.event_id) < (c.ts, c.event_id)),
+      sized AS (SELECT user_id, ts, event_id, value, ch,
+          count(*) OVER (PARTITION BY user_id, ts, event_id) AS n
+        FROM sets),
+      credits AS (SELECT user_id, ch AS channel, value / n AS value, ts
+          FROM sized
+        UNION ALL
+        SELECT c.user_id, 'direct', c.value, c.ts FROM conv c
+        WHERE NOT EXISTS (SELECT 1 FROM tch t
+          WHERE t.user_id = c.user_id
+            AND (t.ts, t.event_id) < (c.ts, c.event_id)))
+      SELECT user_id, channel, round(value, 6) AS value,
+        CAST(ts AS BIGINT) AS ts_us
+      FROM credits ORDER BY user_id, ts_us, channel"""))
+
   // ----------------------------------------------------------- catalog
 }

@@ -628,9 +628,12 @@ object Dedup {
     // vs 6.4s) even though the printed plan was the same broadcast join —
     // the single fused plan re-derives the build side and falls off the
     // codegen fast path. The count doubles as the broadcast-size guard:
-    // per-key cost is one 8-byte hash, so <= 8M hot segments (~64 MB)
-    // broadcasts; an adversarially boilerplate-heavy corpus beyond that
-    // degrades to a shuffle join instead of blowing the driver.
+    // a broadcast HashedRelation costs ~30-50 bytes per single-long key
+    // (UnsafeRow + hash-map overhead, not the raw 8 bytes), so the 8M-key
+    // cap admits ~250-400 MB on the driver and per executor — sized for the
+    // 100g heaps jrun.sh configures, not for a default 1g executor; an
+    // adversarially boilerplate-heavy corpus beyond that degrades to a
+    // shuffle join instead of blowing the driver.
     val hot = graft.core.CacheScope.persist(
       df.select(explode(array_distinct(segArr)).as("seg_hash"))
         .groupBy("seg_hash").agg(count(lit(1)).as("df_docs"))
@@ -807,21 +810,23 @@ object Dedup {
     * content, or re-crawling what we have?" — aggregate novelty per
     * source/batch falls out of one more groupBy on the result.
     *
-    * Scale shape: the only wide operations are a shingle-keyed groupBy
-    * (map-side combine collapses to one row per distinct shingle per
-    * partition) and a 1:1 join back to the index on the same key — Spark
-    * reuses the exchange, so the index shuffles once. No self-join, so no
-    * df-cut needed: a hot shingle costs rows proportional to its frequency,
-    * not frequency². */
+    * Scale shape: ONE shingle-keyed exchange — `min(id)` as an unbounded
+    * window over `partitionBy(sh)` — then a doc-keyed aggregate whose
+    * partials collapse map-side. No join (the round-12 100× audit caught
+    * the previous groupBy + join-back shape at 12.0× in the second
+    * decade: the first-seen build side crossed the per-task in-memory
+    * hash threshold and spilled); the window is sort-based, so at any
+    * scale it streams through disk instead of building an in-memory
+    * relation, and no cache of the exploded set is held at all. A hot
+    * shingle still costs rows proportional to its frequency, not
+    * frequency². */
   def noveltyRates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    // persisted: feeds the first-seen aggregate and the join-back
-    // (CacheScope-registered; the session owner drains after the action)
-    val sh = graft.core.CacheScope.persist(
-      df.select(col(idCol).as("id"),
-        explode(graft.functions.ShingleHashes(col(textCol), n)).as("sh")))
-    val first = sh.groupBy("sh").agg(min("id").as("first_id"))
-    sh.join(first, "sh")
+    val sh = df.select(col(idCol).as("id"),
+      explode(graft.functions.ShingleHashes(col(textCol), n)).as("sh"))
+    sh.withColumn("first_id",
+        min("id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .groupBy("id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_id") < col("id"), 1L).otherwise(0L)).as("n_seen"))

@@ -333,7 +333,12 @@ object Similarity {
     * (Artetxe & Schwenk 2019 compute the margin over the retrieved k-NN,
     * not the true k-NN). A pair no table collides on is invisible: recall
     * is tunable with `numTables`/`numPlanes`, and the exact twin stays
-    * the calibration baseline. */
+    * the calibration baseline. A FIXED (tables × 2^planes) structure
+    * saturates once the corpus outgrows it (measured: 25.8× time for 10×
+    * data at 3×2⁸ in the round-12 audit) — at scale use
+    * [[bitextMarginMineLshAuto]], which sizes `numPlanes` to the corpus
+    * so per-bucket occupancy (and with it candidate volume per row) stays
+    * constant. */
   def bitextMarginMineLsh(src: DataFrame, tgt: DataFrame, k: Int = 4,
       minMargin: Double = 1.0, numTables: Int = 4, numPlanes: Int = 12,
       dims: Int = 64,
@@ -356,6 +361,52 @@ object Similarity {
             (col("a_norm") * col("b_norm")))
         .select(col("src_id"), col("tgt_id"), col("cosine")),
       k, minMargin)
+  }
+
+  /** Corpus-sized plane count for a sign-LSH bucket structure: the
+    * smallest `p` with `2^p · targetBucket >= n`, clamped to
+    * `[minPlanes, maxPlanes]` — i.e. `ceil(log2(n / targetBucket))`, the
+    * exact analog of IVF's `nlist ≈ √N` rule. A FIXED structure saturates:
+    * with `B = 2^planes` buckets per table, per-table candidate volume is
+    * `Σ_b src_b·tgt_b ≈ n²/B`, so once the corpus outgrows the structure
+    * the collision-join cost turns quadratic (the round-12 scale audit
+    * measured q203's fixed 3×2⁸ layout at 25.8× time for 10× data).
+    * Sizing `B` so expected occupancy stays ≈ `targetBucket` keeps the
+    * candidate volume ≈ `n · targetBucket` — linear at any corpus size —
+    * while `numTables` stays the recall dial (OR-amplification), exactly
+    * like IVF's nprobe.
+    *
+    * Integer-exact on purpose (ceil-division + bit-length, never
+    * `log(n)/log(2)` whose last-ulp rounding differs across engines/libm):
+    * the DuckDB oracle re-derives the identical value from its own
+    * `count(*)` via `length(bin(m-1))`, so a gate row can auto-size and
+    * still hash-match. */
+  def lshPlanesFor(n: Long, targetBucket: Long = 64L,
+      minPlanes: Int = 2, maxPlanes: Int = 28): Int = {
+    require(targetBucket >= 1L, "targetBucket >= 1")
+    require(minPlanes >= 1 && maxPlanes >= minPlanes, "1 <= minPlanes <= maxPlanes")
+    val m = (math.max(n, 1L) + targetBucket - 1L) / targetBucket
+    val p = if (m <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.min(maxPlanes, math.max(minPlanes, p))
+  }
+
+  /** Self-sizing [[bitextMarginMineLsh]]: derives `numPlanes` from the
+    * side counts via [[lshPlanesFor]] (two count jobs — the same
+    * semi-automatic shape as [[trainCentroids]]' nlist guidance; at
+    * warehouse scale the counts are metadata-cheap), then runs the
+    * identical mining plan. `targetBucket` is the expected per-table
+    * bucket occupancy the structure maintains as the corpus grows —
+    * candidate volume stays ≈ `max(|src|,|tgt|) · targetBucket · tables`
+    * instead of saturating; raise `numTables` (not the bucket size) to
+    * buy recall. */
+  def bitextMarginMineLshAuto(src: DataFrame, tgt: DataFrame, k: Int = 4,
+      minMargin: Double = 1.0, numTables: Int = 3, targetBucket: Long = 64L,
+      dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = math.max(src.count(), tgt.count())
+    bitextMarginMineLsh(src, tgt, k, minMargin, numTables,
+      lshPlanesFor(n, targetBucket), dims, idCol, vecCol)
   }
 
   /** Shared margin/mutual-best algebra over a scored (src_id, tgt_id,

@@ -808,6 +808,22 @@ object TextAnalysis {
     * (the model is fixed-width by construction) + one doc-keyed sum. */
   def naiveBayesHashedPredict(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, dim: Int = 1 << 18): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("post_q").desc, col("cls"))
+    nbHashedPosteriors(df, idCol, textCol, labelCol, dim)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("id"), col("label"), col("cls").as("predicted"),
+        col("post_q"),
+        (col("cls") === col("label")).as("correct"))
+  }
+
+  /** The hashed twin of [[nbPosteriors]] — the (id, label, cls, post_q)
+    * frame behind [[naiveBayesHashedPredict]] and
+    * [[conformalSetsHashed]]: identical integer micro-nat contract, but
+    * the model is the FIXED `dim × |classes|` hashed grid, so every
+    * consumer inherits the flat-in-vocab scale shape. */
+  private def nbHashedPosteriors(df: DataFrame, idCol: String,
+      textCol: String, labelCol: String, dim: Int): DataFrame = {
     require(dim >= 2, "dim >= 2")
     val tfh = graft.core.CacheScope.persist(
       df.select(col(idCol).as("id"), col(labelCol).as("label"),
@@ -835,18 +851,12 @@ object TextAnalysis {
         round(log((coalesce(col("ckt"), lit(0L)) + 1).cast("double") /
           (col("ctot") + dim).cast("double")) * 1e6, 0)
           .cast("long").as("llq"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("post_q").desc, col("cls"))
     tfh.join(broadcast(model), Seq("idx"))
       .groupBy(col("id"), col("label"), col("cls"))
       .agg(sum(col("c") * col("llq")).as("ll"))
       .join(broadcast(priors), Seq("cls"))
       .select(col("id"), col("label"), col("cls"),
         (col("ll") + col("prq")).as("post_q"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("id"), col("label"), col("cls").as("predicted"),
-        col("post_q"),
-        (col("cls") === col("label")).as("correct"))
   }
 
   /** The shared trainer/scorer behind [[naiveBayesPredict]] and
@@ -1142,10 +1152,36 @@ object TextAnalysis {
     * table. No global sort, no driver collect. */
   def conformalSets(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, alphaPermille: Seq[Long],
-      calSplit: Column => Column): DataFrame = {
+      calSplit: Column => Column): DataFrame =
+    conformalFromPosteriors(nbPosteriors(df, idCol, textCol, labelCol),
+      alphaPermille, calSplit)
+
+  /** [[conformalSets]] over the HASHED classifier ([[nbHashedPosteriors]]
+    * — q201's fixed `dim × |classes|` model) instead of the exact
+    * vocabulary model. Same conformal algebra, thresholds, and guarantees
+    * (split-conformal coverage holds for ANY score function — Vovk's
+    * validity needs only exchangeability, so hashing the features costs
+    * set SIZE, never coverage); what changes is the scale shape: the
+    * round-12 audit measured the exact row's second decade at 9.8×
+    * because its posterior build pays the corpus-tracking vocab model —
+    * this twin's model frame is fixed-width at any corpus size, so its
+    * decade factors track data, not vocabulary. The exact variant stays
+    * the calibration anchor. */
+  def conformalSetsHashed(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, alphaPermille: Seq[Long],
+      calSplit: Column => Column, dim: Int = 1 << 18): DataFrame =
+    conformalFromPosteriors(
+      nbHashedPosteriors(df, idCol, textCol, labelCol, dim),
+      alphaPermille, calSplit)
+
+  /** Shared conformal algebra over a (id, label, cls, post_q) posterior
+    * frame — the exact and hashed classifiers feed the same nonconformity
+    * / threshold / coverage path so the twins cannot drift (the
+    * [[Similarity]] bitext twins' `marginFromScored` pattern). */
+  private def conformalFromPosteriors(scored: DataFrame,
+      alphaPermille: Seq[Long], calSplit: Column => Column): DataFrame = {
     require(alphaPermille.nonEmpty &&
       alphaPermille.forall(a => a >= 0L && a < 1000L), "alpha in [0,1000)")
-    val scored = nbPosteriors(df, idCol, textCol, labelCol)
     val w = Window.partitionBy(col("id"))
       .orderBy(col("post_q").desc, col("cls"))
     val withRn = scored.withColumn("rn", row_number().over(w))

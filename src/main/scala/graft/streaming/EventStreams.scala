@@ -582,7 +582,53 @@ object EventStreams {
     * user slice). Production streams read files/queues executor-side via
     * [[readEvents]]. */
   def funnelReplay(spark: SparkSession, events: DataFrame,
-      steps: Seq[String], nBatches: Int = 3): DataFrame = {
+      steps: Seq[String], nBatches: Int = 3): DataFrame =
+    replayAdvances(spark, events, nBatches, "funnel_replay")(in =>
+      funnelAdvances(in, steps).toDF())
+      .select(col("user_id"), col("stage").cast("long").as("stage"),
+        col("stage_name"), unix_micros(col("ts")).as("ts_us"))
+
+  /** [[funnelReplay]]'s recipe for [[lastTouchAdvances]]: global time
+    * slices keep every user's rows in order across micro-batches, so the
+    * at-arrival stream credits equal the retrospective batch attribution
+    * exactly and a SQL oracle can replay them — for each conversion, the
+    * channel of the latest touch strictly before it in (ts, event_id)
+    * order, "direct" when none. Exercises cross-batch carry of the
+    * one-string TouchState (a touch in batch 1 must credit a conversion
+    * in batch 3). Same documented test-harness bound as funnelReplay:
+    * MemoryStream is driver-fed by contract; production is [[readEvents]]. */
+  def lastTouchReplay(spark: SparkSession, events: DataFrame,
+      touchTypes: Seq[String], convType: String,
+      nBatches: Int = 3): DataFrame =
+    replayAdvances(spark, events, nBatches, "last_touch_replay")(in =>
+      lastTouchAdvances(in, touchTypes, convType).toDF())
+      .select(col("user_id"), col("channel"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+
+  /** [[funnelReplay]]'s recipe for [[linearAdvances]] — the per-batch
+    * MERGE state twin (the distinct-touch SET unions across batches where
+    * last-touch swaps one string): each conversion emits value/|set| per
+    * participating channel, and the in-order feed makes the split sets
+    * equal the batch operator's, so the oracle can re-derive every credit
+    * row (channel set = distinct touches event-time-before the
+    * conversion). */
+  def linearReplay(spark: SparkSession, events: DataFrame,
+      touchTypes: Seq[String], convType: String,
+      nBatches: Int = 3): DataFrame =
+    replayAdvances(spark, events, nBatches, "linear_replay")(in =>
+      linearAdvances(in, touchTypes, convType).toDF())
+      .select(col("user_id"), col("channel"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+
+  /** The shared micro-batch replay scaffold behind [[funnelReplay]] /
+    * [[lastTouchReplay]] / [[linearReplay]]: collect the (pre-filtered,
+    * bounded) events driver-side, cut them into `nBatches` GLOBAL time
+    * slices, feed each through a MemoryStream with a processAllAvailable
+    * barrier, and return the committed memory-sink table. One harness so
+    * every gate row replays state machinery the identical way. */
+  private def replayAdvances(spark: SparkSession, events: DataFrame,
+      nBatches: Int, namePrefix: String)(
+      build: Dataset[Event] => DataFrame): DataFrame = {
     require(nBatches >= 1, "nBatches >= 1")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -592,9 +638,9 @@ object EventStreams {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .as[Event].collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-    val name = s"funnel_replay_${replaySeq.incrementAndGet()}"
+    val name = s"${namePrefix}_${replaySeq.incrementAndGet()}"
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
-    val q = funnelAdvances(in.toDS(), steps).toDF()
+    val q = build(in.toDS())
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
@@ -608,8 +654,6 @@ object EventStreams {
       }
     } finally q.stop()
     spark.table(name)
-      .select(col("user_id"), col("stage").cast("long").as("stage"),
-        col("stage_name"), unix_micros(col("ts")).as("ts_us"))
   }
 
   /** Per-user last-touch channel (top-level for the state encoder). */

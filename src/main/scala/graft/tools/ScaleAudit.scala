@@ -9,7 +9,16 @@ import org.apache.spark.sql.SparkSession
   * 10×→100× ratio of those medians is the second-decade factor BASELINE.md
   * records. One JVM per DIRECTORY (not per query) keeps session startup out
   * of the numbers while `CacheScope.drain()` between queries keeps every
-  * timed pass cold, matching Bench methodology.
+  * timed pass cold, matching Bench methodology — like Bench, the drain runs
+  * OUTSIDE the timed region (cache release is session hygiene, not query
+  * compute, and a blocking unpersist of a large cached set would inflate
+  * exactly the large-tier medians the decade ratios divide by).
+  *
+  * When `SPARK_GRAFT_SCALE_OUT` is set, every measurement also appends one
+  * JSON line `{"query":…,"dir":…,"median_s":…,"rows":…,"all_s":[…]}` to
+  * that path — `scripts/scale_json.py` pivots the lines into the per-round
+  * `SCALE_rN.json` (query → tier → median) so the driver can regress scale
+  * factors round-over-round like it does correctness.
   *
   * Usage: `ScaleAudit q01_group_sum,q17_week_to_month <dir> [reps]` */
 object ScaleAudit {
@@ -32,11 +41,21 @@ object ScaleAudit {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         rows = q.run(spark, dir).count()
-        graft.core.CacheScope.drain()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.core.CacheScope.drain() // outside the timed region, as Bench
+        t
       }.sorted
       val median = times(times.size / 2)
-      println(f"SCALEAUDIT $name $dir $median%.2f s ($rows rows) all=${times.map(t => f"$t%.2f").mkString(",")}")
+      val all = times.map(t => f"$t%.2f").mkString(",")
+      println(f"SCALEAUDIT $name $dir $median%.2f s ($rows rows) all=$all")
+      sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { path =>
+        val line = f"""{"query":"$name","dir":"$dir","median_s":$median%.3f,""" +
+          s""""rows":$rows,"all_s":[$all]}""" + "\n"
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND): Unit
+      }
     }
     spark.stop()
   }

@@ -84,10 +84,14 @@ class CatalogPlanSweepSpec extends SparkSpec {
                               //   broadcasts into the ≤topK frame
     "q199_source_lang_census", // n_total: 1-row broadcast into the
                               //   bounded |sources|×|langs| cell frame
-    "q201_nb_hashed_predict") // (nd, ntot) prior scalars 1-row broadcast +
+    "q201_nb_hashed_predict", // (nd, ntot) prior scalars 1-row broadcast +
                               //   dense model grid: range(dim) ×
                               //   |classes|-row class totals — FIXED
                               //   dim·|classes| rows by construction
+    "q205_conformal_hashed")  // q201's hashed-model scalars/grid (contract
+                              //   above) + q189's conformal algebra: 1-row
+                              //   n_cal × α-grid and the ≤|grid|-row
+                              //   threshold table into the eval pass
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

@@ -253,9 +253,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"vocab cut not TakeOrdered:\n$p")
   }
 
-  test("q77 novelty reads the persisted index from cache on both consumers") {
+  test("q77 novelty is ONE shingle-keyed window pass — no join, no cache") {
+    // round-13 rewrite: min(id) as an unbounded window over partitionBy(sh)
+    // replaced the groupBy + join-back whose hash build side hit a memory
+    // knee at 100× (round-12 audit: 12.0× second decade). The contract is
+    // now join-FREE and cache-free: sort-based window, spill-graceful.
     val p = planOf("q77_novelty_rate")
-    assert(p.contains("InMemoryTableScan"), s"index not cache-backed:\n$p")
+    assert(p.contains("Window"), s"first-seen not planned as a window:\n$p")
+    assert(!p.contains("InMemoryTableScan"), s"no cache expected:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"), s"novelty must not plan a join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
@@ -405,10 +412,14 @@ class PlanAuditSpec extends SparkSpec {
                              //   partial row per partition)
       "q199_source_lang_census", // n_total 1-row agg over the bounded
                              //   |sources|×|langs| cell frame
-      "q201_nb_hashed_predict" // ntot 1-row agg (partial rows only) +
+      "q201_nb_hashed_predict", // ntot 1-row agg (partial rows only) +
                              //   |classes|-row ctot; the model grid is the
                              //   FIXED dim×|classes| frame — the bounded
                              //   funnels are the point of the hashed twin
+      "q205_conformal_hashed" // q201's hashed-model 1-row scalars + q189's
+                             //   n_cal 1-row agg and bounded nonconformity
+                             //   histogram cumsum (the qualityGate
+                             //   contract, shared conformal core)
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")

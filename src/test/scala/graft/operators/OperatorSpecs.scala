@@ -521,24 +521,76 @@ class SimilaritySpec extends SparkSpec {
         .select(lit(100000L).as("vec_id"), col("embedding"), lit(1).as("label")))
     // an identical vector collides in EVERY table (identical signatures),
     // so no amplification setting can prune the planted pair
-    val mined = Similarity.bitextMarginMineLsh(src, tgt, k = 4,
-      minMargin = 1.0, numTables = 3, numPlanes = 8).collect()
+    val lsh = Similarity.bitextMarginMineLsh(src, tgt, k = 4,
+      minMargin = 1.0, numTables = 3, numPlanes = 8)
+    val mined = lsh.collect()
     assert(mined.exists(r => r.getLong(0) == donorId && r.getLong(1) == 100000L),
       "planted exact translation pruned by LSH candidates")
     // mutual-best output stays injective on both sides under pruning
     assert(mined.map(_.getLong(0)).distinct.length == mined.length)
     assert(mined.map(_.getLong(1)).distinct.length == mined.length)
-    // every surviving pair's cosine equals the exact twin's scoring of the
-    // same pair (candidates are pruned, never re-scored differently)
-    val exact = Similarity.bitextMarginMine(src, tgt, k = 4, minMargin = 0.0)
-      .select(col("src_id"), col("tgt_id")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mined.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+    // pruned, never re-scored: every mined pair's cosine must be BITWISE
+    // equal to the exact scoring path's cosine of the same two vectors
+    // (same widen-first index-order fold — graft.functions.Vectors.cosine
+    // is exactly what bitextMarginMine computes per pair)
+    val rescored = lsh.select(col("src_id"), col("tgt_id"), col("cosine"))
+      .join(src.select(col("vec_id").as("src_id"), col("embedding").as("av")),
+        Seq("src_id"))
+      .join(tgt.select(col("vec_id").as("tgt_id"), col("embedding").as("bv")),
+        Seq("tgt_id"))
+      .select(col("cosine"),
+        graft.functions.Vectors.cosine(col("av"), col("bv")).as("exact_cos"))
+      .collect()
+    assert(rescored.length == mined.length, "rescoring join must be 1:1")
+    assert(rescored.forall(r => r.getDouble(0) == r.getDouble(1)),
+      "LSH-mined cosine diverged from the exact scoring of the same pair")
     // with zero tables' collisions impossible to verify directly, check
     // the degenerate path: an unreachable margin bar empties, no error
     assert(Similarity.bitextMarginMineLsh(src, tgt, k = 4, minMargin = 50.0,
       numTables = 3, numPlanes = 8).count() == 0L)
-    assert(exact.nonEmpty) // the exact twin still mines on this fixture
+  }
+
+  test("lshPlanesFor: integer-exact sizing, clamps, occupancy invariant") {
+    import Similarity.lshPlanesFor
+    // exact-power edges — the floating log2(n)/log(2) trap this helper
+    // exists to avoid (last-ulp rounding would flip these by one)
+    assert(lshPlanesFor(64L, 8L) == 3)  // m = 8  -> ceil(log2 8)  = 3
+    assert(lshPlanesFor(65L, 8L) == 4)  // m = 9  -> ceil(log2 9)  = 4
+    assert(lshPlanesFor(512L, 8L) == 6) // m = 64 -> exactly 6
+    assert(lshPlanesFor(513L, 8L) == 7)
+    // clamps: tiny corpora floor at minPlanes, huge ones cap at maxPlanes
+    assert(lshPlanesFor(1L, 8L) == 2)
+    assert(lshPlanesFor(0L, 8L) == 2)
+    assert(lshPlanesFor(Long.MaxValue, 1L) == 28)
+    // the sizing invariant inside the clamp window: the structure holds
+    // the corpus (2^p·target >= n) without a wasted doubling
+    for (n <- Seq(5L, 50L, 500L, 5000L, 50000L, 1L << 20, (1L << 30) + 7L);
+         tb <- Seq(4L, 64L, 512L)) {
+      val p = lshPlanesFor(n, tb)
+      if (p > 2 && p < 28) {
+        assert((1L << p) * tb >= n, s"saturated: n=$n tb=$tb p=$p")
+        assert((1L << (p - 1)) * tb < n, s"oversized: n=$n tb=$tb p=$p")
+      }
+    }
+  }
+
+  test("bitextMarginMineLshAuto: equals the fixed twin at the derived size") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val src = emb.where(col("label") === 0)
+    val tgt = emb.where(col("label") === 1)
+    val n = math.max(src.count(), tgt.count())
+    val planes = Similarity.lshPlanesFor(n, targetBucket = 4L)
+    assert(planes > 2 && planes < 28, s"fixture should derive mid-range: $planes")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val auto = rows(Similarity.bitextMarginMineLshAuto(src, tgt, k = 4,
+      minMargin = 1.0, numTables = 3, targetBucket = 4L))
+    val fixed = rows(Similarity.bitextMarginMineLsh(src, tgt, k = 4,
+      minMargin = 1.0, numTables = 3, numPlanes = planes))
+    assert(auto == fixed, "auto-sized miner must be the fixed miner at the derived plane count")
+    assert(auto.nonEmpty)
   }
 
   test("trained IVF centroids: recall at restricted nprobe >= seed centroids") {

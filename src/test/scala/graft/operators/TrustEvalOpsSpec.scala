@@ -79,6 +79,49 @@ class TrustEvalOpsSpec extends SparkSpec {
     assert(sz === sz.sorted.reverse, s"set size not monotone: $sz")
   }
 
+  // -------------------------------------------------- conformalSetsHashed
+
+  test("conformalSetsHashed: collision-free dim reproduces the exact twin " +
+      "on the symmetric fixture") {
+    // two distinct tokens into 2^12 buckets: no collisions, so the hashed
+    // posteriors order identically and the conformal OUTPUT matches the
+    // exact variant's saturation behavior exactly
+    val out = TextAnalysis.conformalSetsHashed(symmetricDocs, "doc_id",
+        "text", "lab", Seq(100L, 500L), _ % 2 === 0, dim = 1 << 12)
+      .orderBy("alpha_permille").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("coverage_micro") === 1000000L)
+      assert(r.getAs[Long]("avg_set_size_micro") === 1000000L)
+      assert(r.getAs[Long]("n_cal") === 20L)
+      assert(r.getAs[Long]("n_eval") === 20L)
+    }
+  }
+
+  test("conformalSetsHashed: empty calibration keeps one row per alpha " +
+      "with the full-alphabet set (shared-core parity with the exact twin)") {
+    val out = TextAnalysis.conformalSetsHashed(symmetricDocs, "doc_id",
+        "text", "lab", Seq(100L, 500L), _ < lit(0L), dim = 64)
+      .orderBy("alpha_permille").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_cal") === 0L)
+      assert(r.isNullAt(r.fieldIndex("threshold_mq")))
+      assert(r.getAs[Long]("coverage_micro") === 1000000L)
+      assert(r.getAs[Long]("avg_set_size_micro") === 2000000L)
+    }
+  }
+
+  test("conformalSetsHashed: total collision (dim=2, one bucket per side) " +
+      "still yields valid full-coverage sets, paying only set size") {
+    // every token of both classes may collide; validity must hold anyway —
+    // the guarantee is score-function-free
+    val out = TextAnalysis.conformalSetsHashed(symmetricDocs, "doc_id",
+        "text", "lab", Seq(100L), _ % 2 === 0, dim = 2).collect()
+    val r = out.head
+    assert(r.getAs[Long]("coverage_micro") >= 900000L) // >= 1 - alpha
+    assert(r.getAs[Long]("avg_set_size_micro") <= 2000000L)
+  }
+
   // ----------------------------------------------------- classifierReport
 
   test("classifierReport: hand-computed 2x2 plus a pred-only class") {

@@ -804,4 +804,48 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.count() === 0L)
     assert(out.columns.toSeq === Seq("user_id", "stage", "stage_name", "ts_us"))
   }
+
+  test("lastTouchReplay: cross-batch channel swap credits the latest touch") {
+    import spark.implicits._
+    // slices at nBatches=3 over [0, 58]s: [0,19] [20,39] [40,59] — u1's
+    // click lands two batches before its purchase (state carry), and the
+    // view in the middle slice must SWAP the credit; u2 converts untouched
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 1.0), (2L, ts(21), 1L, "view", 1.0),
+      (3L, ts(58), 1L, "purchase", 7.0),
+      (4L, ts(1), 2L, "purchase", 3.0),
+      (5L, ts(2), 3L, "view", 1.0), (6L, ts(40), 3L, "purchase", 2.0),
+      (7L, ts(41), 3L, "click", 1.0), (8L, ts(57), 3L, "purchase", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.lastTouchReplay(spark, ev, Seq("click", "view"),
+        "purchase", nBatches = 3)
+      .orderBy("user_id", "ts_us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq(
+      (1L, "view", 7.0),    // click swapped out by the later view
+      (2L, "direct", 3.0),  // no touch before conversion
+      (3L, "view", 2.0),    // first purchase: only the view precedes
+      (3L, "click", 4.0)))  // second purchase: click swapped in at 41s
+  }
+
+  test("linearReplay: distinct-touch set unions across batches; " +
+      "equal splits match the batch semantics") {
+    import spark.implicits._
+    // u1 touches click (batch 1) and view (batch 2) then converts in
+    // batch 3: the SET must have merged across batches → two 5.0 credits;
+    // a second conversion reuses the same set; u2 is direct
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 1.0), (2L, ts(21), 1L, "view", 1.0),
+      (3L, ts(40), 1L, "purchase", 10.0), (4L, ts(58), 1L, "purchase", 6.0),
+      (5L, ts(1), 2L, "purchase", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.linearReplay(spark, ev, Seq("click", "view"),
+        "purchase", nBatches = 3)
+      .orderBy("user_id", "ts_us", "channel")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq(
+      (1L, "click", 5.0), (1L, "view", 5.0),
+      (1L, "click", 3.0), (1L, "view", 3.0),
+      (2L, "direct", 3.0)))
+  }
 }
