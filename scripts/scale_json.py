@@ -6,8 +6,10 @@ decade factors when adjacent tiers are present.
 
 Tier names come from the data directory: .../sf0.1 -> "1x",
 .../graft_sf_x10 -> "10x", .../graft_sf_x100 -> "100x".
-Multiple lines for the same (query, tier) keep the MINIMUM median — the
-volatile-host protocol's stall-robust estimator (see BASELINE.md).
+The recorded seconds per (query, tier) is the MINIMUM across every pass
+of every line — the volatile-host protocol's stall-robust estimator
+(see BASELINE.md; one-sided stall noise makes medians lie, and at
+reps=2 a median IS the max).
 
 Usage: python3 scripts/scale_json.py <jsonl> <out.json>
 """
@@ -33,19 +35,20 @@ def main(src: str, dst: str) -> None:
             r = json.loads(line)
             q = acc.setdefault(r["query"], {})
             t = tier(r["dir"])
+            best = min(r.get("all_s") or [r["median_s"]])
             cur = q.get(t)
-            if cur is None or r["median_s"] < cur["median_s"]:
-                q[t] = {"median_s": r["median_s"], "rows": r["rows"]}
+            if cur is None or best < cur["min_s"]:
+                q[t] = {"min_s": best, "rows": r["rows"]}
     out = {}
     for name in sorted(acc):
         tiers = acc[name]
         row = {t: v for t, v in tiers.items()}
-        if "1x" in tiers and "10x" in tiers and tiers["1x"]["median_s"] > 0:
+        if "1x" in tiers and "10x" in tiers and tiers["1x"]["min_s"] > 0:
             row["decade1"] = round(
-                tiers["10x"]["median_s"] / tiers["1x"]["median_s"], 2)
-        if "10x" in tiers and "100x" in tiers and tiers["10x"]["median_s"] > 0:
+                tiers["10x"]["min_s"] / tiers["1x"]["min_s"], 2)
+        if "10x" in tiers and "100x" in tiers and tiers["10x"]["min_s"] > 0:
             row["decade2"] = round(
-                tiers["100x"]["median_s"] / tiers["10x"]["median_s"], 2)
+                tiers["100x"]["min_s"] / tiers["10x"]["min_s"], 2)
         out[name] = row
     with open(dst, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)

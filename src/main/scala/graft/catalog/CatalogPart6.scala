@@ -1097,5 +1097,83 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
         CAST(ts AS BIGINT) AS ts_us
       FROM credits ORDER BY user_id, ts_us, channel"""))
 
+  /** Watermark-ordered streaming gate ([[graft.streaming.EventStreams
+    * .lastTouchReplayOrdered]]): the attribution stream fed THREE
+    * round-robin (event_id % 3) slices — every micro-batch spans the
+    * whole time range, so an at-arrival attributor would mis-credit;
+    * the ordered variant buffers rows in state until the watermark
+    * passes them and replays in event-time order, so its output under
+    * this deliberately disordered feed must STILL equal the batch
+    * attribution — which is exactly what the oracle computes (q206's
+    * last_value window). Exercises watermark advancement, in-state
+    * buffering, EventTimeTimeout wake, and the two-sentinel flush. */
+  private[graft] val q208 = QuerySpec(
+    "q208_stream_ordered_touch",
+    (s, dir) => {
+      val ev = graft.streaming.EventStreams.withEventTime(t(s, dir, "events"))
+        .where(col("user_id") % 5 === 3)
+      graft.streaming.EventStreams.lastTouchReplayOrdered(s, ev,
+          Seq("click", "view"), "purchase", nSlices = 3)
+        .select(col("user_id"), col("channel"),
+          round(col("value"), 6).as("value"), col("ts_us"))
+        .orderBy("user_id", "ts_us", "channel")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+          event_type, value
+        FROM events WHERE user_id % 5 = 3
+          AND event_type IN ('click', 'view', 'purchase')),
+      walk AS (SELECT user_id, ts, value, event_type,
+          last_value(CASE WHEN event_type IN ('click', 'view')
+              THEN event_type END IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+        FROM e)
+      SELECT user_id, coalesce(ch, 'direct') AS channel,
+        round(value, 6) AS value, CAST(ts AS BIGINT) AS ts_us
+      FROM walk WHERE event_type = 'purchase'
+      ORDER BY user_id, ts_us, channel"""))
+
+  /** q208's equal-split sibling ([[graft.streaming.EventStreams
+    * .linearReplayOrdered]]): under the same disordered feed, the
+    * distinct-touch SET each conversion splits over must union up
+    * identical to the batch walk — buffered merge-state under disorder,
+    * the last spec-only corner of the ordered family now driver-gated. */
+  private[graft] val q209 = QuerySpec(
+    "q209_stream_ordered_split",
+    (s, dir) => {
+      val ev = graft.streaming.EventStreams.withEventTime(t(s, dir, "events"))
+        .where(col("user_id") % 5 === 4)
+      graft.streaming.EventStreams.linearReplayOrdered(s, ev,
+          Seq("click", "view"), "purchase", nSlices = 3)
+        .select(col("user_id"), col("channel"),
+          round(col("value"), 6).as("value"), col("ts_us"))
+        .orderBy("user_id", "ts_us", "channel")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+          event_type, value
+        FROM events WHERE user_id % 5 = 4
+          AND event_type IN ('click', 'view', 'purchase')),
+      conv AS (SELECT user_id, ts, event_id, value FROM e
+        WHERE event_type = 'purchase'),
+      tch AS (SELECT user_id, ts, event_id, event_type FROM e
+        WHERE event_type IN ('click', 'view')),
+      sets AS (SELECT DISTINCT c.user_id, c.ts, c.event_id, c.value,
+          t.event_type AS ch
+        FROM conv c JOIN tch t ON t.user_id = c.user_id
+          AND (t.ts, t.event_id) < (c.ts, c.event_id)),
+      sized AS (SELECT user_id, ts, event_id, value, ch,
+          count(*) OVER (PARTITION BY user_id, ts, event_id) AS n
+        FROM sets),
+      credits AS (SELECT user_id, ch AS channel, value / n AS value, ts
+          FROM sized
+        UNION ALL
+        SELECT c.user_id, 'direct', c.value, c.ts FROM conv c
+        WHERE NOT EXISTS (SELECT 1 FROM tch t
+          WHERE t.user_id = c.user_id
+            AND (t.ts, t.event_id) < (c.ts, c.event_id)))
+      SELECT user_id, channel, round(value, 6) AS value,
+        CAST(ts AS BIGINT) AS ts_us
+      FROM credits ORDER BY user_id, ts_us, channel"""))
+
   // ----------------------------------------------------------- catalog
 }

@@ -620,6 +620,88 @@ object EventStreams {
       .select(col("user_id"), col("channel"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
 
+  /** Driver-gate replay for the WATERMARK-ORDERED attribution family —
+    * the harness [[funnelReplay]] cannot provide: instead of in-order
+    * time slices, events are cut round-robin by `event_id % nSlices`, so
+    * every micro-batch carries rows from the WHOLE time range and the
+    * at-arrival twins would mis-credit. [[lastTouchAdvancesOrdered]]
+    * buffers rows in state until the watermark passes them, then replays
+    * in full event-time order — so its output under this deliberately
+    * disordered feed still equals the batch attribution exactly, which is
+    * precisely the parity contract its scaladoc pins and what this gate
+    * proves end-to-end (EventTimeTimeout wake, buffer carry, in-horizon
+    * replay).
+    *
+    * Flush protocol: the watermark delay is sized to the full event span
+    * (disorder bound ≥ any slice's), so nothing finalizes during the data
+    * slices; TWO far-future sentinel feeds then advance it past every
+    * real event — two because micro-batch N runs with the watermark
+    * computed from batch N−1's data, so the first sentinel raises it and
+    * the second triggers the flush (timers fire for users with no new
+    * rows). The sentinel user/type match nothing and emit nothing. */
+  def lastTouchReplayOrdered(spark: SparkSession, events: DataFrame,
+      touchTypes: Seq[String], convType: String,
+      nSlices: Int = 3): DataFrame =
+    replayDisordered(spark, events, nSlices, "last_touch_ordered")(
+      (in, delay) => lastTouchAdvancesOrdered(in, touchTypes, convType,
+        delay).toDF())
+      .select(col("user_id"), col("channel"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+
+  /** [[lastTouchReplayOrdered]] for the linear (equal-split) ordered
+    * variant: the merged distinct-touch SET must come out identical to
+    * the batch walk even though the touches arrive out of order across
+    * micro-batches. */
+  def linearReplayOrdered(spark: SparkSession, events: DataFrame,
+      touchTypes: Seq[String], convType: String,
+      nSlices: Int = 3): DataFrame =
+    replayDisordered(spark, events, nSlices, "linear_ordered")(
+      (in, delay) => linearAdvancesOrdered(in, touchTypes, convType,
+        delay).toDF())
+      .select(col("user_id"), col("channel"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+
+  /** Disordered-feed scaffold for the ordered-family gates: round-robin
+    * slices by event_id, watermark delay = full span + margin, two
+    * sentinel feeds to flush (see [[lastTouchReplayOrdered]]). */
+  private def replayDisordered(spark: SparkSession, events: DataFrame,
+      nSlices: Int, namePrefix: String)(
+      build: (Dataset[Event], String) => DataFrame): DataFrame = {
+    require(nSlices >= 1, "nSlices >= 1")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event].collect()
+    val name = s"${namePrefix}_${replaySeq.incrementAndGet()}"
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val spanMs = if (rows.isEmpty) 0L
+      else rows.map(_.ts.getTime).max - rows.map(_.ts.getTime).min
+    val delayMs = spanMs + 60000L
+    val q = build(in.toDS(), s"$delayMs milliseconds")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      if (rows.nonEmpty) {
+        val hi = rows.map(_.ts.getTime).max
+        val maxUser = rows.map(_.user_id).max
+        // deterministic round-robin disorder: each slice spans the whole
+        // time range, so cross-slice arrival order ≠ event-time order
+        rows.groupBy(_.event_id % nSlices).toSeq.sortBy(_._1)
+          .foreach { case (_, slice) =>
+            in.addData(slice.toSeq: _*); q.processAllAvailable()
+          }
+        (1 to 2).foreach { k =>
+          in.addData(Event(-1L - k, new Timestamp(hi + 2L * k * delayMs),
+            maxUser + 1L, "__sentinel__", 0.0))
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
   /** The shared micro-batch replay scaffold behind [[funnelReplay]] /
     * [[lastTouchReplay]] / [[linearReplay]]: collect the (pre-filtered,
     * bounded) events driver-side, cut them into `nBatches` GLOBAL time

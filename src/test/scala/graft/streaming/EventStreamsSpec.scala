@@ -848,4 +848,45 @@ class EventStreamsSpec extends SparkSpec {
       (1L, "click", 3.0), (1L, "view", 3.0),
       (2L, "direct", 3.0)))
   }
+
+  test("lastTouchReplayOrdered: a DISORDERED feed still credits exactly " +
+      "like the batch walk (watermark buffer + two-sentinel flush)") {
+    import spark.implicits._
+    // event_id % 3 slices: the purchase (id 3) arrives in slice 0 BEFORE
+    // its earlier-in-time view touch (id 2, slice 2) — an at-arrival
+    // attributor would say "click"; the ordered variant must buffer,
+    // replay in event time, and say "view"
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 1.0), (2L, ts(10), 1L, "view", 1.0),
+      (3L, ts(20), 1L, "purchase", 7.0),
+      (4L, ts(1), 2L, "purchase", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.lastTouchReplayOrdered(spark, ev,
+        Seq("click", "view"), "purchase", nSlices = 3)
+      .orderBy("user_id", "ts_us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "view", 7.0), (2L, "direct", 3.0)))
+  }
+
+  test("linearReplayOrdered: disordered touches still union into the " +
+      "batch-exact split set; empty input keeps the schema") {
+    import spark.implicits._
+    // touches land in slices AFTER the conversion's slice — the buffered
+    // replay must still split 10.0 across both channels
+    val ev = Seq(
+      (3L, ts(0), 1L, "click", 1.0), (6L, ts(10), 1L, "view", 1.0),
+      (1L, ts(20), 1L, "purchase", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.linearReplayOrdered(spark, ev,
+        Seq("click", "view"), "purchase", nSlices = 3)
+      .orderBy("channel")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "click", 5.0), (1L, "view", 5.0)))
+    val empty = Seq.empty[(Long, Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreams.lastTouchReplayOrdered(spark, empty,
+      Seq("click"), "purchase", nSlices = 2)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("user_id", "channel", "value", "ts_us"))
+  }
 }
