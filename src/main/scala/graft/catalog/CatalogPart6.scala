@@ -1175,5 +1175,34 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
         CAST(ts AS BIGINT) AS ts_us
       FROM credits ORDER BY user_id, ts_us, channel"""))
 
+  /** Third ordered-family gate ([[graft.streaming.EventStreams
+    * .transitionReplayOrdered]]): the live (prev → next) transition feed
+    * under the q208 disordered round-robin feed — a third state shape
+    * (last finalized type + in-horizon buffer, emitting at TRANSITION
+    * grain where q208 swaps one string and q209 merges a set). The
+    * oracle is the batch lag-window adjacency over (ts, event_id) order:
+    * parity under bounded disorder is the variant's contract, so a
+    * single out-of-place arrival that slipped past the buffer replay
+    * would produce a phantom transition pair and hash-mismatch. */
+  private[graft] val q210 = QuerySpec(
+    "q210_stream_ordered_transitions",
+    (s, dir) => {
+      val ev = graft.streaming.EventStreams.withEventTime(t(s, dir, "events"))
+        .where(col("user_id") % 7 === 0)
+      graft.streaming.EventStreams.transitionReplayOrdered(s, ev, nSlices = 3)
+        .orderBy("user_id", "ts_us", "prev_type", "next_type")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+          event_type
+        FROM events WHERE user_id % 7 = 0),
+      seq AS (SELECT user_id, ts, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev
+        FROM e)
+      SELECT user_id, prev AS prev_type, event_type AS next_type,
+        CAST(ts AS BIGINT) AS ts_us
+      FROM seq WHERE prev IS NOT NULL
+      ORDER BY user_id, ts_us, prev_type, next_type"""))
+
   // ----------------------------------------------------------- catalog
 }

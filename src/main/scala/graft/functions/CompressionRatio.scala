@@ -45,21 +45,36 @@ final case class CompressionRatio(child: Expression) extends UnaryExpression {
 }
 
 object CompressionRatio {
-  /** Static helper the generated code calls. A fresh Deflater per row keeps
-    * the expression thread-safe under whole-stage codegen; `end()` releases
-    * the native zlib state eagerly (finalizer pressure kills long tasks). */
+  // ONE Deflater (and scratch buffer) per task thread, reset between rows:
+  // the original fresh-Deflater-per-row version paid a native zlib
+  // deflateInit/deflateEnd round trip per document, which the round-13
+  // CurationJob profile measured at ~155 s of a 494 s 10M-doc run (the
+  // nodeflate toggle) — the single largest cost in the pipeline.
+  // `reset()` restores exactly the configured-level initial state, so the
+  // compressed LENGTH is byte-identical to a fresh instance (golden-stable)
+  // while the init cost amortizes across the task. Thread safety holds
+  // because codegen evaluates rows on the task thread; native state is
+  // ~256 KB per live thread, released by the JDK cleaner at thread death.
+  private val localDeflater = new ThreadLocal[Deflater] {
+    override def initialValue(): Deflater =
+      new Deflater(Deflater.DEFAULT_COMPRESSION)
+  }
+  private val localBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
+  /** Static helper the generated code calls. */
   def ratio(s: UTF8String): Double = {
     val bytes = s.getBytes
     if (bytes.isEmpty) return 0.0
-    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
-    try {
-      deflater.setInput(bytes)
-      deflater.finish()
-      val buf = new Array[Byte](1024)
-      var compressed = 0L
-      while (!deflater.finished()) compressed += deflater.deflate(buf)
-      compressed.toDouble / bytes.length
-    } finally deflater.end()
+    val deflater = localDeflater.get()
+    deflater.reset()
+    deflater.setInput(bytes)
+    deflater.finish()
+    val buf = localBuf.get()
+    var compressed = 0L
+    while (!deflater.finished()) compressed += deflater.deflate(buf)
+    compressed.toDouble / bytes.length
   }
 
   def apply(text: Column): Column =

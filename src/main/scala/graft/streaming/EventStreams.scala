@@ -661,6 +661,21 @@ object EventStreams {
       .select(col("user_id"), col("channel"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
 
+  /** [[lastTouchReplayOrdered]]'s recipe for
+    * [[transitionAdvancesOrdered]]: the live (prev_type → next_type)
+    * adjacency feed under the disordered round-robin feed — a THIRD
+    * state shape under the gate (one type string + the in-horizon
+    * buffer, at transition grain, where q208 swaps a channel and q209
+    * merges a set). The oracle is the batch lag-window adjacency:
+    * parity under bounded disorder is the variant's contract. The
+    * sentinel user is fresh, so it emits no transition rows. */
+  def transitionReplayOrdered(spark: SparkSession, events: DataFrame,
+      nSlices: Int = 3): DataFrame =
+    replayDisordered(spark, events, nSlices, "transition_ordered")(
+      (in, delay) => transitionAdvancesOrdered(in, delay).toDF())
+      .select(col("user_id"), col("prev_type"), col("next_type"),
+        unix_micros(col("ts")).as("ts_us"))
+
   /** Disordered-feed scaffold for the ordered-family gates: round-robin
     * slices by event_id, watermark delay = full span + margin, two
     * sentinel feeds to flush (see [[lastTouchReplayOrdered]]). */

@@ -889,4 +889,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.count() === 0L)
     assert(out.columns.toSeq === Seq("user_id", "channel", "value", "ts_us"))
   }
+
+  test("transitionReplayOrdered: disordered slices yield the exact " +
+      "event-time adjacency — no phantom arrival-order pairs") {
+    import spark.implicits._
+    // arrival order (by event_id % 3 slices): ids {3} then {1} then {2} —
+    // a naive at-arrival tracker would emit (C,A) and (A,B); the ordered
+    // replay must emit the event-time walk A→B→C only
+    val ev = Seq(
+      (1L, ts(0), 1L, "A", 0.0), (2L, ts(10), 1L, "B", 0.0),
+      (3L, ts(20), 1L, "C", 0.0),
+      (4L, ts(0), 2L, "solo", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.transitionReplayOrdered(spark, ev, nSlices = 3)
+      .orderBy("ts_us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === Seq((1L, "A", "B"), (1L, "B", "C")))
+  }
 }
