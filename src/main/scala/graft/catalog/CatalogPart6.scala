@@ -1204,5 +1204,42 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
       FROM seq WHERE prev IS NOT NULL
       ORDER BY user_id, ts_us, prev_type, next_type"""))
 
+  /** `transformWithState` under the driver gate ([[graft.streaming
+    * .EventStreams.runningTotalsReplay]]) — the Spark-4 arbitrary-state
+    * API (typed ValueState, RocksDB provider REQUIRED and scoped by the
+    * harness) was the one streaming family q202's recipe had not
+    * covered. Update output mode: the memory sink holds one CUMULATIVE
+    * (n_events, total_micro) row per user per active time slice, exact
+    * because the processor accumulates integer micro-units (fold-order
+    * free). The oracle reproduces the slice assignment verbatim —
+    * `(ms − lo) / greatest(1, (hi − lo)/3 + 1)` in integer arithmetic —
+    * then replays the running count/sum per user in slice order. */
+  private[graft] val q211 = QuerySpec(
+    "q211_stream_running_totals",
+    (s, dir) => {
+      val ev = graft.streaming.EventStreams.withEventTime(t(s, dir, "events"))
+        .where(col("user_id") % 3 === 1)
+      graft.streaming.EventStreams.runningTotalsReplay(s, ev, nBatches = 3)
+        .orderBy("user_id", "n_events")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 1000 AS ms, value
+        FROM events WHERE user_id % 3 = 1),
+      span AS (SELECT min(ms) AS lo, max(ms) AS hi FROM e),
+      sl AS (SELECT user_id, value,
+          (ms - lo) // greatest(1, (hi - lo) // 3 + 1) AS slice
+        FROM e CROSS JOIN span),
+      per AS (SELECT user_id, slice, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS m
+        FROM sl GROUP BY 1, 2),
+      cum AS (SELECT user_id,
+          CAST(sum(n) OVER w AS BIGINT) AS n_events,
+          CAST(sum(m) OVER w AS BIGINT) AS total_micro
+        FROM per
+        WINDOW w AS (PARTITION BY user_id ORDER BY slice
+          ROWS UNBOUNDED PRECEDING))
+      SELECT user_id, n_events, total_micro FROM cum
+      ORDER BY user_id, n_events"""))
+
   // ----------------------------------------------------------- catalog
 }

@@ -510,6 +510,74 @@ object EventStreams {
         OutputMode.Update())
   }
 
+  final case class UserTotalMicro(user_id: Long, n_events: Long,
+      total_micro: Long)
+
+  /** [[RunningTotalProcessor]]'s ENGINE-PORTABLE twin: the running value
+    * total accumulates in integer MICRO-UNITS (`floor(v·10⁶ + 0.5)` per
+    * event — the repo-wide exact-sum contract), so the cumulative total
+    * is independent of fold order and a SQL oracle reproduces it
+    * bit-for-bit. The double-summing original stays for dashboards; this
+    * one exists so `transformWithState` can sit under the driver gate. */
+  class RunningTotalMicroProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotalMicro] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[UserTotalMicro] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotalMicro]("totals",
+        Encoders.product[UserTotalMicro],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotalMicro] = {
+      var cur = Option(totals.get()).getOrElse(UserTotalMicro(key, 0L, 0L))
+      rows.foreach(e => cur = UserTotalMicro(key, cur.n_events + 1,
+        cur.total_micro + math.floor(e.value * 1e6 + 0.5).toLong))
+      totals.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** Micro-unit running totals via `transformWithState` (RocksDB store
+    * required — set the provider on the session or use
+    * [[runningTotalsReplay]], which scopes it). */
+  def runningTotalsMicro(events: Dataset[Event]): Dataset[UserTotalMicro] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalMicroProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Driver-gate replay for `transformWithState` + the RocksDB state
+    * store — the one streaming API family q202's recipe had not yet
+    * covered: [[runningTotalsMicro]] through the in-order global time
+    * slices, Update output mode, so the memory sink holds ONE cumulative
+    * (n_events, total_micro) row per user per ACTIVE slice. Integer
+    * micro-unit totals make the accumulation fold-order-free, so the
+    * oracle replays it exactly: per (user, slice-with-events), the
+    * running count and micro-sum in slice order — the slice assignment
+    * `(ms − lo) / max(1, (hi − lo)/n + 1)` is integer arithmetic the
+    * oracle reproduces verbatim. The RocksDB provider (required by the
+    * API, and the right provider at scale — state off-heap) is set for
+    * this query and restored after. */
+  def runningTotalsReplay(spark: SparkSession, events: DataFrame,
+      nBatches: Int = 3): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try
+      replayAdvances(spark, events, nBatches, "running_totals",
+          outputMode = "update")(in => runningTotalsMicro(in).toDF())
+        .select(col("user_id"), col("n_events"), col("total_micro"))
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   final case class FunnelAdvance(user_id: Long, stage: Int, stage_name: String,
       ts: Timestamp)
 
@@ -724,7 +792,7 @@ object EventStreams {
     * barrier, and return the committed memory-sink table. One harness so
     * every gate row replays state machinery the identical way. */
   private def replayAdvances(spark: SparkSession, events: DataFrame,
-      nBatches: Int, namePrefix: String)(
+      nBatches: Int, namePrefix: String, outputMode: String = "append")(
       build: Dataset[Event] => DataFrame): DataFrame = {
     require(nBatches >= 1, "nBatches >= 1")
     import spark.implicits._
@@ -739,7 +807,7 @@ object EventStreams {
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
     val q = build(in.toDS())
       .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+      .outputMode(outputMode).start()
     try {
       if (rows.nonEmpty) {
         val (lo, hi) = (rows.head.ts.getTime, rows.last.ts.getTime)

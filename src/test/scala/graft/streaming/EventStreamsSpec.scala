@@ -890,6 +890,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("user_id", "channel", "value", "ts_us"))
   }
 
+  test("runningTotalsReplay: cumulative micro totals per active slice, " +
+      "provider conf scoped and restored") {
+    import spark.implicits._
+    val before = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // u1 active in slices 1 and 3 of [0, 58]s (cuts at 20/40): two
+    // cumulative rows; u2 active once; micro totals exact
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 1.25), (2L, ts(1), 1L, "view", 2.5),
+      (3L, ts(58), 1L, "purchase", 3.125),
+      (4L, ts(21), 2L, "click", 0.000001))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.runningTotalsReplay(spark, ev, nBatches = 3)
+      .orderBy("user_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (1L, 2L, 3750000L),   // slice 1: 1.25 + 2.5
+      (1L, 3L, 6875000L),   // slice 3 cumulative: + 3.125
+      (2L, 1L, 1L)))        // micro-unit floor(0.000001e6 + .5) = 1
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      === before, "provider conf must be restored")
+  }
+
   test("transitionReplayOrdered: disordered slices yield the exact " +
       "event-time adjacency — no phantom arrival-order pairs") {
     import spark.implicits._
