@@ -25,9 +25,10 @@ class CacheHygieneSpec extends SparkSpec {
       // candidate sub-plan — the same collision class as q43/q49
       "q66_boilerplate_strip", "q68_semantic_dedup", "q69_quality_gate",
       "q57_dedup_clusters", "q71_quality_keepers",
-      // containment (q75) and novelty (q77) persist the same shingle
-      // inverted index q21 does — same release contract; the composed
-      // report (q80) stacks three persisting operators in one query
+      // containment (q75) persists the same shingle inverted index q21
+      // does — same release contract; novelty (q77) persists NOTHING
+      // since the round-13 window rewrite and stays here to prove it;
+      // the composed report (q80) stacks three persisting operators
       "q75_containment_pairs", "q77_novelty_rate", "q80_corpus_report")
     for (name <- names) {
       val n = SparkEntry.queries(name)(spark, sfDir).count()

@@ -593,6 +593,20 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.nonEmpty)
   }
 
+  test("lshTopKMultiAuto: equals the fixed multi-table index at the derived size") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 8)
+    val planes = Similarity.lshPlanesFor(emb.count(), targetBucket = 8L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val auto = rows(Similarity.lshTopKMultiAuto(emb, queries, k = 3,
+      numTables = 3, targetBucket = 8L))
+    val fixed = rows(Similarity.lshTopKMulti(emb, queries, k = 3,
+      numTables = 3, numPlanes = planes))
+    assert(auto == fixed)
+    assert(auto.nonEmpty)
+  }
+
   test("trained IVF centroids: recall at restricted nprobe >= seed centroids") {
     // clustered corpus (what IVF training exists to exploit; the parquet
     // embeddings are directionless noise, where any space partition is as
