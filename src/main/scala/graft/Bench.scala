@@ -67,17 +67,24 @@ object Bench {
       rs.map { case (k, v) => "\"" + short(k) + "\":" + f3(v) }
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // The streaming driver gates (qNN_stream_*) pay a fixed MemoryStream
+    // micro-batch barrier floor per feed, not a data-scaling cost — broken
+    // out so round-over-round comparisons of the batch total aren't
+    // swamped by gate-harness latency.
+    val streaming = results.filter(_._1.contains("_stream_")).map(_._2).sum
     val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
     val passes = perPass.map(f3).mkString("[", ",", "]")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
     val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""streaming_s":${f3(streaming)},"batch_s":${f3(total - streaming)},""" +
       s""""queries":${toJson(results)},"pass_totals":$passes,""" +
       s""""errors":$errs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val slowest = results.sortBy(-_._2).take(40).sortBy(_._1)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""streaming_s":${f3(streaming)},"batch_s":${f3(total - streaming)},""" +
       s""""queries":${toJson(slowest)},"n_queries":${results.size},""" +
       s""""pass_totals":$passes,"detail":"$detailPath",""" +
       s""""errors":$errs,"sf":"$sfDir"}""")

@@ -53,8 +53,13 @@ object CompressionRatio {
   // `reset()` restores exactly the configured-level initial state, so the
   // compressed LENGTH is byte-identical to a fresh instance (golden-stable)
   // while the init cost amortizes across the task. Thread safety holds
-  // because codegen evaluates rows on the task thread; native state is
-  // ~256 KB per live thread, released by the JDK cleaner at thread death.
+  // because codegen evaluates rows on the task thread. Native state is
+  // ~256 KB per live thread; on task threads a completion listener end()s
+  // and remove()s it when the task finishes (the init cost re-amortizes
+  // over the next task's rows), so pooled executor threads don't retain
+  // zlib state between tasks. Non-task threads (driver-side constant
+  // folding / interpreted eval) keep at most one instance for the JVM
+  // lifetime — bounded and documented.
   private val localDeflater = new ThreadLocal[Deflater] {
     override def initialValue(): Deflater =
       new Deflater(Deflater.DEFAULT_COMPRESSION)
@@ -62,11 +67,33 @@ object CompressionRatio {
   private val localBuf = new ThreadLocal[Array[Byte]] {
     override def initialValue(): Array[Byte] = new Array[Byte](8192)
   }
+  // Tracks whether the CURRENT task on this thread already registered its
+  // cleanup listener; reset together with the Deflater at task end so the
+  // next task re-registers.
+  private val cleanupArmed = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  private def armTaskCleanup(): Unit = {
+    if (!cleanupArmed.get()) {
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) {
+        cleanupArmed.set(java.lang.Boolean.TRUE)
+        tc.addTaskCompletionListener[Unit] { _ =>
+          localDeflater.get().end()
+          localDeflater.remove()
+          localBuf.remove()
+          cleanupArmed.remove()
+        }
+      }
+    }
+  }
 
   /** Static helper the generated code calls. */
   def ratio(s: UTF8String): Double = {
     val bytes = s.getBytes
     if (bytes.isEmpty) return 0.0
+    armTaskCleanup()
     val deflater = localDeflater.get()
     deflater.reset()
     deflater.setInput(bytes)

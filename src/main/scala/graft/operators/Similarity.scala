@@ -385,7 +385,9 @@ object Similarity {
       minPlanes: Int = 2, maxPlanes: Int = 28): Int = {
     require(targetBucket >= 1L, "targetBucket >= 1")
     require(minPlanes >= 1 && maxPlanes >= minPlanes, "1 <= minPlanes <= maxPlanes")
-    val m = (math.max(n, 1L) + targetBucket - 1L) / targetBucket
+    // Overflow-safe ceil division: (n + b - 1) / b wraps for n near
+    // Long.MaxValue with b > 1; (n - 1) / b + 1 never does for n >= 1.
+    val m = (math.max(n, 1L) - 1L) / targetBucket + 1L
     val p = if (m <= 1L) 0
       else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
     math.min(maxPlanes, math.max(minPlanes, p))

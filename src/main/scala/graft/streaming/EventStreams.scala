@@ -762,6 +762,12 @@ object EventStreams {
     val spanMs = if (rows.isEmpty) 0L
       else rows.map(_.ts.getTime).max - rows.map(_.ts.getTime).min
     val delayMs = spanMs + 60000L
+    // Tiny shuffle-partition override for the replay's micro-batch
+    // barriers — same rationale and restore discipline as
+    // [[replayAdvances]].
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = spark.conf.getOption(spKey)
+    spark.conf.set(spKey, "2")
     val q = build(in.toDS(), s"$delayMs milliseconds")
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
@@ -775,13 +781,23 @@ object EventStreams {
           .foreach { case (_, slice) =>
             in.addData(slice.toSeq: _*); q.processAllAvailable()
           }
+        // Distinct user_id per sentinel: if a future change ever lets the
+        // watermark finalize the first sentinel, two sentinels sharing a
+        // user would emit a phantom __sentinel__→__sentinel__ transition;
+        // distinct users make the invariant structural, not timing-based.
         (1 to 2).foreach { k =>
           in.addData(Event(-1L - k, new Timestamp(hi + 2L * k * delayMs),
-            maxUser + 1L, "__sentinel__", 0.0))
+            maxUser + k.toLong, "__sentinel__", 0.0))
           q.processAllAvailable()
         }
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spPrev match {
+        case Some(p) => spark.conf.set(spKey, p)
+        case None => spark.conf.unset(spKey)
+      }
+    }
     spark.table(name)
   }
 
@@ -805,6 +821,17 @@ object EventStreams {
       .as[Event].collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
     val name = s"${namePrefix}_${replaySeq.incrementAndGet()}"
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    // The replay feed is a few hundred driver-side rows, but every
+    // micro-batch barrier pays a fixed per-partition state-store +
+    // shuffle-task floor: at the session's 32 shuffle partitions the gate
+    // rows cost 2.6–7.6 s each of pure scheduling (≈33 s across the bench,
+    // swamping real regressions). Two partitions keep the machinery
+    // distributed (state keyed across >1 store) at milliseconds of floor.
+    // Restored after the query stops; the replay is synchronous so nothing
+    // else plans under the temporary value.
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = spark.conf.getOption(spKey)
+    spark.conf.set(spKey, "2")
     val q = build(in.toDS())
       .writeStream.format("memory").queryName(name)
       .outputMode(outputMode).start()
@@ -817,7 +844,13 @@ object EventStreams {
             in.addData(slice.toSeq: _*); q.processAllAvailable()
           }
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spPrev match {
+        case Some(p) => spark.conf.set(spKey, p)
+        case None => spark.conf.unset(spKey)
+      }
+    }
     spark.table(name)
   }
 

@@ -49,7 +49,16 @@ object ScaleAudit {
       val all = times.map(t => f"$t%.2f").mkString(",")
       println(f"SCALEAUDIT $name $dir $median%.2f s ($rows rows) all=$all")
       sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { path =>
-        val line = f"""{"query":"$name","dir":"$dir","median_s":$median%.3f,""" +
+        // Escape interpolated strings so a quote/backslash in a data dir
+        // path can't produce a line scripts/scale_json.py fails to parse.
+        def js(s: String): String =
+          s.flatMap {
+            case '"'  => "\\\""
+            case '\\' => "\\\\"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c    => c.toString
+          }
+        val line = f"""{"query":"${js(name)}","dir":"${js(dir)}","median_s":$median%.3f,""" +
           s""""rows":$rows,"all_s":[$all]}""" + "\n"
         java.nio.file.Files.write(java.nio.file.Paths.get(path),
           line.getBytes(java.nio.charset.StandardCharsets.UTF_8),

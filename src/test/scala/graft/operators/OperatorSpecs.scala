@@ -563,6 +563,10 @@ class SimilaritySpec extends SparkSpec {
     assert(lshPlanesFor(1L, 8L) == 2)
     assert(lshPlanesFor(0L, 8L) == 2)
     assert(lshPlanesFor(Long.MaxValue, 1L) == 28)
+    // overflow guard: the naive (n + tb - 1) / tb ceil wraps negative for
+    // n near Long.MaxValue with tb > 1 and would silently return minPlanes
+    assert(lshPlanesFor(Long.MaxValue, 64L) == 28)
+    assert(lshPlanesFor(Long.MaxValue - 1L, 4096L) == 28)
     // the sizing invariant inside the clamp window: the structure holds
     // the corpus (2^p·target >= n) without a wasted doubling
     for (n <- Seq(5L, 50L, 500L, 5000L, 50000L, 1L << 20, (1L << 30) + 7L);
