@@ -42,11 +42,12 @@ private[graft] trait CatalogPart5 extends CatalogPart4 {
     * percentiles of (l_shipdate − o_orderdate) in days — the fulfillment
     * SLA view over the relational side (q48's percentile ≡ quantile_cont
     * contract; datediff is exact integer days in both engines). */
-  private[graft] val q152 = QuerySpec(
-    "q152_shipping_lag",
-    (s, dir) => t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
+  /** q152's post-join body, shared with the bucketed-layout twin (q212):
+    * one aggregation path so the two variants can never drift. */
+  private[graft] def shippingLagAgg(orders: DataFrame,
+      lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderpriority"),
         datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_d"))
       .groupBy(col("o_orderpriority"))
@@ -59,8 +60,10 @@ private[graft] trait CatalogPart5 extends CatalogPart4 {
         element_at(col("p"), 2).as("p90"),
         element_at(col("p"), 3).as("p99"),
         col("max_lag"))
-      .orderBy("o_orderpriority"),
-    Some("""SELECT o_orderpriority, count(*) AS n_lines,
+      .orderBy("o_orderpriority")
+
+  private[graft] val shippingLagOracle: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
         CAST(min(datediff('day', o_orderdate, l_shipdate)) AS BIGINT)
           AS min_lag,
         quantile_cont(CAST(datediff('day', o_orderdate, l_shipdate)
@@ -72,7 +75,12 @@ private[graft] trait CatalogPart5 extends CatalogPart4 {
         CAST(max(datediff('day', o_orderdate, l_shipdate)) AS BIGINT)
           AS max_lag
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1"""
+
+  private[graft] val q152 = QuerySpec(
+    "q152_shipping_lag",
+    (s, dir) => shippingLagAgg(t(s, dir, "orders"), t(s, dir, "lineitem")),
+    Some(shippingLagOracle))
 
   /** Per-nation ABC (Pareto) customer classes: rank customers by revenue
     * within their nation, class A = the head covering ≤ 70% of nation

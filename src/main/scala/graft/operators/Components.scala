@@ -447,25 +447,26 @@ object Components {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
-    var (e, ids) = checkpointed(edges
+    var (e, ids, m) = checkpointedCounted(edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .where(col("a") =!= col("b"))
       .distinct())
-    var survivors = -1L
     var round = 0
     var converged = false
     while (round < rounds && !converged) {
       val keep = degrees(e).where(col("deg") >= k).select("id")
-      val n = keep.count()
-      if (n == survivors) converged = true
-      else {
-        survivors = n
-        val (e2, ids2) = checkpointed(
-          e.join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
-            .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi"))
-        release(e, ids); e = e2; ids = ids2
-      }
+      // Convergence is tested on the EDGE count that the round's
+      // materialization already produces (edges leave monotonically, so an
+      // unchanged count means an unchanged set and a fixpoint) — one action
+      // per round instead of the former separate keep.count() job + peel
+      // job, halving the loop's fixed scheduling floor without touching the
+      // distributed shape.
+      val (e2, ids2, m2) = checkpointedCounted(
+        e.join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi"))
+      if (m2 == m) { converged = true; release(e2, ids2) }
+      else { release(e, ids); e = e2; ids = ids2; m = m2 }
       round += 1
     }
     // Final degree filter over the last peeled edge set (≥ k already holds

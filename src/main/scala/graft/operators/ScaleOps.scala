@@ -142,6 +142,27 @@ object ScaleOps {
       .format("parquet")
       .saveAsTable(table)
 
+  /** [[writeBucketed]] once per (session, table name), then read back: the
+    * idempotent fixture form — callers derive `table` from the source path
+    * so a different corpus gets a different table, and repeated runs in one
+    * session (bench warmup + timed passes, verify re-runs) reuse the
+    * already-bucketed layout instead of re-shuffling. The session metastore
+    * is in-memory and the warehouse a per-JVM temp dir (see
+    * [[graft.core.Sessions.configure]]), so staleness across JVMs is
+    * impossible by construction. */
+  def ensureBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String]): DataFrame = {
+    val s = df.sparkSession
+    if (!s.catalog.tableExists(table)) writeBucketed(df, table, buckets, bucketCols)
+    s.table(table)
+  }
+
+  /** Deterministic catalog-table name for a per-corpus bucketed fixture:
+    * `prefix` + sanitized source dir, so /tmp/x10 and /tmp/x100 corpora
+    * never alias each other's layouts. */
+  def bucketTableName(prefix: String, dir: String): String =
+    prefix + "_" + dir.map(c => if (c.isLetterOrDigit) c else '_')
+
   /** Deterministic hash sampling: keep rows whose md5-derived key hash lands
     * under `permille`/1000. Unlike rand()-based sampling this is REPRODUCIBLE
     * across runs, engines, and partitionings — the right primitive for

@@ -521,6 +521,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"dim joins must broadcast:\n$p")
   }
 
+  test("q212 bucketed shipping-lag join runs with NO shuffle on either fact side") {
+    // Force the SortMergeJoin path (at the test SF the orders side would
+    // broadcast, hiding the property under audit: that the bucketed layout
+    // makes the join itself exchange-free at ANY size).
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = planOf("q212_shipping_lag_bucketed")
+      // tree prints top-down: the section BELOW the partial aggregate is
+      // project + join + (within-partition sorts) + bucketed scans
+      val joinSection = p.split("HashAggregate").last
+      assert(p.contains("SortMergeJoin"), s"bucketed join must sort-merge:\n$p")
+      // the only exchange allowed in the whole plan is the tiny post-join
+      // groupBy(o_orderpriority); the join inputs scan bucketed files
+      assert(!joinSection.contains("Exchange"),
+        s"bucketed scans must feed the join with no exchange:\n$p")
+      assert(p.contains("SelectedBucketsCount"),
+        s"scans must be bucket-aware:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("epochMix is shuffle-free: explode + case chain, no exchange") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = ScaleOpsAccess.epochMix(docs)
