@@ -35,13 +35,21 @@ def main(src: str, dst: str) -> None:
             r = json.loads(line)
             q = acc.setdefault(r["query"], {})
             t = tier(r["dir"])
-            best = min(r.get("all_s") or [r["median_s"]])
-            cur = q.get(t)
-            if cur is None or best < cur["min_s"]:
-                q[t] = {"min_s": best, "rows": r["rows"]}
+            passes = r.get("all_s") or [r["median_s"]]
+            cur = q.setdefault(t, {"min_s": min(passes), "rows": r["rows"],
+                                   "all_s": []})
+            cur["all_s"].extend(passes)
+            cur["min_s"] = min(cur["min_s"], min(passes))
     out = {}
     for name in sorted(acc):
         tiers = acc[name]
+        # per-cell pass spread: (max - min) / min across EVERY recorded
+        # pass — min alone hid q21-style 27% spreads in round 13
+        for v in tiers.values():
+            ps = sorted(v.pop("all_s"))
+            v["all_s"] = ps
+            if ps and ps[0] > 0:
+                v["spread_pct"] = round(100.0 * (ps[-1] - ps[0]) / ps[0], 1)
         row = {t: v for t, v in tiers.items()}
         if "1x" in tiers and "10x" in tiers and tiers["1x"]["min_s"] > 0:
             row["decade1"] = round(

@@ -178,6 +178,22 @@ class ScaleOpsSpec extends SparkSpec {
       li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
   }
 
+  test("ensureBucketed: writes once, reuses the layout on repeat calls") {
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val name = ScaleOps.bucketTableName("graft_test_nation", sfDir)
+    assert(!spark.catalog.tableExists(name))
+    val first = ScaleOps.ensureBucketed(nation, name, 2, Seq("n_nationkey"))
+    assert(first.count() == nation.count())
+    // second call must NOT rewrite: feed a DIFFERENT frame — if it wrote,
+    // the count would change; reuse returns the original layout
+    val second = ScaleOps.ensureBucketed(nation.limit(1), name, 2,
+      Seq("n_nationkey"))
+    assert(second.count() == nation.count())
+    // distinct dirs never alias
+    assert(ScaleOps.bucketTableName("p", "/tmp/x10") !=
+      ScaleOps.bucketTableName("p", "/tmp/x100"))
+  }
+
   test("hashSample: deterministic, composable across tables, ~proportional") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val s1 = ScaleOps.hashSample(docs, "doc_id", 100).select("doc_id").collect().map(_.getLong(0)).toSet
