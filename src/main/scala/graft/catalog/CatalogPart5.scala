@@ -340,6 +340,21 @@ private[graft] trait CatalogPart5 extends CatalogPart4 {
     * metadata or byte-identical text shipped under two lang tags; both
     * poison per-language corpora. Fingerprint-keyed self-join: id-only
     * shuffle, bounded by duplicate-group sizes. */
+  private[graft] val crossLangDupsOracle: String =
+    """WITH fp AS (SELECT doc_id, lang,
+        CASE WHEN len(str_split(text, ' ')) = 0 THEN 0
+          ELSE list_reduce(
+            list_transform(str_split(text, ' '),
+              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 100003),
+            (acc, x) -> (acc * 31 + x) % 1000000007)
+        END AS fp
+        FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        a.lang AS lang_a, b.lang AS lang_b
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        AND a.lang <> b.lang
+      ORDER BY 1, 2"""
+
   private[graft] val q159 = QuerySpec(
     "q159_crosslang_dups",
     (s, dir) => {
@@ -353,19 +368,7 @@ private[graft] trait CatalogPart5 extends CatalogPart4 {
           col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
         .orderBy("id_a", "id_b")
     },
-    Some("""WITH fp AS (SELECT doc_id, lang,
-        CASE WHEN len(str_split(text, ' ')) = 0 THEN 0
-          ELSE list_reduce(
-            list_transform(str_split(text, ' '),
-              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 100003),
-            (acc, x) -> (acc * 31 + x) % 1000000007)
-        END AS fp
-        FROM documents)
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        a.lang AS lang_a, b.lang AS lang_b
-      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        AND a.lang <> b.lang
-      ORDER BY 1, 2"""))
+    Some(crossLangDupsOracle))
 
   /** Benford first-digit profile of order values — the classic
     * fabricated-numbers screen auditors run on financial columns. Digit

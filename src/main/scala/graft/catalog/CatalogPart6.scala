@@ -1264,5 +1264,21 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
     },
     Some(shippingLagOracle))
 
+  /** q159's cross-language duplicate leak, JOIN-FREE
+    * ([[graft.operators.Dedup.crossTagDupPairs]]): one fingerprint pass +
+    * one fp-keyed aggregation + group-local pair expansion, instead of the
+    * self-join that fingerprints the corpus twice (the broadcast tier has
+    * no exchange to reuse) and shuffles it twice at the sort-merge tier.
+    * Identical output to q159 (same oracle); both forms' output volume is
+    * Σ C(|dup-group|, 2)-bounded. */
+  private[graft] val q213 = QuerySpec(
+    "q213_crosslang_dups_grouped",
+    (s, dir) => graft.operators.Dedup.crossTagDupPairs(
+        t(s, dir, "documents"), "doc_id", "lang", "text")
+      .select(col("id_a"), col("id_b"),
+        col("tag_a").as("lang_a"), col("tag_b").as("lang_b"))
+      .orderBy("id_a", "id_b"),
+    Some(crossLangDupsOracle))
+
   // ----------------------------------------------------------- catalog
 }

@@ -908,4 +908,40 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .drop("span")
   }
+
+  /** Cross-tag duplicate pairs by content fingerprint, JOIN-FREE: documents
+    * sharing an exact [[graft.operators.TextAnalysis.fingerprint]] but
+    * carrying different `tagCol` values (language, source, license…) —
+    * q159's cross-language leak detector, re-expressed as ONE aggregation
+    * instead of a fingerprint self-join. The self-join form computes the
+    * md5-per-token fingerprint on BOTH sides (the broadcast tier has no
+    * exchange to reuse) and shuffles the corpus twice at the sort-merge
+    * tier; this form fingerprints once, shuffles once on fp, and expands
+    * pairs inside each duplicate group.
+    *
+    * Scale shape: one corpus-sized exchange keyed on fingerprint; group
+    * sizes are duplicate multiplicities (corpus-sparse by construction),
+    * and the pair expansion is group-local — output volume is identical
+    * to the join form (both are Σ C(|group|,2)-bounded), with no
+    * quadratic intermediate beyond what the answer itself contains.
+    * Members sort by (id, tag) inside the group, so `i < j` implies
+    * `id_i < id_j` and the output is deterministic.
+    *
+    * Returns (id_a, id_b, tag_a, tag_b) with id_a < id_b, tag_a ≠ tag_b. */
+  def crossTagDupPairs(df: DataFrame, idCol: String, tagCol: String,
+      textCol: String): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), col(tagCol).as("tag"),
+      graft.operators.TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val groups = fp.groupBy("fp")
+      .agg(sort_array(collect_list(struct(col("id"), col("tag"))))
+        .as("members"))
+      .where(size(col("members")) > 1)
+    groups
+      .select(col("members"), posexplode(col("members")).as(Seq("i", "a")))
+      .select(col("i"), col("a"),
+        posexplode(col("members")).as(Seq("j", "b")))
+      .where(col("i") < col("j") && col("a.tag") =!= col("b.tag"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.tag").as("tag_a"), col("b.tag").as("tag_b"))
+  }
 }

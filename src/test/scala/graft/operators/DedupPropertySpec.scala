@@ -32,6 +32,33 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("crossTagDupPairs == the fingerprint self-join form on random corpora") {
+    import org.apache.spark.sql.functions.col
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 31)
+      // duplicate-heavy corpus: a small text pool so fingerprints collide,
+      // tags drawn from 3 values so some groups cross tags and some don't
+      val pool = randomCorpus(seed).map(_._2)
+      val rows = (1L to 30L).map { id =>
+        (id, pool(rnd.nextInt(pool.size)), s"t${rnd.nextInt(3)}")
+      }
+      val df = spark.createDataFrame(rows).toDF("doc_id", "text", "lang")
+      val got = Dedup.crossTagDupPairs(df, "doc_id", "lang", "text")
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      val fp = df.select(col("doc_id"), col("lang"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val want = fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.lang") =!= col("b.lang"))
+        .select(col("a.doc_id"), col("b.doc_id"), col("a.lang"), col("b.lang"))
+        .orderBy("a.doc_id", "b.doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      assert(got.toSeq == want.toSeq, s"seed=$seed")
+      assert(got.nonEmpty || want.isEmpty)
+    }
+  }
+
   test("containmentPairs == driver brute force on random corpora") {
     import spark.implicits._
     for (seed <- Seq(1, 2, 3, 4, 5)) {
