@@ -768,35 +768,37 @@ object EventStreams {
     val spKey = "spark.sql.shuffle.partitions"
     val spPrev = spark.conf.getOption(spKey)
     spark.conf.set(spKey, "2")
-    val q = build(in.toDS(), s"$delayMs milliseconds")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+    // restore inside a finally that also covers a throwing build()/start()
+    // — a failed query must not leak the 2-partition override to the rest
+    // of the session
     try {
-      if (rows.nonEmpty) {
-        val hi = rows.map(_.ts.getTime).max
-        val maxUser = rows.map(_.user_id).max
-        // deterministic round-robin disorder: each slice spans the whole
-        // time range, so cross-slice arrival order ≠ event-time order
-        rows.groupBy(_.event_id % nSlices).toSeq.sortBy(_._1)
-          .foreach { case (_, slice) =>
-            in.addData(slice.toSeq: _*); q.processAllAvailable()
+      val q = build(in.toDS(), s"$delayMs milliseconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        if (rows.nonEmpty) {
+          val hi = rows.map(_.ts.getTime).max
+          val maxUser = rows.map(_.user_id).max
+          // deterministic round-robin disorder: each slice spans the whole
+          // time range, so cross-slice arrival order ≠ event-time order
+          rows.groupBy(_.event_id % nSlices).toSeq.sortBy(_._1)
+            .foreach { case (_, slice) =>
+              in.addData(slice.toSeq: _*); q.processAllAvailable()
+            }
+          // Distinct user_id per sentinel: if a future change ever lets the
+          // watermark finalize the first sentinel, two sentinels sharing a
+          // user would emit a phantom __sentinel__→__sentinel__ transition;
+          // distinct users make the invariant structural, not timing-based.
+          (1 to 2).foreach { k =>
+            in.addData(Event(-1L - k, new Timestamp(hi + 2L * k * delayMs),
+              maxUser + k.toLong, "__sentinel__", 0.0))
+            q.processAllAvailable()
           }
-        // Distinct user_id per sentinel: if a future change ever lets the
-        // watermark finalize the first sentinel, two sentinels sharing a
-        // user would emit a phantom __sentinel__→__sentinel__ transition;
-        // distinct users make the invariant structural, not timing-based.
-        (1 to 2).foreach { k =>
-          in.addData(Event(-1L - k, new Timestamp(hi + 2L * k * delayMs),
-            maxUser + k.toLong, "__sentinel__", 0.0))
-          q.processAllAvailable()
         }
-      }
-    } finally {
-      q.stop()
-      spPrev match {
-        case Some(p) => spark.conf.set(spKey, p)
-        case None => spark.conf.unset(spKey)
-      }
+      } finally q.stop()
+    } finally spPrev match {
+      case Some(p) => spark.conf.set(spKey, p)
+      case None => spark.conf.unset(spKey)
     }
     spark.table(name)
   }
@@ -832,24 +834,24 @@ object EventStreams {
     val spKey = "spark.sql.shuffle.partitions"
     val spPrev = spark.conf.getOption(spKey)
     spark.conf.set(spKey, "2")
-    val q = build(in.toDS())
-      .writeStream.format("memory").queryName(name)
-      .outputMode(outputMode).start()
+    // restore inside a finally that also covers a throwing build()/start()
     try {
-      if (rows.nonEmpty) {
-        val (lo, hi) = (rows.head.ts.getTime, rows.last.ts.getTime)
-        val width = math.max(1L, (hi - lo) / nBatches + 1L)
-        rows.groupBy(e => (e.ts.getTime - lo) / width).toSeq.sortBy(_._1)
-          .foreach { case (_, slice) =>
-            in.addData(slice.toSeq: _*); q.processAllAvailable()
-          }
-      }
-    } finally {
-      q.stop()
-      spPrev match {
-        case Some(p) => spark.conf.set(spKey, p)
-        case None => spark.conf.unset(spKey)
-      }
+      val q = build(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(outputMode).start()
+      try {
+        if (rows.nonEmpty) {
+          val (lo, hi) = (rows.head.ts.getTime, rows.last.ts.getTime)
+          val width = math.max(1L, (hi - lo) / nBatches + 1L)
+          rows.groupBy(e => (e.ts.getTime - lo) / width).toSeq.sortBy(_._1)
+            .foreach { case (_, slice) =>
+              in.addData(slice.toSeq: _*); q.processAllAvailable()
+            }
+        }
+      } finally q.stop()
+    } finally spPrev match {
+      case Some(p) => spark.conf.set(spKey, p)
+      case None => spark.conf.unset(spKey)
     }
     spark.table(name)
   }
