@@ -927,20 +927,42 @@ object Dedup {
     * Members sort by (id, tag) inside the group, so `i < j` implies
     * `id_i < id_j` and the output is deterministic.
     *
-    * Returns (id_a, id_b, tag_a, tag_b) with id_a < id_b, tag_a ≠ tag_b. */
+    * NULL fingerprints (NULL text) are dropped before grouping — the
+    * equality self-join this replaces never matches NULLs, so a NULL
+    * group would be pure divergence. Same-tag-only groups are killed
+    * INSIDE the aggregate (`size(collect_set(tag)) > 1` — tag
+    * cardinality is small: languages, sources): a mass-duplicated
+    * boilerplate group whose members all share one tag would otherwise
+    * expand m² in one task and then filter every pair to nothing.
+    * `maxGroupSize` (None = exhaustive, the oracle's shape) additionally
+    * skips genuine cross-tag mega-groups, mirroring
+    * [[minhashCandidates]]'s maxBucketSize: a group of m docs emits up
+    * to C(m,2) pairs, and one degenerate cluster can dominate the job.
+    *
+    * Returns (id_a, id_b, tag_a, tag_b) with id_a < id_b, tag_a ≠ tag_b
+    * (strict: duplicate id values never pair with themselves, matching
+    * the join form's `a.id < b.id`). */
   def crossTagDupPairs(df: DataFrame, idCol: String, tagCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, maxGroupSize: Option[Int] = None): DataFrame = {
     val fp = df.select(col(idCol).as("id"), col(tagCol).as("tag"),
       graft.operators.TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val groups = fp.groupBy("fp")
+      .where(col("fp").isNotNull)
+    val grouped = fp.groupBy("fp")
       .agg(sort_array(collect_list(struct(col("id"), col("tag"))))
-        .as("members"))
-      .where(size(col("members")) > 1)
+        .as("members"),
+        size(collect_set(col("tag"))).as("n_tags"))
+      .where(size(col("members")) > 1 && col("n_tags") > 1)
+      .drop("n_tags")
+    val groups = maxGroupSize match {
+      case None => grouped
+      case Some(cap) => grouped.where(size(col("members")) <= cap)
+    }
     groups
       .select(col("members"), posexplode(col("members")).as(Seq("i", "a")))
       .select(col("i"), col("a"),
         posexplode(col("members")).as(Seq("j", "b")))
-      .where(col("i") < col("j") && col("a.tag") =!= col("b.tag"))
+      .where(col("i") < col("j") && col("a.id") < col("b.id") &&
+        col("a.tag") =!= col("b.tag"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.tag").as("tag_a"), col("b.tag").as("tag_b"))
   }

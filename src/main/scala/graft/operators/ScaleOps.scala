@@ -153,15 +153,33 @@ object ScaleOps {
   def ensureBucketed(df: DataFrame, table: String, buckets: Int,
       bucketCols: Seq[String]): DataFrame = {
     val s = df.sparkSession
-    if (!s.catalog.tableExists(table)) writeBucketed(df, table, buckets, bucketCols)
+    // exists-then-write is check-then-act; serialize concurrent callers in
+    // the same session on the shared session state (cheap: held only for
+    // the existence probe + at most one write), and treat a lost race that
+    // still slips through as "someone else wrote it" rather than a failure.
+    s.sharedState.synchronized {
+      if (!s.catalog.tableExists(table)) {
+        try writeBucketed(df, table, buckets, bucketCols)
+        catch {
+          case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException => ()
+        }
+      }
+    }
     s.table(table)
   }
 
   /** Deterministic catalog-table name for a per-corpus bucketed fixture:
-    * `prefix` + sanitized source dir, so /tmp/x10 and /tmp/x100 corpora
-    * never alias each other's layouts. */
-  def bucketTableName(prefix: String, dir: String): String =
-    prefix + "_" + dir.map(c => if (c.isLetterOrDigit) c else '_')
+    * `prefix` + sanitized source dir + an md5 prefix of the RAW dir string.
+    * The sanitizer maps every non-alphanumeric char to '_', which is not
+    * injective (/tmp/x_10 vs /tmp/x/10); the hash suffix restores
+    * injectivity so distinct corpus dirs can never alias each other's
+    * bucketed layouts within a session. */
+  def bucketTableName(prefix: String, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    prefix + "_" + dir.map(c => if (c.isLetterOrDigit) c else '_') + "_" + digest
+  }
 
   /** Deterministic hash sampling: keep rows whose md5-derived key hash lands
     * under `permille`/1000. Unlike rand()-based sampling this is REPRODUCIBLE

@@ -59,6 +59,46 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("crossTagDupPairs: NULL texts, duplicate ids, single-tag mega-group") {
+    import org.apache.spark.sql.functions.col
+    // a 10k-copy single-tag boilerplate group (zero cross-tag output — must
+    // be killed inside the aggregate, NOT expanded m² and filtered), two
+    // NULL-text rows (the join form's equality key drops NULLs), a
+    // duplicate doc_id carrying two tags (strict id_a < id_b excludes the
+    // self-pair), and one genuine cross-tag group for signal.
+    val boiler = (1L to 10000L).map(i => (i, "the same boilerplate text", "t0"))
+    val rows = boiler ++ Seq(
+      (20001L, null.asInstanceOf[String], "t0"),
+      (20002L, null.asInstanceOf[String], "t1"),
+      (20003L, "shared cross tag body", "t0"),
+      (20003L, "shared cross tag body", "t1"), // duplicate id, two tags
+      (20004L, "shared cross tag body", "t1"))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text", "lang")
+    val got = Dedup.crossTagDupPairs(df, "doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    val fp = df.select(col("doc_id"), col("lang"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val want = fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.lang") =!= col("b.lang"))
+      .select(col("a.doc_id"), col("b.doc_id"), col("a.lang"), col("b.lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got == want)
+    // the cross-tag group survives; no id==id self-pair; no NULL-fp pair
+    assert(got.forall { case (a, b, _, _) => a < b })
+    assert(got.contains((20003L, 20004L, "t0", "t1")))
+    assert(!got.exists { case (a, b, _, _) => a >= 20001L && a <= 20002L || b <= 20002L && b >= 20001L })
+    // maxGroupSize skips groups above the cap (exhaustive shape otherwise)
+    val capped = Dedup.crossTagDupPairs(df, "doc_id", "lang", "text",
+      maxGroupSize = Some(2)).collect()
+    assert(capped.isEmpty) // the surviving cross-tag group has 3 members
+    assert(Dedup.crossTagDupPairs(df, "doc_id", "lang", "text",
+      maxGroupSize = Some(3)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      want.map { case (a, b, _, _) => (a, b) })
+  }
+
   test("containmentPairs == driver brute force on random corpora") {
     import spark.implicits._
     for (seed <- Seq(1, 2, 3, 4, 5)) {
