@@ -37,7 +37,7 @@ object Bench {
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val errored = scala.collection.mutable.SortedSet.empty[String]
     val perPass = Array.fill(nPasses)(0.0)
-    val results = ordered.map { case (name, fn) =>
+    val allTimes = ordered.map { case (name, fn) =>
       val ts = (0 until nPasses).map { p =>
         val t0 = System.nanoTime()
         // a crashed query must not masquerade as a fast one: record it for
@@ -52,6 +52,9 @@ object Bench {
         perPass(p) += t
         t
       }
+      name -> ts
+    }
+    val results = allTimes.map { case (name, ts) =>
       name -> ts.sorted.apply(nPasses / 2)
     }
     // The harness reading this line only keeps a ~2000-char tail of the run
@@ -74,11 +77,55 @@ object Bench {
     val streaming = results.filter(_._1.contains("_stream_")).map(_._2).sum
     val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
     val passes = perPass.map(f3).mkString("[", ",", "]")
+    // Matched-window ratio vs the persisted DuckDB oracle measurement
+    // (ORACLE_BASELINE.json, written by scripts/time_oracle.py): the naive
+    // bench-total-vs-BASELINE comparison cried wolf for three rounds while
+    // the matched-window ratio sat at parity, so the triage-grade numbers
+    // now live IN the bench JSON. Sum the oracle seconds over exactly the
+    // query set this run timed (minus streaming gates, whose Spark cost is
+    // MemoryStream barrier latency, and minus the baseline's skip list),
+    // then report the per-pass Spark totals over that same set and the
+    // resulting ratio band. The baseline is a snapshot from a different
+    // wall window — the BAND is the signal, a single point is not (see
+    // BASELINE.md bracketing protocol); `oracle_meta` carries the
+    // measurement date so staleness is visible.
+    val oraclePath = sys.env.getOrElse("SPARK_GRAFT_ORACLE_BASELINE",
+      "ORACLE_BASELINE.json")
+    val oracleFields: String = {
+      val p = java.nio.file.Paths.get(oraclePath)
+      if (!java.nio.file.Files.exists(p)) "" else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val sfName = sfDir.stripSuffix("/").split('/').last
+        val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfName)
+        if (!sfOk) "" else {
+          val perQ = "\"(q[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+            .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+            .toMap
+          val measured = "\"measured_utc\"\\s*:\\s*\"([^\"]+)\"".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          val matched = allTimes.collect {
+            case (n, ts) if perQ.contains(n) && !n.contains("_stream_") =>
+              n -> ts
+          }
+          val oracleS = matched.map { case (n, _) => perQ(n) }.sum
+          if (oracleS <= 0.0 || matched.isEmpty) "" else {
+            val passS = (0 until nPasses).map(p => matched.map(_._2(p)).sum)
+            val ratios = passS.map(_ / oracleS)
+            s""""oracle_s":${f3(oracleS)},"oracle_n":${matched.size},""" +
+              s""""oracle_meta":"$measured sf=$sfName skip+stream excluded",""" +
+              s""""matched_pass_s":${passS.map(f3).mkString("[", ",", "]")},""" +
+              s""""ratio_windows":[${f3(ratios.min)},${f3(ratios.max)}],"""
+          }
+        }
+      }
+    }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
     val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""streaming_s":${f3(streaming)},"batch_s":${f3(total - streaming)},""" +
-      s""""queries":${toJson(results)},"pass_totals":$passes,""" +
+      s""""queries":${toJson(results)},"pass_totals":$passes,$oracleFields""" +
       s""""errors":$errs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -86,7 +133,7 @@ object Bench {
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""streaming_s":${f3(streaming)},"batch_s":${f3(total - streaming)},""" +
       s""""queries":${toJson(slowest)},"n_queries":${results.size},""" +
-      s""""pass_totals":$passes,"detail":"$detailPath",""" +
+      s""""pass_totals":$passes,"detail":"$detailPath",$oracleFields""" +
       s""""errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

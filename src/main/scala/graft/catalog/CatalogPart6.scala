@@ -1280,5 +1280,71 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
       .orderBy("id_a", "id_b"),
     Some(crossLangDupsOracle))
 
+  /** q213 over an fp-BUCKETED (id, tag, fp) layout — the q212
+    * bucketed-fact pattern applied to the dedup family: the corpus is
+    * fingerprinted and written ONCE per corpus via `bucketBy(32, fp)`
+    * ([[graft.operators.ScaleOps.ensureBucketed]]), so the fp-keyed
+    * duplicate-group aggregation runs over co-located bucketed scans with
+    * NO shuffle exchange below the aggregate (asserted in PlanAuditSpec) —
+    * repeated dup sweeps over a warehoused corpus (cross-tag leaks, exact
+    * groups, incremental re-checks) reuse the layout instead of
+    * re-shuffling 100 TB of fingerprints every query. NULL fingerprints
+    * are dropped at write time (the FromFp entry point's documented
+    * precondition). Identical output to q159/q213 (same oracle). */
+  private[graft] val q214 = QuerySpec(
+    "q214_crosslang_dups_bucketed",
+    (s, dir) => {
+      import graft.operators.ScaleOps
+      val fp = ScaleOps.ensureBucketed(
+        t(s, dir, "documents").select(col("doc_id").as("id"),
+          col("lang").as("tag"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+          .where(col("fp").isNotNull),
+        ScaleOps.bucketTableName("graft_bkt_docfp", dir), 32, Seq("fp"))
+      Dedup.crossTagDupPairsFromFp(fp)
+        .select(col("id_a"), col("id_b"),
+          col("tag_a").as("lang_a"), col("tag_b").as("lang_b"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(crossLangDupsOracle))
+
+  /** Streaming CHECKPOINT RECOVERY gate
+    * ([[graft.streaming.EventStreams.runningTotalsRestartReplay]]): the
+    * per-user running-total stream is stopped after 2 of 4 time slices
+    * and a NEW query resumes from the same checkpoint (RocksDB state +
+    * offsets + file-sink metadata log) for the rest. The oracle models
+    * ONE uninterrupted replay — cumulative (count, micro-sum) per user
+    * per active slice — so any state loss or batch re-emission across
+    * the restart diverges. The crash-recovery contract the checkpoint
+    * machinery exists for, previously gated only for running state
+    * WITHIN a single query lifetime (q202/q206–q211). */
+  private[graft] val q215 = QuerySpec(
+    "q215_stream_restart_totals",
+    (s, dir) => {
+      val ev = graft.streaming.EventStreams.withEventTime(t(s, dir, "events"))
+        .where(col("user_id") % 3 === 2)
+      graft.streaming.EventStreams.runningTotalsRestartReplay(s, ev,
+          nBatches = 4, killAfter = 2)
+        .orderBy("user_id", "n_events")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 1000 AS ms, value
+        FROM events WHERE user_id % 3 = 2),
+      span AS (SELECT min(ms) AS lo, max(ms) AS hi FROM e),
+      sl AS (SELECT user_id, value,
+          (ms - lo) // greatest(1, (hi - lo) // 4 + 1) AS slice
+        FROM e CROSS JOIN span),
+      per AS (SELECT user_id, slice, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS m
+        FROM sl GROUP BY 1, 2),
+      cum AS (SELECT user_id,
+          CAST(sum(n) OVER w AS BIGINT) AS n_events,
+          CAST(sum(m) OVER w AS BIGINT) AS total_micro
+        FROM per
+        WINDOW w AS (PARTITION BY user_id ORDER BY slice
+          ROWS UNBOUNDED PRECEDING))
+      SELECT user_id, n_events, total_micro FROM cum
+      ORDER BY user_id, n_events"""))
+
   // ----------------------------------------------------------- catalog
 }

@@ -943,10 +943,23 @@ object Dedup {
     * (strict: duplicate id values never pair with themselves, matching
     * the join form's `a.id < b.id`). */
   def crossTagDupPairs(df: DataFrame, idCol: String, tagCol: String,
-      textCol: String, maxGroupSize: Option[Int] = None): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), col(tagCol).as("tag"),
-      graft.operators.TextAnalysis.fingerprint(col(textCol)).as("fp"))
-      .where(col("fp").isNotNull)
+      textCol: String, maxGroupSize: Option[Int] = None): DataFrame =
+    crossTagDupPairsFromFp(
+      df.select(col(idCol).as("id"), col(tagCol).as("tag"),
+        graft.operators.TextAnalysis.fingerprint(col(textCol)).as("fp"))
+        .where(col("fp").isNotNull),
+      maxGroupSize)
+
+  /** [[crossTagDupPairs]] over a PRE-FINGERPRINTED (id, tag, fp) relation —
+    * the layout-aware entry point: feed it a table bucketed on `fp`
+    * ([[graft.operators.ScaleOps.ensureBucketed]]) and the fp-keyed
+    * aggregation runs exchange-free (the bucketed scan's hash partitioning
+    * satisfies the aggregate's distribution), so repeated dup sweeps over
+    * a warehoused corpus pay the fingerprint shuffle once at write time —
+    * the q212 bucketed-fact pattern applied to the dedup family. Callers
+    * own the NULL-fp precondition (ensure `fp IS NOT NULL` at write). */
+  def crossTagDupPairsFromFp(fp: DataFrame,
+      maxGroupSize: Option[Int] = None): DataFrame = {
     val grouped = fp.groupBy("fp")
       .agg(sort_array(collect_list(struct(col("id"), col("tag"))))
         .as("members"),

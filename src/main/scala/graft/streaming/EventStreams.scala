@@ -578,6 +578,106 @@ object EventStreams {
     }
   }
 
+  /** CRASH-RECOVERY twin of [[runningTotalsReplay]]: same per-user
+    * running-total state machine, but the query is STOPPED after
+    * `killAfter` of the `nBatches` time slices and a NEW query resumes
+    * from the same checkpoint directory for the remaining slices — the
+    * stop → restart-from-checkpoint contract the RocksDB state store and
+    * the file sink's transactional metadata log exist for. If state
+    * recovery were lossy, every user's running (count, micro-sum) would
+    * reset mid-stream and the output would diverge from the batch oracle,
+    * which models one uninterrupted replay: recovery correctness IS the
+    * row's pass condition. The memory sink cannot restart from a
+    * checkpoint, so this gate writes through the exactly-once parquet
+    * file sink (committed batches are never re-emitted on restart) and
+    * reads the result back through its metadata log. */
+  def runningTotalsRestartReplay(spark: SparkSession, events: DataFrame,
+      nBatches: Int = 4, killAfter: Int = 2): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try
+      replayAcrossRestart(spark, events, nBatches, killAfter,
+          "running_totals_restart") { in =>
+        import spark.implicits._
+        in.groupByKey(_.user_id)
+          .transformWithState(new RunningTotalMicroProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Append())
+          .toDF()
+      }
+        .select(col("user_id"), col("n_events"), col("total_micro"))
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** [[replayAdvances]] with a kill-and-resume in the middle: slices are
+    * cut exactly as there (global time slices, one micro-batch barrier
+    * each), but after `killAfter` slices the query STOPS and a fresh
+    * query — same MemoryStream source, same checkpoint dir, same sink
+    * path — picks up the remaining slices from recovered offsets + state.
+    * The sink is the exactly-once parquet file sink rather than the
+    * memory sink (which rejects checkpoint recovery by design); the
+    * returned DataFrame reads back through the sink's transactional
+    * `_spark_metadata` log, so a batch whose files landed but whose
+    * commit didn't never double-reads. */
+  private def replayAcrossRestart(spark: SparkSession, events: DataFrame,
+      nBatches: Int, killAfter: Int, namePrefix: String)(
+      build: Dataset[Event] => DataFrame): DataFrame = {
+    require(nBatches >= 2, "need >= 2 slices to restart between them")
+    require(killAfter >= 1 && killAfter < nBatches,
+      "killAfter must leave slices on both sides of the restart")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val base = java.nio.file.Files
+      .createTempDirectory(s"graft_${namePrefix}_").toFile
+    val outDir = new java.io.File(base, "out").getAbsolutePath
+    val ckptDir = new java.io.File(base, "ckpt").getAbsolutePath
+    // same micro-batch-barrier shuffle-partition override + restore
+    // discipline as replayAdvances
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = spark.conf.getOption(spKey)
+    spark.conf.set(spKey, "2")
+    try {
+      def start() = build(in.toDS())
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .start()
+      val slices: Seq[Seq[Event]] =
+        if (rows.isEmpty) Seq.empty
+        else {
+          val (lo, hi) = (rows.head.ts.getTime, rows.last.ts.getTime)
+          val width = math.max(1L, (hi - lo) / nBatches + 1L)
+          rows.groupBy(e => (e.ts.getTime - lo) / width).toSeq.sortBy(_._1)
+            .map(_._2.toSeq)
+        }
+      val q1 = start()
+      try slices.take(killAfter).foreach { s =>
+        in.addData(s: _*); q1.processAllAvailable()
+      } finally q1.stop()
+      // the restart: a brand-new query object recovers offsets, sink log,
+      // and RocksDB state from the checkpoint and continues
+      val q2 = start()
+      try slices.drop(killAfter).foreach { s =>
+        in.addData(s: _*); q2.processAllAvailable()
+      } finally q2.stop()
+    } finally spPrev match {
+      case Some(p) => spark.conf.set(spKey, p)
+      case None => spark.conf.unset(spKey)
+    }
+    spark.read.parquet(outDir)
+  }
+
   final case class FunnelAdvance(user_id: Long, stage: Int, stage_name: String,
       ts: Timestamp)
 

@@ -547,6 +547,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q214 bucketed cross-tag dup sweep aggregates with NO corpus exchange") {
+    // The fp-keyed duplicate-group aggregate must be satisfied by the
+    // bucketed layout's hash partitioning: the ONLY exchange allowed in
+    // the whole plan is the final ORDER BY's range partitioning
+    // (presentation, not operator cost).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = planOf("q214_crosslang_dups_bucketed")
+      assert(p.contains("SelectedBucketsCount"), s"scan must be bucket-aware:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+        s"fp aggregation must reuse the bucketed layout (no hash exchange):\n$p")
+      assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1,
+        s"only the presentation sort may range-exchange:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("epochMix is shuffle-free: explode + case chain, no exchange") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = ScaleOpsAccess.epochMix(docs)
