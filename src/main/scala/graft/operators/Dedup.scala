@@ -641,6 +641,11 @@ object Dedup {
         .select("seg_hash"))
     val nHot = hot.count()
     val hotTagged = hot.withColumn("is_hot", lit(1))
+    // record which branch the guard took at volume (the funnel audits in
+    // BASELINE.md cite it); silent below 1M so verify/bench logs stay clean
+    if (nHot > 1000000L) System.err.println(
+      s"[boilerplateStrip] hot segments=$nHot join=" +
+        (if (nHot <= 8000000L) "broadcast" else "shuffle"))
     val hotSide = if (nHot <= 8000000L) broadcast(hotTagged) else hotTagged
     df.select(col(idCol).as("id"),
         size(tokens(col(textCol))).cast("long").as("n_tokens"),
