@@ -764,12 +764,12 @@ private[graft] trait CatalogPart1 extends CatalogBase {
         TRUE AS within_bound
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
-  /** IVF ANN (the trained-partition scale path, q29's LSH sibling): cells by
-    * deterministic seed centroids, query probes nprobe cells, exact re-rank
-    * within. The oracle replays the identical assignment (same cosine fold,
-    * same tie-break), so this approximate index is still value-checked. */
-  private[graft] val q33 = {
-    val (nlist, nprobe) = (16, 4)
+  /** q33's oracle, shared verbatim by the bucketed-index twin q216 (the
+    * layouts produce identical results by construction). nlist=16,
+    * nprobe=4, k=5. */
+  private[graft] val annIvfOracle: String = {
+    val nlist = 16
+    val nprobe = 4
     val cosSql = (a: String, b: String) =>
       s"""list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]),
           (x, y) -> x + y) /
@@ -777,17 +777,7 @@ private[graft] trait CatalogPart1 extends CatalogBase {
           (x, y) -> x + y)) *
          sqrt(list_reduce(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]),
           (x, y) -> x + y)))"""
-    QuerySpec(
-      "q33_ann_ivf",
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 5,
-            nlist = nlist, nprobe = nprobe)
-          .select(col("query_id"), col("rank"), col("neighbor_id"),
-            round(col("cosine"), 6).as("cosine"))
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cent_vec
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cent_vec
           FROM embeddings WHERE vec_id < $nlist),
         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
         assigned AS (SELECT neighbor_id, cv, cid FROM (
@@ -810,8 +800,24 @@ private[graft] trait CatalogPart1 extends CatalogBase {
               ORDER BY cosine DESC, neighbor_id) AS rank
           FROM scored)
         SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
-        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
   }
+
+  /** IVF ANN (the trained-partition scale path, q29's LSH sibling): cells by
+    * deterministic seed centroids, query probes nprobe cells, exact re-rank
+    * within. The oracle replays the identical assignment (same cosine fold,
+    * same tie-break), so this approximate index is still value-checked. */
+  private[graft] val q33 = QuerySpec(
+    "q33_ann_ivf",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 5,
+          nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(annIvfOracle))
 
   /** Token-window chunking (context-window prep). Chunk arithmetic mirrored
     * exactly: step = 40, numChunks = max(1, ceil((n - 10) / 40)). */

@@ -1346,5 +1346,31 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
       SELECT user_id, n_events, total_micro FROM cum
       ORDER BY user_id, n_events"""))
 
+  /** q33 over a cid-BUCKETED IVF assignment table
+    * ([[graft.operators.Similarity.ivfIndexBucketed]]) — the q212/q214
+    * warehousing pattern applied to the ANN family: the corpus-sized cell
+    * assignment (nlist dot products per vector + per-vector argmax window)
+    * runs ONCE at write time and lands bucketed on cid; every subsequent
+    * search reads colocated cells and pays only |queries| × nprobe ×
+    * cell-size scoring plus the candidate-grain top-k window. The
+    * assignment recompute is what [[annIvfOracle]]'s `assigned` CTE models
+    * — and what a production index must never pay per query batch.
+    * Identical output to q33 (same oracle; plan audited: exactly ONE
+    * centroid loop join — the query probe — and a bucket-aware scan). */
+  private[graft] val q216 = QuerySpec(
+    "q216_ann_ivf_bucketed",
+    (s, dir) => {
+      import graft.operators.ScaleOps
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.ivfIndexBucketed(emb, nlist = 16,
+        ScaleOps.bucketTableName("graft_bkt_ivf", dir), buckets = 16)
+      Similarity.ivfSearch(idx, emb.where(col("vec_id") < 8), k = 5,
+          nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(annIvfOracle))
+
   // ----------------------------------------------------------- catalog
 }

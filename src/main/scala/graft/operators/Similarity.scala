@@ -220,6 +220,27 @@ object Similarity {
       nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfSearch(ivfIndex(corpus, nlist, idCol, vecCol), queries, k, nprobe, idCol, vecCol)
 
+  /** [[ivfIndex]] with the assignment table materialized ONCE per corpus as
+    * a cid-bucketed catalog table
+    * ([[graft.operators.ScaleOps.ensureBucketed]]) — the "materialize
+    * `assigned` and amortize it over every query batch" note on [[IvfIndex]]
+    * made concrete, the q212/q214 warehousing pattern applied to the ANN
+    * family. Every subsequent search SKIPS the corpus-sized cell-assignment
+    * pass (nlist dot products per corpus vector plus the per-vector argmax
+    * window — the dominant re-done work of [[ivfTopK]] at scale) and reads
+    * bucket-colocated cells; search cost drops to |queries| × nprobe ×
+    * cell-size scoring plus the candidate-grain top-k window. Centroids are
+    * recomputed per call (nlist rows — free) so the probe plan is untouched. */
+  def ivfIndexBucketed(corpus: DataFrame, nlist: Int, table: String,
+      buckets: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[DataFrame] = None): IvfIndex = {
+    val idx = ivfIndex(corpus, nlist, idCol, vecCol, centroids)
+    IvfIndex(
+      graft.operators.ScaleOps.ensureBucketed(idx.assigned, table, buckets,
+        Seq("cid")),
+      idx.centroids)
+  }
+
   /** IVF recall-calibration curve — measured recall@k of [[ivfTopK]]
     * against the exact [[bruteForceTopK]] ground truth, at every probe
     * count in `sweep`, from ONE scored pass: the "choose nprobe by

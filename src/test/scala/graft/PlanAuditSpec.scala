@@ -564,6 +564,20 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q216 bucketed IVF search never re-runs the corpus cell assignment") {
+    val p33 = planOf("q33_ann_ivf")
+    val p = planOf("q216_ann_ivf_bucketed")
+    // q33 pays TWO centroid loop joins per run (corpus assignment + query
+    // probe); the bucketed index pays only the probe — the corpus-sized
+    // assignment (and its per-vector argmax window) must be absent.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p33).size == 2,
+      s"q33 baseline shape changed:\n$p33")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      s"bucketed search must pay only the query-probe centroid join:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"assignment must come from the bucketed table:\n$p")
+  }
+
   test("epochMix is shuffle-free: explode + case chain, no exchange") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = ScaleOpsAccess.epochMix(docs)
