@@ -621,7 +621,8 @@ object Dedup {
     *     and emits floor(n_tokens / w) segments, so n_segs is per-row
     *     integer arithmetic on n_tokens. */
   def boilerplateStrip(df: DataFrame, idCol: String, textCol: String,
-      segWords: Int = 8, maxDocFreq: Long = 3): DataFrame = {
+      segWords: Int = 8, maxDocFreq: Long = 3,
+      maxBroadcastHot: Long = 8000000L): DataFrame = {
     val segArr = graft.functions.SegmentHashes(col(textCol), segWords)
     // Materialize the hot set BEFORE planning the verdict join: leaving the
     // aggregate inline in one plan measured 45x slower at 2.5M docs (290s
@@ -645,8 +646,12 @@ object Dedup {
     // BASELINE.md cite it); silent below 1M so verify/bench logs stay clean
     if (nHot > 1000000L) System.err.println(
       s"[boilerplateStrip] hot segments=$nHot join=" +
-        (if (nHot <= 8000000L) "broadcast" else "shuffle"))
-    val hotSide = if (nHot <= 8000000L) broadcast(hotTagged) else hotTagged
+        (if (nHot <= maxBroadcastHot) "broadcast" else "shuffle"))
+    // maxBroadcastHot: the branch cap is a parameter so the shuffle
+    // degradation path is FORCEABLE (0 = always shuffle) — replica corpora
+    // can't grow distinct hot segments past the default 8M cap, so without
+    // the knob the fallback would only ever run in unit tests
+    val hotSide = if (nHot <= maxBroadcastHot) broadcast(hotTagged) else hotTagged
     df.select(col(idCol).as("id"),
         size(tokens(col(textCol))).cast("long").as("n_tokens"),
         // explode_outer: zero-segment and null-text docs keep their row

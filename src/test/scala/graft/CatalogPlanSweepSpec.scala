@@ -88,10 +88,14 @@ class CatalogPlanSweepSpec extends SparkSpec {
                               //   dense model grid: range(dim) ×
                               //   |classes|-row class totals — FIXED
                               //   dim·|classes| rows by construction
-    "q205_conformal_hashed")  // q201's hashed-model scalars/grid (contract
+    "q205_conformal_hashed",  // q201's hashed-model scalars/grid (contract
                               //   above) + q189's conformal algebra: 1-row
                               //   n_cal × α-grid and the ≤|grid|-row
                               //   threshold table into the eval pass
+    "q216_ann_ivf_bucketed")  // the q33 contract minus the assignment:
+                              //   ONLY the query-probe × nlist-centroid
+                              //   broadcast remains (PlanAuditSpec pins
+                              //   the count at exactly one)
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

@@ -72,6 +72,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(k7 == t7 - 16)
   }
 
+  test("boilerplateStrip: forced shuffle branch == broadcast branch") {
+    // maxBroadcastHot = 0 forces the size-guard's degradation path (the
+    // shuffle join a data-sized hot set would trigger at corpus scale);
+    // output must be identical to the broadcast branch row-for-row
+    val broadcastOut = Dedup.boilerplateStrip(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val shuffleOut = Dedup.boilerplateStrip(docs, "doc_id", "text",
+        maxBroadcastHot = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(broadcastOut.toSeq == shuffleOut.toSeq)
+  }
+
   test("boilerplateStrip on corpus: kept_tokens identity, no doc lost") {
     val out = Dedup.boilerplateStrip(docs, "doc_id", "text")
     assert(out.count() == docs.count())
