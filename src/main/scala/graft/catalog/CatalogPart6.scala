@@ -1372,5 +1372,49 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
     },
     Some(annIvfOracle))
 
+  /** Checkpoint recovery for the OTHER stateful machinery
+    * ([[graft.streaming.EventStreams.funnelRestartReplay]]): q215 gates
+    * transformWithState + RocksDB across a stop/resume; this row gates
+    * flatMapGroupsWithState + the default state provider through the same
+    * kill-and-resume harness — a user mid-funnel at the restart must
+    * resume from the recovered stage, a completed user must stay terminal
+    * (state loss re-walks from stage 0 and emits duplicate advances). The
+    * oracle is q202's greedy walk over a disjoint user slice: one
+    * uninterrupted replay, restart-invisible. */
+  private[graft] val q217 = QuerySpec(
+    "q217_stream_restart_funnel",
+    (s, dir) => {
+      val ev = graft.streaming.EventStreams.withEventTime(t(s, dir, "events"))
+        .where(col("user_id") % 5 === 1)
+      graft.streaming.EventStreams.funnelRestartReplay(s, ev,
+          Seq("signup", "view", "purchase"), nBatches = 4, killAfter = 2)
+        .orderBy("user_id", "stage")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+          event_type
+        FROM events WHERE user_id % 5 = 1),
+      s1 AS (SELECT user_id, ts, event_id FROM (
+          SELECT user_id, ts, event_id, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM e WHERE event_type = 'signup') WHERE rn = 1),
+      s2 AS (SELECT user_id, ts, event_id FROM (
+          SELECT e.user_id, e.ts, e.event_id, row_number() OVER (
+            PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+          FROM e JOIN s1 ON s1.user_id = e.user_id
+          WHERE e.event_type = 'view'
+            AND (e.ts, e.event_id) > (s1.ts, s1.event_id)) WHERE rn = 1),
+      s3 AS (SELECT user_id, ts, event_id FROM (
+          SELECT e.user_id, e.ts, e.event_id, row_number() OVER (
+            PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+          FROM e JOIN s2 ON s2.user_id = e.user_id
+          WHERE e.event_type = 'purchase'
+            AND (e.ts, e.event_id) > (s2.ts, s2.event_id)) WHERE rn = 1),
+      adv AS (SELECT user_id, 1 AS stage, 'signup' AS stage_name, ts FROM s1
+        UNION ALL SELECT user_id, 2, 'view', ts FROM s2
+        UNION ALL SELECT user_id, 3, 'purchase', ts FROM s3)
+      SELECT user_id, CAST(stage AS BIGINT) AS stage, stage_name,
+        CAST(ts AS BIGINT) AS ts_us
+      FROM adv ORDER BY user_id, stage"""))
+
   // ----------------------------------------------------------- catalog
 }

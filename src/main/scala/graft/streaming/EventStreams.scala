@@ -614,6 +614,22 @@ object EventStreams {
     }
   }
 
+  /** [[funnelReplay]] across a kill-and-resume ([[replayAcrossRestart]]):
+    * the flatMapGroupsWithState + default-state-provider recovery twin of
+    * [[runningTotalsRestartReplay]] (which gates transformWithState +
+    * RocksDB — a DIFFERENT state machinery under the same checkpoint
+    * contract). A user mid-funnel at the restart must resume from the
+    * recovered stage and a completed user must stay terminal — state loss
+    * would re-walk from stage 0 and emit duplicate advances; the oracle
+    * models one uninterrupted greedy walk, so any divergence fails the
+    * row. */
+  def funnelRestartReplay(spark: SparkSession, events: DataFrame,
+      steps: Seq[String], nBatches: Int = 4, killAfter: Int = 2): DataFrame =
+    replayAcrossRestart(spark, events, nBatches, killAfter,
+        "funnel_restart")(in => funnelAdvances(in, steps).toDF())
+      .select(col("user_id"), col("stage").cast("long").as("stage"),
+        col("stage_name"), unix_micros(col("ts")).as("ts_us"))
+
   /** [[replayAdvances]] with a kill-and-resume in the middle: slices are
     * cut exactly as there (global time slices, one micro-batch barrier
     * each), but after `killAfter` slices the query STOPS and a fresh
