@@ -16,6 +16,68 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // ---- in-window oracle measurement (round-15 verdict item 2) ----
+    // Re-time the DuckDB oracle inside THIS bench's wall window by invoking
+    // scripts/time_oracle.py over exactly the non-streaming queries this
+    // run will time — before the Spark warmup, so the two engines never
+    // compete for cores. A stale snapshot published a 2.4x ratio for an
+    // engine whose same-window band was [0.94, 1.40] (round 15); a fresh
+    // measurement makes ratio_windows self-consistent by construction. The
+    // snapshot-file path below stays as the fallback, but a snapshot older
+    // than SPARK_GRAFT_ORACLE_MAX_AGE_S (default 900 s) SUPPRESSES the
+    // ratio instead of crying wolf.
+    val oracleSkip = sys.env
+      .getOrElse("SPARK_GRAFT_ORACLE_SKIP", "q140_incremental_components")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // per-query oracle seconds: accepts scientific notation (Python's
+    // json.dump emits 9e-05 for sub-1e-4 timings; the old [0-9.]+ regex
+    // would parse the mantissa alone and inflate oracle_s)
+    val oracleNumRe =
+      "\"(q[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+(?:[eE][+-]?[0-9]+)?)".r
+    def parsePerQ(txt: String): Map[String, Double] =
+      oracleNumRe.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val oracleScript = sys.env.getOrElse("SPARK_GRAFT_ORACLE_SCRIPT",
+      "scripts/time_oracle.py")
+    val freshOracle: Option[Map[String, Double]] =
+      if (sys.env.get("SPARK_GRAFT_ORACLE_FRESH").contains("off") ||
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(oracleScript)))
+        None
+      else try {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_oracle_")
+          .toFile
+        val sqlJson = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+          .collect { case (k, v)
+            if ordered.exists(_._1 == k) && !k.contains("_stream_") &&
+              !oracleSkip(k) =>
+            graft.core.Jsons.str(k) + ": " + graft.core.Jsons.str(v)
+          }.mkString("{", ",", "}")
+        java.nio.file.Files.write(
+          new java.io.File(tmp, "oracle_sql.json").toPath,
+          sqlJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val outFile = new java.io.File(tmp, "fresh.json")
+        System.err.println(s"[bench] timing DuckDB oracle in-window ($oracleScript)")
+        val pb = new ProcessBuilder("python3", oracleScript, sfDir,
+          tmp.getAbsolutePath, oracleSkip.mkString(","),
+          outFile.getAbsolutePath)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        val p = pb.start()
+        val done = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { p.destroyForcibly(); None }
+        else if (p.exitValue() != 0 || !outFile.exists()) None
+        else {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(outFile.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val perQ = parsePerQ(txt)
+          if (perQ.isEmpty) None else Some(perQ)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] in-window oracle failed: ${e.getMessage}")
+        None
+      }
+    val oracleMeasuredMs = System.currentTimeMillis()
     // discarded FULL warmup pass: the first executions pay JVM C2/JIT
     // compilation of the engine's own hot paths, janino codegen, and
     // per-table scan metadata — costs that otherwise land unevenly on
@@ -91,34 +153,61 @@ object Bench {
     // measurement date so staleness is visible.
     val oraclePath = sys.env.getOrElse("SPARK_GRAFT_ORACLE_BASELINE",
       "ORACLE_BASELINE.json")
+    val maxOracleAgeS = sys.env
+      .getOrElse("SPARK_GRAFT_ORACLE_MAX_AGE_S", "900").toLong
     val oracleFields: String = {
-      val p = java.nio.file.Paths.get(oraclePath)
-      if (!java.nio.file.Files.exists(p)) "" else {
-        val txt = new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val sfName = sfDir.stripSuffix("/").split('/').last
-        val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
-          .exists(_.group(1) == sfName)
-        if (!sfOk) "" else {
-          val perQ = "\"(q[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
-            .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
-            .toMap
-          val measured = "\"measured_utc\"\\s*:\\s*\"([^\"]+)\"".r
-            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      val sfName = sfDir.stripSuffix("/").split('/').last
+      // (perQ, meta, age of the measurement in seconds at report time)
+      val source: Option[(Map[String, Double], String, Long)] =
+        freshOracle match {
+          case Some(perQ) =>
+            val age = (System.currentTimeMillis() - oracleMeasuredMs) / 1000L
+            Some((perQ, s"in-window sf=$sfName skip+stream excluded", age))
+          case None =>
+            val p = java.nio.file.Paths.get(oraclePath)
+            if (!java.nio.file.Files.exists(p)) None else {
+              val txt = new String(java.nio.file.Files.readAllBytes(p),
+                java.nio.charset.StandardCharsets.UTF_8)
+              val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+                .exists(_.group(1) == sfName)
+              if (!sfOk) None else {
+                val measured = "\"measured_utc\"\\s*:\\s*\"([^\"]+)\"".r
+                  .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+                val age = try {
+                  java.time.Duration.between(
+                    java.time.OffsetDateTime.parse(measured).toInstant,
+                    java.time.Instant.now()).getSeconds
+                } catch { case _: Throwable => Long.MaxValue }
+                Some((parsePerQ(txt), s"$measured sf=$sfName skip+stream excluded",
+                  age))
+              }
+            }
+        }
+      source match {
+        case None => ""
+        case Some((perQ, meta, ageS)) =>
+          // a query that errored contributes near-zero Spark wall time but
+          // full oracle seconds — it must not bias the ratio toward parity
           val matched = allTimes.collect {
-            case (n, ts) if perQ.contains(n) && !n.contains("_stream_") =>
+            case (n, ts) if perQ.contains(n) && !n.contains("_stream_") &&
+                !errored.contains(n) =>
               n -> ts
           }
           val oracleS = matched.map { case (n, _) => perQ(n) }.sum
           if (oracleS <= 0.0 || matched.isEmpty) "" else {
             val passS = (0 until nPasses).map(p => matched.map(_._2(p)).sum)
             val ratios = passS.map(_ / oracleS)
+            val ratioField =
+              if (ageS <= maxOracleAgeS)
+                s""""ratio_windows":[${f3(ratios.min)},${f3(ratios.max)}],"""
+              else
+                s""""ratio_windows_suppressed":"oracle snapshot ${ageS}s old """ +
+                  s"""(max ${maxOracleAgeS}s) - re-run scripts/time_oracle.py","""
             s""""oracle_s":${f3(oracleS)},"oracle_n":${matched.size},""" +
-              s""""oracle_meta":"$measured sf=$sfName skip+stream excluded",""" +
+              s""""oracle_age_s":$ageS,"oracle_meta":"$meta",""" +
               s""""matched_pass_s":${passS.map(f3).mkString("[", ",", "]")},""" +
-              s""""ratio_windows":[${f3(ratios.min)},${f3(ratios.max)}],"""
+              ratioField
           }
-        }
       }
     }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",

@@ -164,6 +164,22 @@ object ScaleOps {
           case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException => ()
         }
       }
+      // Reuse must be reuse OF THE SAME LAYOUT: a second caller passing a
+      // different bucket count/columns under the same table name would
+      // silently get the stale layout and every exchange-free plan
+      // assumption downstream would quietly break. Fail loudly instead —
+      // distinct layouts belong under distinct names (bucketTableName
+      // derives the name from the corpus; fold the spec in if a call site
+      // genuinely needs two specs of one corpus).
+      val spec = s.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec
+      require(spec.exists(b => b.numBuckets == buckets &&
+          b.bucketColumnNames == bucketCols),
+        s"ensureBucketed('$table'): existing table has bucket spec " +
+          s"${spec.map(b => s"(${b.numBuckets}, ${b.bucketColumnNames})")
+            .getOrElse("<none>")} but the caller asked for " +
+          s"($buckets, $bucketCols) - use a distinct table name per layout")
     }
     s.table(table)
   }

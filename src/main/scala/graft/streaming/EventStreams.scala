@@ -691,7 +691,23 @@ object EventStreams {
       case Some(p) => spark.conf.set(spKey, p)
       case None => spark.conf.unset(spKey)
     }
-    spark.read.parquet(outDir)
+    // Read back EAGERLY with the build's own schema (an empty filtered feed
+    // writes no parquet files, and schema inference over a fileless sink
+    // dir would throw where "no rows" is the correct answer), then delete
+    // the whole temp tree — a lazy read would have to leak it per gate run.
+    // The collect is the same documented bounded class as the feed collect
+    // above: gate slices, hundreds of rows.
+    val schema = build(in.toDS()).schema
+    val sunk: Seq[org.apache.spark.sql.Row] =
+      if (!new java.io.File(outDir).exists()) Seq.empty
+      else spark.read.schema(schema).parquet(outDir).collect().toSeq
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(base)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(sunk, math.max(1, sunk.size min 2)),
+      schema)
   }
 
   final case class FunnelAdvance(user_id: Long, stage: Int, stage_name: String,
