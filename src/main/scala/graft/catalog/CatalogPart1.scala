@@ -507,18 +507,22 @@ private[graft] trait CatalogPart1 extends CatalogBase {
       SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  /** Embedding near-dup pairs above a cosine threshold. */
+  /** Embedding near-dup pairs above a cosine threshold. Runs over
+    * [[seededEmb]] (the corpus plus two literal seed vectors at cosine
+    * 1/sqrt(2)) so the gate is non-vacuous at every sf — the sf0.01
+    * corpus has no natural >=0.6 pair under vec_id < 32. */
   private[graft] val q23 = QuerySpec(
     "q23_embedding_neardup",
     (s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = seededEmb(s, dir)
       Similarity.thresholdPairs(emb, emb.where(col("vec_id") < 32), minCosine = 0.6)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("neighbor_id"))
     },
-    Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        FROM embeddings WHERE vec_id < 32),
-      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    Some(s"""WITH emb AS ($seededEmbSql),
+      q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM emb WHERE vec_id < 32),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM emb),
       scored AS (SELECT query_id, neighbor_id,
           list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]),
             (x, y) -> x + y) /

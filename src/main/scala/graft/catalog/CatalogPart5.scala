@@ -341,14 +341,15 @@ private[graft] trait CatalogPart5 extends CatalogPart4 {
     * poison per-language corpora. Fingerprint-keyed self-join: id-only
     * shuffle, bounded by duplicate-group sizes. */
   private[graft] val crossLangDupsOracle: String =
-    """WITH fp AS (SELECT doc_id, lang,
+    s"""WITH docs AS ($seededDocsSql),
+      fp AS (SELECT doc_id, lang,
         CASE WHEN len(str_split(text, ' ')) = 0 THEN 0
           ELSE list_reduce(
             list_transform(str_split(text, ' '),
               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 100003),
             (acc, x) -> (acc * 31 + x) % 1000000007)
         END AS fp
-        FROM documents)
+        FROM docs)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         a.lang AS lang_a, b.lang AS lang_b
       FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -358,7 +359,9 @@ private[graft] trait CatalogPart5 extends CatalogPart4 {
   private[graft] val q159 = QuerySpec(
     "q159_crosslang_dups",
     (s, dir) => {
-      val fp = t(s, dir, "documents")
+      // seededDocs, not the raw table: keeps this gate non-vacuous at
+      // every sf (see CatalogBase.seedDocRows)
+      val fp = seededDocs(s, dir)
         .select(col("doc_id"), col("lang"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
       fp.as("a").join(fp.as("b"),

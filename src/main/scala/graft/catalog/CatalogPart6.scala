@@ -1274,7 +1274,7 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
   private[graft] val q213 = QuerySpec(
     "q213_crosslang_dups_grouped",
     (s, dir) => graft.operators.Dedup.crossTagDupPairs(
-        t(s, dir, "documents"), "doc_id", "lang", "text")
+        seededDocs(s, dir), "doc_id", "lang", "text")
       .select(col("id_a"), col("id_b"),
         col("tag_a").as("lang_a"), col("tag_b").as("lang_b"))
       .orderBy("id_a", "id_b"),
@@ -1296,7 +1296,7 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
     (s, dir) => {
       import graft.operators.ScaleOps
       val fp = ScaleOps.ensureBucketed(
-        t(s, dir, "documents").select(col("doc_id").as("id"),
+        seededDocs(s, dir).select(col("doc_id").as("id"),
           col("lang").as("tag"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
           .where(col("fp").isNotNull),
