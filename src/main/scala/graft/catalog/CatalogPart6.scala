@@ -1416,5 +1416,67 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
         CAST(ts AS BIGINT) AS ts_us
       FROM adv ORDER BY user_id, stage"""))
 
+  /** Checkpoint recovery for the WATERMARK-ORDERED family
+    * ([[graft.streaming.EventStreams.lastTouchRestartReplayOrdered]]):
+    * q215/q217 gate running-total and funnel state across a stop/resume,
+    * but the ordered attribution twins buffer rows in state AWAITING the
+    * watermark — and the kill here lands exactly mid-buffer (the feed's
+    * watermark delay spans the whole event range, so at the restart
+    * nothing has finalized: every fed row lives in a per-user pending
+    * buffer that the resumed query must recover, along with the restored
+    * watermark and the event-time timers). RocksDB provider — the
+    * recovery-matrix cell the other two gates leave open
+    * (flatMapGroupsWithState + EventTimeTimeout + RocksDB). The oracle is
+    * the batch last-touch walk: one uninterrupted replay, so a lost
+    * buffer (dropped attributions) or a re-emitted batch (doubled ones)
+    * diverges. */
+  private[graft] val q218 = QuerySpec(
+    "q218_stream_restart_ordered",
+    (s, dir) => {
+      val ev = graft.streaming.EventStreams.withEventTime(t(s, dir, "events"))
+        .where(col("user_id") % 7 === 3)
+      graft.streaming.EventStreams.lastTouchRestartReplayOrdered(s, ev,
+          Seq("click", "view"), "purchase", nSlices = 4, killAfter = 2)
+        .select(col("user_id"), col("channel"),
+          round(col("value"), 6).as("value"), col("ts_us"))
+        .orderBy("user_id", "ts_us", "channel")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+          event_type, value
+        FROM events WHERE user_id % 7 = 3
+          AND event_type IN ('click', 'view', 'purchase')),
+      walk AS (SELECT user_id, ts, value, event_type,
+          last_value(CASE WHEN event_type IN ('click', 'view')
+              THEN event_type END IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+        FROM e)
+      SELECT user_id, coalesce(ch, 'direct') AS channel,
+        round(value, 6) AS value, CAST(ts AS BIGINT) AS ts_us
+      FROM walk WHERE event_type = 'purchase'
+      ORDER BY user_id, ts_us, channel"""))
+
+  /** q19 over BUCKETED minhash layouts
+    * ([[graft.operators.Dedup.minhashCandidatesBucketed]]) — the
+    * q212/q214/q216 warehousing pattern applied to the last repeated
+    * corpus shuffle in the dedup family: signatures land bucketed on id,
+    * band keys land bucketed+sorted on a fused single-column band key, so
+    * the LSH self-join and the signature join-backs read co-located
+    * buckets with no corpus-side exchange (asserted in PlanAuditSpec);
+    * per-sweep shuffle cost is pair-grain only. Identical output to q19
+    * (same oracle). */
+  private[graft] val q219 = QuerySpec(
+    "q219_dedup_minhash_bucketed",
+    (s, dir) => {
+      import graft.operators.ScaleOps
+      Dedup.minhashCandidatesBucketed(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16,
+          ScaleOps.bucketTableName("graft_bkt_mhsig", dir),
+          ScaleOps.bucketTableName("graft_bkt_mhband", dir))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(minhashOracle(numHashes = 32, bands = 16)))
+
   // ----------------------------------------------------------- catalog
 }

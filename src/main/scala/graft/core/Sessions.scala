@@ -43,6 +43,16 @@ object Sessions {
       // as long and convert with integer division (see QueryCatalog q28).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // propagate bucketed tables' sortBy order to the scan. Guarded by
+      // Spark behind a legacy flag because it is only sound when every
+      // bucket is a single file — which ScaleOps.writeBucketed guarantees
+      // by construction (repartition on the bucket key before the write);
+      // Spark still checks the per-bucket file count at plan time and
+      // silently drops the ordering when the precondition fails, so a
+      // foreign multi-file bucketed table stays correct. Without this the
+      // band-key self-join (q219) re-sorts corpus-sized partitions the
+      // layout already sorted at write time.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // bucketed-table writes need a warehouse; keep it out of the repo tree
       // AND unique per JVM — the default metastore is in-memory, so a reused
       // on-disk location would orphan table directories across runs

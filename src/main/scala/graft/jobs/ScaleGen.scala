@@ -37,6 +37,19 @@ object ScaleGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf_x10")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // docMode "boilerplate" (round-15 verdict item 6): replica corpora grow
+    // boilerplate OCCURRENCES, never distinct segments, so the
+    // boilerplateStrip hot-set guard's shuffle branch could only ever be
+    // FORCED (maxBroadcastHot = 0) — the >cap regime was unreachable with
+    // real data-shaped growth. This mode grows DISTINCT boilerplate with
+    // the corpus: every group of 3 consecutive doc ids shares a prepended
+    // block of `bpSegs` distinct 8-token segments (unique to the group), so
+    // each segment occurs in exactly 3 docs (>= the default maxDocFreq 3 →
+    // hot) and the hot-set size is ceil(docs / 3) * bpSegs — past the 8M
+    // broadcast cap at 500k docs with bpSegs = 50. Only documents.parquet
+    // is (re)written in this mode: the guard probe reads nothing else.
+    val docMode = args.lift(3).getOrElse("suffix")
+    val bpSegs = args.lift(4).map(_.toInt).getOrElse(50)
     val s = graft.core.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     s.sparkContext.setLogLevel("WARN")
@@ -48,6 +61,30 @@ object ScaleGen {
       val t0 = System.nanoTime()
       df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
       println(f"SCALEGEN $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    if (docMode == "boilerplate") {
+      val sfx = concat(lit("r"), col("rep").cast("string"))
+      val did = col("doc_id") + col("rep") * 1000000L
+      // per-group distinct boilerplate block: group = did div 3, segments
+      // j in [0, bpSegs), tokens bp_<g>_<j>_<w> for w in [0, 8)
+      val block = array_join(flatten(
+        transform(sequence(lit(0), lit(bpSegs - 1)), j =>
+          transform(sequence(lit(0), lit(7)), w =>
+            concat_ws("_", lit("bp"), col("_g").cast("string"),
+              j.cast("string"), w.cast("string"))))), " ")
+      write("documents")(reps(s.read.parquet(s"$src/documents.parquet"))
+        .withColumn("_g", (did / 3).cast("long"))
+        .select(did.as("doc_id"),
+          concat(block, lit(" "),
+            when(col("rep") === 0, col("text"))
+              .otherwise(concat_ws(" ",
+                transform(split(col("text"), " "), t => concat(t, sfx)))))
+            .as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+      s.stop()
+      return
     }
 
     // dims: copy unchanged (facts grow, dims don't)

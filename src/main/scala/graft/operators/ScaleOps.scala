@@ -135,7 +135,17 @@ object ScaleOps {
     * metastore), hence saveAsTable rather than a path write. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       bucketCols: Seq[String]): Unit =
-    df.write
+    // repartition on the bucket columns with numPartitions = buckets: the
+    // repartition hash family matches the bucket assignment, so each write
+    // task holds exactly one bucket's rows → ONE file per bucket. Spark
+    // only propagates a bucketed table's sortBy order to the scan when
+    // every bucket is a single file; without this, downstream sort-merge
+    // joins re-sort per partition (no exchange, but a spill-prone sort of
+    // corpus-sized data the layout already paid for at write time). The
+    // explicit exchange costs nothing extra — it replaces the write
+    // fan-out of buckets-many files per input task.
+    df.repartition(buckets, bucketCols.map(col): _*)
+      .write
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .mode("overwrite")

@@ -630,6 +630,122 @@ object EventStreams {
       .select(col("user_id"), col("stage").cast("long").as("stage"),
         col("stage_name"), unix_micros(col("ts")).as("ts_us"))
 
+  /** [[lastTouchReplayOrdered]] ACROSS A KILL-AND-RESUME — the hardest
+    * recovery case of the watermark-ordered family (round-15 verdict item
+    * 4): the disordered round-robin feed buffers rows in state awaiting
+    * the watermark (delay = full span, so during the data slices NOTHING
+    * has finalized — every fed row is in the per-user pending buffer),
+    * and the query is killed exactly there. The resumed query must
+    * recover the buffers, the restored watermark, AND the event-time
+    * timers from the checkpoint, then replay everything in event-time
+    * order when the sentinels flush — lost buffers would silently drop
+    * attributions, a re-emitted batch would double them. RocksDB provider
+    * (the matrix cell q215/q217 leave open: flatMapGroupsWithState +
+    * EventTimeTimeout + RocksDB under restart). Oracle: the batch
+    * last-touch walk — one uninterrupted replay, restart-invisible. */
+  def lastTouchRestartReplayOrdered(spark: SparkSession, events: DataFrame,
+      touchTypes: Seq[String], convType: String,
+      nSlices: Int = 4, killAfter: Int = 2): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try
+      replayDisorderedAcrossRestart(spark, events, nSlices, killAfter,
+          "last_touch_ordered_restart")(
+        (in, delay) => lastTouchAdvancesOrdered(in, touchTypes, convType,
+          delay).toDF())
+        .select(col("user_id"), col("channel"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** [[replayDisordered]] with a kill-and-resume between slices — the
+    * union of the two gate scaffolds: round-robin (event_id % nSlices)
+    * slices + full-span watermark + two-sentinel flush from
+    * [[replayDisordered]], checkpointed file-sink stop/recover from
+    * [[replayAcrossRestart]]. The kill lands after `killAfter` slices,
+    * i.e. MID-BUFFER by construction (the watermark cannot have passed
+    * any real event yet); the sentinels that trigger the ordered replay
+    * are fed only to the RESUMED query. */
+  private def replayDisorderedAcrossRestart(spark: SparkSession,
+      events: DataFrame, nSlices: Int, killAfter: Int, namePrefix: String)(
+      build: (Dataset[Event], String) => DataFrame): DataFrame = {
+    require(nSlices >= 2, "need >= 2 slices to restart between them")
+    require(killAfter >= 1 && killAfter < nSlices,
+      "killAfter must leave slices on both sides of the restart")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val spanMs = if (rows.isEmpty) 0L
+      else rows.map(_.ts.getTime).max - rows.map(_.ts.getTime).min
+    val delayMs = spanMs + 60000L
+    val delayStr = s"$delayMs milliseconds"
+    val base = java.nio.file.Files
+      .createTempDirectory(s"graft_${namePrefix}_").toFile
+    val outDir = new java.io.File(base, "out").getAbsolutePath
+    val ckptDir = new java.io.File(base, "ckpt").getAbsolutePath
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = spark.conf.getOption(spKey)
+    spark.conf.set(spKey, "2")
+    try {
+      def start() = build(in.toDS(), delayStr)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .start()
+      val slices: Seq[Seq[Event]] =
+        if (rows.isEmpty) Seq.empty
+        else rows.groupBy(_.event_id % nSlices).toSeq.sortBy(_._1)
+          .map(_._2.toSeq)
+      val q1 = start()
+      try slices.take(killAfter).foreach { s =>
+        in.addData(s: _*); q1.processAllAvailable()
+      } finally q1.stop()
+      // restart: the resumed query recovers offsets, the sink metadata
+      // log, the RocksDB state (with every pending buffer), the restored
+      // watermark, and the event-time timers
+      val q2 = start()
+      try {
+        slices.drop(killAfter).foreach { s =>
+          in.addData(s: _*); q2.processAllAvailable()
+        }
+        if (rows.nonEmpty) {
+          val hi = rows.map(_.ts.getTime).max
+          val maxUser = rows.map(_.user_id).max
+          (1 to 2).foreach { k =>
+            in.addData(Event(-1L - k, new Timestamp(hi + 2L * k * delayMs),
+              maxUser + k.toLong, "__sentinel__", 0.0))
+            q2.processAllAvailable()
+          }
+        }
+      } finally q2.stop()
+    } finally spPrev match {
+      case Some(p) => spark.conf.set(spKey, p)
+      case None => spark.conf.unset(spKey)
+    }
+    // eager read-back + temp cleanup, same rationale as replayAcrossRestart
+    val schema = build(in.toDS(), delayStr).schema
+    val sunk: Seq[org.apache.spark.sql.Row] =
+      if (!new java.io.File(outDir).exists()) Seq.empty
+      else spark.read.schema(schema).parquet(outDir).collect().toSeq
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(base)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(sunk, math.max(1, sunk.size min 2)),
+      schema)
+  }
+
   /** [[replayAdvances]] with a kill-and-resume in the middle: slices are
     * cut exactly as there (global time slices, one micro-batch barrier
     * each), but after `killAfter` slices the query STOPS and a fresh

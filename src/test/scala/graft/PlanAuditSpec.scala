@@ -564,6 +564,38 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q219 bucketed minhash sweep: no corpus-side exchange, no sort on " +
+      "the band self-join") {
+    // Corpus-sized shuffles are paid once at write time: the band self-join
+    // reads the bkey-bucketed/sorted table on both sides (no Exchange, no
+    // Sort below it), and the signature join-backs reuse the id-bucketed
+    // scan. Only pair-grain exchanges remain: the candidate distinct plus
+    // the pairs side of the two join-backs (<= 3 hash exchanges) and the
+    // presentation ORDER BY (<= 1 range exchange).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = planOf("q219_dedup_minhash_bucketed")
+      assert(p.contains("SelectedBucketsCount"),
+        s"scans must be bucket-aware:\n$p")
+      assert(p.contains("SortMergeJoin"),
+        s"joins must sort-merge over the bucketed layout, not broadcast " +
+          s"a corpus-sized side:\n$p")
+      assert(!p.contains("BroadcastHashJoin") &&
+          !p.contains("BroadcastExchange"),
+        s"no corpus-sized broadcast allowed:\n$p")
+      val hot = p.linesIterator
+        .filter(l => l.contains("Exchange") || l.contains("Sort "))
+      assert(!hot.exists(_.contains("bkey")),
+        s"band self-join must reuse the bucketed sort order (no exchange, " +
+          s"no re-sort on bkey):\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+        s"only pair-grain exchanges allowed:\n$p")
+      assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1,
+        s"only the presentation sort may range-exchange:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("q216 bucketed IVF search never re-runs the corpus cell assignment") {
     val p33 = planOf("q33_ann_ivf")
     val p = planOf("q216_ann_ivf_bucketed")

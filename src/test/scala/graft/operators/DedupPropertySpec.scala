@@ -258,4 +258,21 @@ class DedupPropertySpec extends SparkSpec {
       graft.core.CacheScope.drain()
     }
   }
+
+  test("minhashCandidatesBucketed == minhashCandidates on the test corpus " +
+      "(fused band key changes the layout, never the candidate set)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val base = canon(Dedup.minhashCandidates(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16))
+    graft.core.CacheScope.drain()
+    val bucketed = canon(Dedup.minhashCandidatesBucketed(docs, "doc_id",
+      "text", shingleSize = 3, numHashes = 32, bands = 16,
+      graft.operators.ScaleOps.bucketTableName("graft_test_mhsig", sfDir),
+      graft.operators.ScaleOps.bucketTableName("graft_test_mhband", sfDir)))
+    assert(bucketed == base)
+    assert(base.nonEmpty, "vacuous corpus: no candidate pairs at all")
+  }
 }

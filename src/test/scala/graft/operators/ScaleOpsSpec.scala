@@ -192,6 +192,15 @@ class ScaleOpsSpec extends SparkSpec {
     // distinct dirs never alias
     assert(ScaleOps.bucketTableName("p", "/tmp/x10") !=
       ScaleOps.bucketTableName("p", "/tmp/x100"))
+    // reuse must be reuse of the SAME layout: a different bucket count or
+    // column set under the same name fails loudly instead of silently
+    // handing back the stale layout
+    intercept[IllegalArgumentException] {
+      ScaleOps.ensureBucketed(nation, name, 4, Seq("n_nationkey"))
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.ensureBucketed(nation, name, 2, Seq("n_regionkey"))
+    }
   }
 
   test("hashSample: deterministic, composable across tables, ~proportional") {

@@ -868,6 +868,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === Seq((1L, "view", 7.0), (2L, "direct", 3.0)))
   }
 
+  test("lastTouchRestartReplayOrdered: a kill MID-BUFFER (nothing " +
+      "finalized) recovers pending buffers, watermark, and timers") {
+    import spark.implicits._
+    val before = spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+    // slices by event_id % 4, kill after slices {0, 1}: u1's purchase
+    // (id 4 → slice 0) and click (id 1 → slice 1) are fed BEFORE the kill
+    // and — the watermark spanning the whole range — sit entirely in the
+    // pending buffer at the restart; the view (id 3 → slice 3) that must
+    // win last-touch arrives only in the RESUMED query, which then flushes
+    // on the sentinels. Lost state would drop u1's purchase or credit
+    // "click"; a re-emitted batch would double u2's direct credit.
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 1.0),
+      (3L, ts(10), 1L, "view", 1.0),
+      (4L, ts(20), 1L, "purchase", 7.0),
+      (5L, ts(1), 2L, "purchase", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStreams.lastTouchRestartReplayOrdered(spark, ev,
+        Seq("click", "view"), "purchase", nSlices = 4, killAfter = 2)
+      .orderBy("user_id", "ts_us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "view", 7.0), (2L, "direct", 3.0)))
+    // provider override is scoped to the gate and restored
+    assert(spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass") === before)
+  }
+
   test("linearReplayOrdered: disordered touches still union into the " +
       "batch-exact split set; empty input keeps the schema") {
     import spark.implicits._
