@@ -1163,15 +1163,23 @@ private[graft] trait CatalogPart5 extends CatalogPart4 {
           heur.join(nb, "doc_id"), col("lang_heur"), col("predicted"))
         .orderBy(col("a_label"), col("b_label"))
     },
-    Some {
-      val hitExpr = TextAnalysis.StopwordsByLang.map { case (lang, ws) =>
-        val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
-        s"CAST(len(list_filter(str_split(text, ' '), t -> list_contains($list, t))) AS BIGINT) AS ${lang}_hits"
-      }.mkString(",\n          ")
-      val langs = TextAnalysis.StopwordsByLang.map(_._1)
-      val bestExpr = langs.map(l => s"${l}_hits").reduce((a, b) => s"greatest($a, $b)")
-      val caseArms = langs.map(l => s"WHEN ${l}_hits = best THEN '$l'").mkString(" ")
-      s"""WITH $NbOracleCtes,
+    Some(raterKappaOracle(NbOracleCtes)))
+
+  /** The q180 oracle, parametric in the classifier: `predCtes` must be a
+    * CTE chain whose LAST cte is `ranked(id, cls, rn)` (both the exact
+    * [[NbOracleCtes]] and the hashed chain used by q201/q220 end there).
+    * The rest — lang-id heuristic labels, confusion cells, Cohen's kappa
+    * in integer micros — is identical between the exact and hashed
+    * kappa rows by construction. */
+  private[graft] def raterKappaOracle(predCtes: String): String = {
+    val hitExpr = TextAnalysis.StopwordsByLang.map { case (lang, ws) =>
+      val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"CAST(len(list_filter(str_split(text, ' '), t -> list_contains($list, t))) AS BIGINT) AS ${lang}_hits"
+    }.mkString(",\n          ")
+    val langs = TextAnalysis.StopwordsByLang.map(_._1)
+    val bestExpr = langs.map(l => s"${l}_hits").reduce((a, b) => s"greatest($a, $b)")
+    val caseArms = langs.map(l => s"WHEN ${l}_hits = best THEN '$l'").mkString(" ")
+    s"""WITH $predCtes,
         lhits AS (SELECT doc_id, $hitExpr FROM documents),
         lsc AS (SELECT *, $bestExpr AS best FROM lhits),
         heur AS (SELECT doc_id,
@@ -1201,7 +1209,7 @@ private[graft] trait CatalogPart5 extends CatalogPart4 {
               AS BIGINT) END AS kappa_micro
         FROM cells CROSS JOIN tots CROSS JOIN pes
         ORDER BY a_label, b_label"""
-    })
+  }
 
   /** Approximate functional-dependency audit
     * ([[graft.operators.DataChecks.fdViolations]], the TANE g₃ error):

@@ -658,12 +658,11 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
     * its 10×/100× factors stay flat where the exact model's track the
     * vocab. Same micro-nat integer posterior contract; argmax ties break
     * by class name in both engines. */
-  private[graft] val q201 = QuerySpec(
-    "q201_nb_hashed_predict",
-    (s, dir) => TextAnalysis.naiveBayesHashedPredict(
-        t(s, dir, "documents"), "doc_id", "text", "lang", dim = 64)
-      .orderBy(col("id")),
-    Some("""WITH tk AS (SELECT doc_id AS id, lang AS label,
+  /** The hashed-NB CTE chain (ends in `ranked(id, label, cls, post_q,
+    * rn)`) — shared by q201's predict row and q220's hashed-kappa row,
+    * and the hashed mirror of [[NbOracleCtes]]. */
+  private[graft] val NbHashedOracleCtes: String =
+    """tk AS (SELECT doc_id AS id, lang AS label,
           unnest(str_split(text, ' ')) AS tok
         FROM documents),
       tfh AS (SELECT id, label,
@@ -692,7 +691,14 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
         FROM post JOIN priors p ON p.cls = post.cls),
       ranked AS (SELECT id, label, cls, post_q, row_number() OVER (
           PARTITION BY id ORDER BY post_q DESC, cls) AS rn
-        FROM scored)
+        FROM scored)"""
+
+  private[graft] val q201 = QuerySpec(
+    "q201_nb_hashed_predict",
+    (s, dir) => TextAnalysis.naiveBayesHashedPredict(
+        t(s, dir, "documents"), "doc_id", "text", "lang", dim = 64)
+      .orderBy(col("id")),
+    Some(s"""WITH $NbHashedOracleCtes
       SELECT id, label, cls AS predicted, post_q, (cls = label) AS correct
       FROM ranked WHERE rn = 1 ORDER BY id"""))
 
@@ -1477,6 +1483,29 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
         .orderBy(col("id_a"), col("id_b"))
     },
     Some(minhashOracle(numHashes = 32, bands = 16)))
+
+  /** q180's rater-kappa audit with the HASHED classifier as rater B —
+    * shipping the scale path the q180 profile named (round-16): the
+    * exact-NB chain is q180's 1×-tier floor AND its vocab-tracking
+    * second-decade growth (the model is |vocab|·|classes| rows; suffix
+    * replicas multiply vocab). The hashed twin's model is a fixed
+    * dim×|classes| grid, so the kappa audit inherits q201's flat-in-vocab
+    * shape — the variant a 100-TB corpus would actually run. Same
+    * confusion-cell + Cohen's-kappa contract, same heuristic rater A. */
+  private[graft] val q220 = QuerySpec(
+    "q220_rater_kappa_hashed",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val heur = d.select(col("doc_id"),
+        TextAnalysis.langIdGuess(col("text")).as("lang_heur"))
+      val nb = TextAnalysis.naiveBayesHashedPredict(
+          d, "doc_id", "text", "lang", dim = 64)
+        .select(col("id").as("doc_id"), col("predicted"))
+      graft.operators.DataChecks.raterAgreement(
+          heur.join(nb, "doc_id"), col("lang_heur"), col("predicted"))
+        .orderBy(col("a_label"), col("b_label"))
+    },
+    Some(raterKappaOracle(NbHashedOracleCtes)))
 
   // ----------------------------------------------------------- catalog
 }
