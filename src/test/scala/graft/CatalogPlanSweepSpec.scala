@@ -88,6 +88,10 @@ class CatalogPlanSweepSpec extends SparkSpec {
                               //   dense model grid: range(dim) ×
                               //   |classes|-row class totals — FIXED
                               //   dim·|classes| rows by construction
+    "q220_rater_kappa_hashed", // q201's hashed-model scalars/grid (fixed
+                              //   dim·|classes| rows) + q180's kappa
+                              //   1-row broadcasts into the |labels|²
+                              //   cell table
     "q205_conformal_hashed",  // q201's hashed-model scalars/grid (contract
                               //   above) + q189's conformal algebra: 1-row
                               //   n_cal × α-grid and the ≤|grid|-row

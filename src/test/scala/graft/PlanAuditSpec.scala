@@ -416,10 +416,14 @@ class PlanAuditSpec extends SparkSpec {
                              //   |classes|-row ctot; the model grid is the
                              //   FIXED dim×|classes| frame — the bounded
                              //   funnels are the point of the hashed twin
-      "q205_conformal_hashed" // q201's hashed-model 1-row scalars + q189's
+      "q205_conformal_hashed", // q201's hashed-model 1-row scalars + q189's
                              //   n_cal 1-row agg and bounded nonconformity
                              //   histogram cumsum (the qualityGate
                              //   contract, shared conformal core)
+      "q220_rater_kappa_hashed" // q201's hashed-model 1-row scalars
+                             //   (ntot + fixed dim×|classes| grid) + q180's
+                             //   (n_total, po_n)/pe_s 1-row aggs over the
+                             //   ≤|labels|² cell frame
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")
