@@ -197,8 +197,13 @@ object Bench {
           if (oracleS <= 0.0 || matched.isEmpty) "" else {
             val passS = (0 until nPasses).map(p => matched.map(_._2(p)).sum)
             val ratios = passS.map(_ / oracleS)
+            // the age gate exists for the SNAPSHOT fallback (a file from
+            // some earlier wall window); a fresh measurement is in-window
+            // by construction — its "age" is just this run's duration, so
+            // suppressing on it would punish exactly the slow windows the
+            // bracketing is for
             val ratioField =
-              if (ageS <= maxOracleAgeS)
+              if (freshOracle.isDefined || ageS <= maxOracleAgeS)
                 s""""ratio_windows":[${f3(ratios.min)},${f3(ratios.max)}],"""
               else
                 s""""ratio_windows_suppressed":"oracle snapshot ${ageS}s old """ +
