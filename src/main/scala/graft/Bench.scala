@@ -155,6 +155,39 @@ object Bench {
       "ORACLE_BASELINE.json")
     val maxOracleAgeS = sys.env
       .getOrElse("SPARK_GRAFT_ORACLE_MAX_AGE_S", "900").toLong
+    // ---- Spark-side window-health anchor (round-16 verdict item 2) ----
+    // Three fast catalog queries with committed clean-window references
+    // (BASELINE.md round-15 closing, sf0.1: q01 0.213 s, q05 0.338 s,
+    // q19 0.822 s) are already timed once per pass at their alphabetical
+    // slots — q01 at the pass start, q05 just after, q19 mid-pass — so
+    // each pass yields one interleaved health sample: (anchor wall sum) /
+    // (reference sum), ~1.0 in a clean window, ~2.0 when the host has
+    // decayed 2x. On this VM decay hits the barrier-heavy 32-thread JVM
+    // and leaves single-threaded DuckDB untouched (round-16 driver run:
+    // matching oracle times, 1.6x Spark totals), so the oracle ratio
+    // alone cannot distinguish engine regression from host decay — the
+    // health factor can, and ships IN the JSON so a decayed window is
+    // self-labeling. References are sf0.1 measurements; the field only
+    // appears at sf0.1.
+    val anchorRefs = Map(
+      "q01_group_sum" -> 0.213, "q05_join_chain" -> 0.338,
+      "q19_dedup_minhash" -> 0.822)
+    val windowHealth: Option[IndexedSeq[Double]] = {
+      val sfName = sfDir.stripSuffix("/").split('/').last
+      val anchors = allTimes.filter { case (n, _) =>
+        anchorRefs.contains(n) && !errored.contains(n) }
+      if (sfName != "sf0.1" || anchors.isEmpty) None
+      else {
+        val refSum = anchors.map { case (n, _) => anchorRefs(n) }.sum
+        Some((0 until nPasses)
+          .map(p => anchors.map(_._2(p)).sum / refSum))
+      }
+    }
+    val windowHealthFields: String = windowHealth match {
+      case None => ""
+      case Some(h) =>
+        s""""window_health":${h.map(f3).mkString("[", ",", "]")},"""
+    }
     val oracleFields: String = {
       val sfName = sfDir.stripSuffix("/").split('/').last
       // (perQ, meta, age of the measurement in seconds at report time)
@@ -187,10 +220,14 @@ object Bench {
         case None => ""
         case Some((perQ, meta, ageS)) =>
           // a query that errored contributes near-zero Spark wall time but
-          // full oracle seconds — it must not bias the ratio toward parity
+          // full oracle seconds — it must not bias the ratio toward parity.
+          // oracleSkip applies on BOTH sources: the fresh path excludes
+          // skip-listed queries at SQL-generation time, and without the
+          // same filter here a snapshot containing one (e.g. q140) would
+          // compute its band over a different query set than a fresh run.
           val matched = allTimes.collect {
             case (n, ts) if perQ.contains(n) && !n.contains("_stream_") &&
-                !errored.contains(n) =>
+                !errored.contains(n) && !oracleSkip(n) =>
               n -> ts
           }
           val oracleS = matched.map { case (n, _) => perQ(n) }.sum
@@ -201,34 +238,59 @@ object Bench {
             // some earlier wall window); a fresh measurement is in-window
             // by construction — its "age" is just this run's duration, so
             // suppressing on it would punish exactly the slow windows the
-            // bracketing is for
+            // bracketing is for. BUT the fresh oracle runs BEFORE warmup
+            // while the Spark passes span the whole bench: when that span
+            // exceeds the max age, the two engines may straddle a decay
+            // boundary, so the ratio ships with a drift-risk flag (the
+            // window_health anchors are the arbiter in that case).
             val ratioField =
-              if (freshOracle.isDefined || ageS <= maxOracleAgeS)
+              if (freshOracle.isDefined)
+                s""""ratio_windows":[${f3(ratios.min)},${f3(ratios.max)}],""" +
+                  (if (ageS > maxOracleAgeS)
+                    s""""oracle_window_drift_risk":true,"""
+                  else "")
+              else if (ageS <= maxOracleAgeS)
                 s""""ratio_windows":[${f3(ratios.min)},${f3(ratios.max)}],"""
               else
                 s""""ratio_windows_suppressed":"oracle snapshot ${ageS}s old """ +
                   s"""(max ${maxOracleAgeS}s) - re-run scripts/time_oracle.py","""
+            // decay-normalized band: each pass's ratio divided by that
+            // pass's window-health factor — the closest in-file estimate
+            // of the clean-window ratio when the run landed in a decayed
+            // window (Spark-asymmetric decay inflates ratios, health
+            // deflates them back)
+            val normField = windowHealth match {
+              case Some(h) if h.size == ratios.size && h.forall(_ > 0) =>
+                val norm = ratios.zip(h).map { case (r, f) => r / f }
+                s""""ratio_windows_healthnorm":[${f3(norm.min)},${f3(norm.max)}],"""
+              case _ => ""
+            }
             s""""oracle_s":${f3(oracleS)},"oracle_n":${matched.size},""" +
-              s""""oracle_age_s":$ageS,"oracle_meta":"$meta",""" +
+              s""""oracle_age_s":$ageS,""" +
+              s""""oracle_meta":${graft.core.Jsons.str(meta)},""" +
               s""""matched_pass_s":${passS.map(f3).mkString("[", ",", "]")},""" +
-              ratioField
+              ratioField + normField
           }
       }
     }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_DETAIL.json")
+    val sfJson = graft.core.Jsons.str(sfDir)
     val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""streaming_s":${f3(streaming)},"batch_s":${f3(total - streaming)},""" +
-      s""""queries":${toJson(results)},"pass_totals":$passes,$oracleFields""" +
-      s""""errors":$errs,"sf":"$sfDir"}"""
+      s""""queries":${toJson(results)},"pass_totals":$passes,""" +
+      s"""$windowHealthFields$oracleFields""" +
+      s""""errors":$errs,"sf":$sfJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val slowest = results.sortBy(-_._2).take(40).sortBy(_._1)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""streaming_s":${f3(streaming)},"batch_s":${f3(total - streaming)},""" +
       s""""queries":${toJson(slowest)},"n_queries":${results.size},""" +
-      s""""pass_totals":$passes,"detail":"$detailPath",$oracleFields""" +
-      s""""errors":$errs,"sf":"$sfDir"}""")
+      s""""pass_totals":$passes,""" +
+      s""""detail":${graft.core.Jsons.str(detailPath)},""" +
+      s"""$windowHealthFields$oracleFields""" +
+      s""""errors":$errs,"sf":$sfJson}""")
     spark.stop()
   }
 }

@@ -1507,5 +1507,120 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
     },
     Some(raterKappaOracle(NbHashedOracleCtes)))
 
+  /** q72's incremental dedup against a PRE-BUILT corpus index
+    * ([[graft.operators.Dedup.minhashCandidatesIndexed]]) — closing the
+    * last per-batch corpus-sized cost in the production ingest loop:
+    * q72 re-shingles and re-signs the standing corpus on every ingest
+    * batch; here the corpus signatures/band keys are q219-style bucketed
+    * layouts built once per corpus, and a batch pays only its own
+    * signatures plus a batch-grain probe into the co-located corpus
+    * buckets (zero corpus-side exchange, pinned in PlanAuditSpec). Same
+    * (corpus, batch) split as q72 (doc_id % 4), identical output, same
+    * oracle. */
+  private[graft] val q221 = QuerySpec(
+    "q221_incremental_dedup_indexed",
+    (s, dir) => {
+      import graft.operators.ScaleOps
+      val docs = t(s, dir, "documents")
+      Dedup.minhashCandidatesIndexed(
+          docs.where(col("doc_id") % 4 =!= 0),
+          docs.where(col("doc_id") % 4 === 0),
+          "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+          sigTable = ScaleOps.bucketTableName("graft_bkt_incsig", dir),
+          bandTable = ScaleOps.bucketTableName("graft_bkt_incband", dir))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH ${minhashCtes(numHashes = 32, bands = 16)}
+      SELECT id_a, id_b, est_jaccard FROM cand
+      WHERE id_a % 4 = 0 OR id_b % 4 = 0
+      ORDER BY id_a, id_b"""))
+
+  /** q88's BM25 over a STANDING bucketed postings index
+    * ([[graft.operators.Retrieval.bm25TopKIndexed]]) — the warehousing
+    * pattern applied to the retrieval family: the full inverted index
+    * (every (doc, token) posting) lands once per corpus bucketed+sorted
+    * on tok with the 1-row corpus stats beside it; a query batch reads
+    * only the bucket-pruned ≤|Q| buckets, aggregates document frequency
+    * exchange-free on the bucket layout, and runs the shared scoring
+    * tail. Per-query cost O(matched postings), not O(corpus tokens).
+    * Identical output to q88 (same oracle). */
+  private[graft] val q222 = QuerySpec(
+    "q222_bm25_indexed",
+    (s, dir) => {
+      import graft.operators.ScaleOps
+      graft.operators.Retrieval.bm25TopKIndexed(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "stream", "vector", "big"), k = 20,
+          postingsTable = ScaleOps.bucketTableName("graft_bkt_postings", dir),
+          statsTable = ScaleOps.bucketTableName("graft_tbl_docstats", dir))
+        .withColumnRenamed("id", "doc_id")
+    },
+    q88.oracle)
+
+  /** Checkpoint recovery for the MERGE-SWAP metrics sink
+    * ([[graft.streaming.EventStreams.driftMonitorRestartReplay]]):
+    * q215/q217/q218 gate the three state-machinery cells; this row gates
+    * the standing-counts drift monitor through its HARDEST crash window —
+    * the injected kill lands after the counts merge-swap published but
+    * before the PSI generation appended, exactly where the applied-flag
+    * alone would lose the generation forever. The resumed run replays the
+    * batch, detects merge-landed/generation-missing, and repairs the
+    * append. The oracle models one uninterrupted replay — per-slice
+    * cumulative (group, bin) counts, the q118 PSI grid per generation —
+    * so a lost generation (missing batch_id) or a doubled one diverges. */
+  private[graft] val q223 = QuerySpec(
+    "q223_stream_restart_drift",
+    (s, dir) => {
+      val ev = graft.streaming.EventStreams.withEventTime(t(s, dir, "events"))
+        .where(col("user_id") % 3 === 0)
+      graft.streaming.EventStreams.driftMonitorRestartReplay(s, ev,
+          "event_type", floor(col("value") * 2), nSlices = 4, crashOnSlice = 2)
+        .orderBy("batch_id", "g")
+    },
+    Some("""WITH e AS (SELECT event_type AS g,
+          CAST(floor(value * 2) AS BIGINT) AS bin, epoch_us(ts) // 1000 AS ms
+        FROM events WHERE user_id % 3 = 0),
+      span AS (SELECT min(ms) AS lo, max(ms) AS hi FROM e),
+      sl AS (SELECT g, bin,
+          (ms - lo) // greatest(1, (hi - lo) // 4 + 1) AS slice
+        FROM e CROSS JOIN span),
+      batches AS (SELECT slice, dense_rank() OVER (ORDER BY slice) - 1
+          AS batch_id
+        FROM (SELECT DISTINCT slice FROM sl)),
+      cum AS (SELECT b.batch_id, s.g, s.bin, count(*) AS c
+        FROM batches b JOIN sl s ON s.slice <= b.slice GROUP BY 1, 2, 3),
+      gs AS (SELECT DISTINCT batch_id, g FROM cum),
+      bs AS (SELECT DISTINCT batch_id, bin FROM cum),
+      grid AS (SELECT gs.batch_id, gs.g, bs.bin, coalesce(cum.c, 0) AS c
+        FROM gs JOIN bs ON bs.batch_id = gs.batch_id
+        LEFT JOIN cum ON cum.batch_id = gs.batch_id AND cum.g = gs.g
+          AND cum.bin = bs.bin),
+      tot AS (SELECT batch_id, g, CAST(sum(c) AS BIGINT) AS tot_g,
+          count(*) AS nb
+        FROM grid GROUP BY 1, 2),
+      bint AS (SELECT batch_id, bin, CAST(sum(c) AS BIGINT) AS glob_bin
+        FROM grid GROUP BY 1, 2),
+      gt AS (SELECT batch_id, CAST(sum(c) AS BIGINT) AS grand
+        FROM grid GROUP BY 1),
+      terms AS (SELECT grid.batch_id, grid.g,
+          (CAST(grid.c AS DOUBLE) + 1)
+            / (CAST(tot.tot_g AS DOUBLE) + 1 * CAST(tot.nb AS DOUBLE)) AS pa,
+          (CAST(bint.glob_bin - grid.c AS DOUBLE) + 1)
+            / (CAST(gt.grand - tot.tot_g AS DOUBLE)
+               + 1 * CAST(tot.nb AS DOUBLE)) AS pb
+        FROM grid
+        JOIN tot ON tot.batch_id = grid.batch_id AND tot.g = grid.g
+        JOIN bint ON bint.batch_id = grid.batch_id AND bint.bin = grid.bin
+        JOIN gt ON gt.batch_id = grid.batch_id),
+      psi AS (SELECT batch_id, g,
+          CAST(sum(CAST(round((pa - pb) * ln(pa / pb) * 1000000.0, 0)
+            AS BIGINT)) AS BIGINT) AS psi_micro
+        FROM terms GROUP BY 1, 2)
+      SELECT CAST(batch_id AS BIGINT) AS batch_id, g, psi_micro,
+        CASE WHEN psi_micro >= 250000 THEN 'major'
+             WHEN psi_micro >= 100000 THEN 'moderate'
+             ELSE 'ok' END AS flag
+      FROM psi ORDER BY batch_id, g"""))
+
   // ----------------------------------------------------------- catalog
 }

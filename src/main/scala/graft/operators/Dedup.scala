@@ -241,8 +241,7 @@ object Dedup {
       sigTable, buckets, Seq("id"))
     val banded = graft.operators.ScaleOps.ensureBucketed(
       lshBands(sigs, "id", "sig", bands, rowsPerBand)
-        .select(md5(concat_ws("|", col("band_idx"), col("band_hash")))
-          .as("bkey"), col("id")),
+        .select(fusedBandKey.as("bkey"), col("id")),
       bandTable, buckets, Seq("bkey"))
     // bucketed + sorted on bkey: the self-join sort-merges over co-located
     // scans — zero exchange, zero sort (asserted in PlanAuditSpec). The
@@ -268,6 +267,18 @@ object Dedup {
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
           .cast("double") / lit(numHashes)).as("est_jaccard"))
   }
+
+  /** The one fused band-join key over a (band_idx, band_hash) frame,
+    * shared by every bucketed band layout: built with NULL-PROPAGATING
+    * concat, not concat_ws — concat_ws silently drops NULL parts, so a
+    * NULL band_hash would fuse to md5(band_idx) and rows would join where
+    * the two-column equi-join (NULL != NULL) would not. concat makes the
+    * key itself NULL in that case and NULL keys never match — the fused
+    * join's semantics equal the two-column join's by construction, not by
+    * an unstated band_hash-is-never-null invariant. (Today band_hash is
+    * always a non-null md5, so values are unchanged.) */
+  private def fusedBandKey: Column =
+    md5(concat(col("band_idx").cast("string"), lit("|"), col("band_hash")))
 
   /** Incremental LSH dedup — candidate near-dup pairs for a NEW batch of
     * documents against an existing corpus and within the batch itself,
@@ -315,6 +326,91 @@ object Dedup {
     pairs
       .join(sigsAll.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigsAll.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / lit(numHashes)).as("est_jaccard"))
+  }
+
+  /** [[minhashCandidatesIncremental]] against a PRE-BUILT corpus index —
+    * the composed warehouse form that function's docstring names: the
+    * unindexed incremental path re-shingles and re-signs the CORPUS on
+    * every ingest batch, the one remaining per-batch corpus-sized cost in
+    * the production ingest loop. Here the corpus signatures and band keys
+    * are standing bucketed layouts (the q219 pattern,
+    * [[graft.operators.ScaleOps.ensureBucketed]]): signatures
+    * bucketed+sorted on id, band keys bucketed+sorted on the single fused
+    * [[fusedBandKey]] — both built ONCE per corpus at write time. Per
+    * ingest batch, only the BATCH is shingled and signed; its band rows
+    * shuffle batch-grain into the corpus buckets (merge join: the corpus
+    * side scans co-located and pre-sorted — zero corpus-side exchange,
+    * zero corpus-side sort, pinned in PlanAuditSpec), and the est-jaccard
+    * join-backs read the bucketed signature table the same way (corpus
+    * sigs never move; only pair-grain rows exchange). Per-ingest work
+    * scales with |batch| × collision rate; the corpus index is READ,
+    * never recomputed and never re-shuffled. Output identical to
+    * [[minhashCandidatesIncremental]] over the same (corpus, batch) split
+    * — same oracle, property-tested equality.
+    *
+    * Ids must be disjoint across corpus and batch (the caller's identity
+    * contract, as in the unindexed form). After admission, a production
+    * job appends the admitted batch's sigs/bands to the standing index —
+    * a compaction-style per-bucket rewrite keeps the one-file-per-bucket
+    * sort guarantee (see [[graft.sources.Compaction]]); this function is
+    * the per-batch READ path that makes that index pay. */
+  def minhashCandidatesIndexed(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      sigTable: String, bandTable: String, buckets: Int = 32): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // the standing corpus index: built once per (session, corpus), then
+    // read back bucketed — repeated ingest batches in one session (and
+    // every batch of a warehoused corpus) skip straight to the scans
+    val sigsOld = graft.operators.ScaleOps.ensureBucketed(
+      minhashSigs(oldDf, idCol, textCol, shingleSize, numHashes),
+      sigTable, buckets, Seq("id"))
+    val bandsOld = graft.operators.ScaleOps.ensureBucketed(
+      lshBands(sigsOld, "id", "sig", bands, rowsPerBand)
+        .select(fusedBandKey.as("bkey"), col("id")),
+      bandTable, buckets, Seq("bkey"))
+    // the batch side: |new| signatures, persisted because they feed the
+    // band probe AND the est-jaccard join-backs
+    val sigsNew = graft.core.CacheScope.persist(
+      minhashSigs(newDf, idCol, textCol, shingleSize, numHashes))
+    val bandsNew = lshBands(sigsNew, "id", "sig", bands, rowsPerBand)
+      .select(fusedBandKey.as("bkey"), col("id"))
+    // new × old: the batch probes the corpus buckets; merge-hinted so the
+    // corpus side keeps its exchange-free bucketed-scan shape (AQE would
+    // broadcast the CORPUS band table at test scale — unbuildable at
+    // warehouse scale). Ids are disjoint by contract, so every bucket
+    // match is a real cross pair; canonicalize to id_a < id_b.
+    val newOld = bandsNew.as("l")
+      .join(bandsOld.as("r").hint("merge"), Seq("bkey"))
+      .select(least(col("l.id"), col("r.id")).as("id_a"),
+        greatest(col("l.id"), col("r.id")).as("id_b"))
+    // new × new: batch-grain self-join — tiny both sides, any strategy
+    val newNew = bandsNew.as("l")
+      .join(bandsNew.as("r"), Seq("bkey"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val pairs = newOld.unionByName(newNew).distinct()
+    // est-jaccard join-backs: each pair endpoint's signature comes from
+    // the bucketed corpus table (merge-hinted: sigs side pre-sorted and
+    // co-located, only the pair-grain side exchanges) OR from the batch
+    // sigs (left joins + coalesce — a union of the two sig frames would
+    // re-exchange the corpus side and forfeit the layout)
+    val withA = pairs
+      .join(sigsOld.select(col("id").as("id_a"), col("sig").as("_sa_old"))
+        .hint("merge"), Seq("id_a"), "left")
+      .join(sigsNew.select(col("id").as("id_a"), col("sig").as("_sa_new")),
+        Seq("id_a"), "left")
+      .withColumn("sig_a", coalesce(col("_sa_old"), col("_sa_new")))
+    withA
+      .join(sigsOld.select(col("id").as("id_b"), col("sig").as("_sb_old"))
+        .hint("merge"), Seq("id_b"), "left")
+      .join(sigsNew.select(col("id").as("id_b"), col("sig").as("_sb_new")),
+        Seq("id_b"), "left")
+      .withColumn("sig_b", coalesce(col("_sb_old"), col("_sb_new")))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)

@@ -60,6 +60,16 @@ object Retrieval {
       avg(size(split(col(textCol), " ")).cast("long")).as("avgdl"))
     // document frequency per query term: ≤|Q| rows
     val dfreq = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    bm25ScoreTail(postings, dfreq, stats, k, k1, b)
+  }
+
+  /** The shared BM25 scoring tail over an already-cut postings frame
+    * (id, dl, tok, tf), its per-term document frequencies, and the 1-row
+    * corpus stats — identical in [[bm25TopK]] (postings cut from a live
+    * corpus scan) and [[bm25TopKIndexed]] (postings cut from the standing
+    * bucketed index), so the two forms cannot drift. */
+  private def bm25ScoreTail(postings: DataFrame, dfreq: DataFrame,
+      stats: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     val idf = log(((col("n_docs") - col("df")) + lit(0.5)) /
       (col("df") + lit(0.5)) + lit(1.0))
     val denom = col("tf") + lit(k1) *
@@ -74,6 +84,79 @@ object Retrieval {
       .agg(sum("micro").as("score_micro"), count(lit(1)).as("n_terms"))
       .orderBy(col("score_micro").desc, col("id"))
       .limit(k)
+  }
+
+  /** EVERY distinct (doc, token) posting of the corpus — (id, dl, tok,
+    * tf) — the frame a standing inverted index warehouses. Narrow (one
+    * scan, no shuffle); the index write pays the tok exchange once. */
+  private def fullPostings(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("dl"),
+        explode(graft.functions.TokenCounts(col(textCol))).as("tc"))
+      .select(col("id"), col("dl"), col("tc.tok").as("tok"),
+        col("tc.tf").as("tf"))
+
+  /** [[bm25TopK]] over a STANDING bucketed postings index — the
+    * q212/q214/q216/q219 warehousing pattern applied to the retrieval
+    * family (round-16 verdict item 5): every [[bm25TopK]] call
+    * re-tokenizes and re-explodes the whole corpus to cut its postings —
+    * fine for one query batch, but a standing corpus answers MANY batches
+    * (eval-set construction, decontamination sweeps, quality probes), and
+    * that per-call corpus scan is the repeated cost. Here the full
+    * inverted index ([[fullPostings]]) lands ONCE per corpus, bucketed +
+    * sorted on `tok` ([[graft.operators.ScaleOps.ensureBucketed]]), and
+    * the 1-row corpus stats land beside it
+    * ([[graft.operators.ScaleOps.ensureTable]]); a query batch then
+    *  - cuts postings with `tok IN (...)` — BUCKET-PRUNED: the scan reads
+    *    only the ≤|Q| buckets that can hold a query term
+    *    (SelectedBucketsCount in the plan), never the corpus index;
+    *  - aggregates document frequency by `tok` EXCHANGE-FREE (the scan is
+    *    already hash-distributed on tok by the bucket layout);
+    *  - runs the shared [[bm25ScoreTail]]: broadcast dfreq/stats joins,
+    *    one pair-grain exchange on id for the per-doc sum, TakeOrdered.
+    * Per-query cost is O(postings of matched terms), not O(corpus
+    * tokens). Output identical to [[bm25TopK]] (same oracle). */
+  def bm25TopKIndexed(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      postingsTable: String, statsTable: String, buckets: Int = 32,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct.size == queryTerms.size,
+      "bm25TopKIndexed needs a non-empty, duplicate-free term list")
+    val postings = graft.operators.ScaleOps.ensureBucketed(
+      fullPostings(df, idCol, textCol), postingsTable, buckets, Seq("tok"))
+    val stats = graft.operators.ScaleOps.ensureTable(
+      df.agg(count(lit(1)).as("n_docs"),
+        avg(size(split(col(textCol), " ")).cast("long")).as("avgdl")),
+      statsTable)
+    // two bucket-pruned scans (dfreq + scoring) beat caching here: a
+    // persist would pin the cut in memory per query batch for no reuse
+    // beyond these two consumers, and each scan touches only the ≤|Q|
+    // pruned buckets
+    val cut = postings.where(col("tok").isin(queryTerms: _*))
+    val dfreq = cut.groupBy("tok").agg(count(lit(1)).as("df"))
+    bm25ScoreTail(cut, dfreq, stats, k, k1, b)
+  }
+
+  /** [[coordinateTopK]] over the same standing postings index as
+    * [[bm25TopKIndexed]] (shared table name — one index serves the whole
+    * lexical family). Identical output to [[coordinateTopK]]. */
+  def coordinateTopKIndexed(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      postingsTable: String, buckets: Int = 32): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct.size == queryTerms.size,
+      "coordinateTopKIndexed needs a non-empty, duplicate-free term list")
+    val postings = graft.operators.ScaleOps.ensureBucketed(
+      fullPostings(df, idCol, textCol), postingsTable, buckets, Seq("tok"))
+    val ord = Seq(col("n_match").desc, col("dl"), col("id"))
+    postings.where(col("tok").isin(queryTerms: _*))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_match"), first(col("dl")).as("dl"))
+      .orderBy(ord: _*)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0)).orderBy(ord: _*)))
   }
 
   /** Coordinate-match (boolean-coordination) top-`k`: rank documents by how
@@ -213,8 +296,6 @@ object Retrieval {
     require(queries.nonEmpty && k >= 1 && relMin >= 1, "bad rankEval args")
     require(queries.forall { case (_, ts) =>
       ts.nonEmpty && ts.distinct.size == ts.size }, "duplicate-free terms")
-    val spark = df.sparkSession
-    import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
     val postings = graft.core.CacheScope.persist(
       df.select(col(idCol).as("id"),
@@ -225,6 +306,40 @@ object Retrieval {
           col("tc.tf").as("tf")))
     val stats = df.agg(count(lit(1)).as("n_docs"),
       avg(size(split(col(textCol), " ")).cast("long")).as("avgdl"))
+    rankEvalTail(df.sparkSession, postings, stats, queries, k, relMin)
+  }
+
+  /** [[rankEval]] over the standing bucketed postings index + stats table
+    * ([[bm25TopKIndexed]]'s layouts — one index serves the whole lexical
+    * family): the per-call corpus tokenize/explode and the corpus-stats
+    * scan are replaced by a bucket-pruned read of the ≤|terms| buckets
+    * holding the union of all query terms. Identical output to
+    * [[rankEval]] (shared [[rankEvalTail]]). */
+  def rankEvalIndexed(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])], k: Int,
+      postingsTable: String, statsTable: String, buckets: Int = 32,
+      relMin: Long = 2L): DataFrame = {
+    require(queries.nonEmpty && k >= 1 && relMin >= 1, "bad rankEval args")
+    require(queries.forall { case (_, ts) =>
+      ts.nonEmpty && ts.distinct.size == ts.size }, "duplicate-free terms")
+    val allTerms = queries.flatMap(_._2).distinct
+    val index = graft.operators.ScaleOps.ensureBucketed(
+      fullPostings(df, idCol, textCol), postingsTable, buckets, Seq("tok"))
+    val stats = graft.operators.ScaleOps.ensureTable(
+      df.agg(count(lit(1)).as("n_docs"),
+        avg(size(split(col(textCol), " ")).cast("long")).as("avgdl")),
+      statsTable)
+    rankEvalTail(df.sparkSession,
+      index.where(col("tok").isin(allTerms: _*)), stats, queries, k, relMin)
+  }
+
+  /** The shared scoring/eval tail of [[rankEval]] / [[rankEvalIndexed]]
+    * over an already-cut postings frame and 1-row stats. */
+  private def rankEvalTail(spark: org.apache.spark.sql.SparkSession,
+      postings: DataFrame, stats: DataFrame,
+      queries: Seq[(String, Seq[String])], k: Int,
+      relMin: Long): DataFrame = {
+    import spark.implicits._
     val dfreq = postings.groupBy("tok").agg(count(lit(1)).as("df"))
     val qterms = queries.flatMap { case (q, ts) => ts.map(q -> _) }
       .toDF("qid", "tok")

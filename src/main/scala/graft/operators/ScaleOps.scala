@@ -194,6 +194,25 @@ object ScaleOps {
     s.table(table)
   }
 
+  /** [[ensureBucketed]]'s unbucketed sibling for TINY standing fixtures
+    * (a 1-row corpus-stats frame next to a postings index): write once
+    * per (session, table name) as a plain catalog table, read back
+    * thereafter. Same check-then-act serialization and same
+    * staleness-impossible reasoning (in-memory metastore, per-JVM temp
+    * warehouse — see [[graft.core.Sessions.configure]]). */
+  def ensureTable(df: DataFrame, table: String): DataFrame = {
+    val s = df.sparkSession
+    s.sharedState.synchronized {
+      if (!s.catalog.tableExists(table)) {
+        try df.write.mode("overwrite").format("parquet").saveAsTable(table)
+        catch {
+          case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException => ()
+        }
+      }
+    }
+    s.table(table)
+  }
+
   /** Deterministic catalog-table name for a per-corpus bucketed fixture:
     * `prefix` + sanitized source dir + an md5 prefix of the RAW dir string.
     * The sanitizer maps every non-alphanumeric char to '_', which is not

@@ -267,7 +267,25 @@ object EventStreams {
     * tail (integer micro-unit terms, fold-order-free). */
   def driftMonitorSink(events: DataFrame, groupCol: String, binCol: Column,
       countsDir: String, metricsDir: String, checkpointDir: String,
-      smoothing: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery = {
+      smoothing: Long = 1L, crashBeforeAppendOn: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // one PSI generation over the CURRENT standing counts (bounded;
+    // persisted because the grid consumes it three times) — shared by the
+    // normal applied path and the replay-repair path below
+    def appendGeneration(spark: SparkSession, batchId: Long): Unit = {
+      val merged = graft.core.CacheScope.persist(
+        spark.read.parquet(countsDir))
+      graft.operators.ScaleOps.psiFromCounts(merged, smoothing)
+        .withColumn("batch_id", lit(batchId))
+        // the conventional gates, pre-derived so a consumer filters on
+        // flag != 'ok' without re-encoding the thresholds
+        .withColumn("flag",
+          when(col("psi_micro") >= 250000L, "major")
+            .when(col("psi_micro") >= 100000L, "moderate")
+            .otherwise("ok"))
+        .write.mode("append").parquet(metricsDir)
+      graft.core.CacheScope.drain()
+    }
     events.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpointDir)
@@ -286,25 +304,40 @@ object EventStreams {
             case None => delta
           }
         }
-        // PSI over the merged standing counts (bounded; persisted because
-        // the grid consumes it three times), one generation per batch —
-        // appended ONLY when the merge landed: a replayed batch (crash
-        // between checkpoint commit and restart) skips both the counts
-        // merge AND the metrics append, so a consumer reading the latest
-        // generation never sees a (batch_id, group) row twice
+        // One PSI generation per LOGICAL batch, effectively-once:
+        //  - applied (first successful run of this batchId): append it.
+        //  - replayed (marker says the merge already landed): a crash
+        //    between the counts swap and the metrics append is the one
+        //    window where the generation would otherwise be lost FOREVER
+        //    (the counts can never again be "as of batch N" once N+1
+        //    merges). foreachBatch replay only ever re-runs the LAST
+        //    uncommitted batch, so on replay marker == batchId iff the
+        //    standing counts are exactly this batch's merge state — the
+        //    generation is recomputable, and appended iff absent. A
+        //    replay that finds its generation already present (crash
+        //    after the append, before the checkpoint commit) writes
+        //    nothing, so a consumer never sees a (batch_id, group) row
+        //    twice.
         if (applied) {
-          val merged = graft.core.CacheScope.persist(
-            spark.read.parquet(countsDir))
-          graft.operators.ScaleOps.psiFromCounts(merged, smoothing)
-            .withColumn("batch_id", lit(batchId))
-            // the conventional gates, pre-derived so a consumer filters on
-            // flag != 'ok' without re-encoding the thresholds
-            .withColumn("flag",
-              when(col("psi_micro") >= 250000L, "major")
-                .when(col("psi_micro") >= 100000L, "moderate")
-                .otherwise("ok"))
-            .write.mode("append").parquet(metricsDir)
-          graft.core.CacheScope.drain()
+          // test-only fault lever for the recovery gate: die in exactly
+          // the merge-landed/append-missing window (q223); the replay
+          // takes the repair branch because the marker already moved
+          crashBeforeAppendOn.filter(_ == batchId).foreach { b =>
+            throw new IllegalStateException(
+              s"injected crash after counts merge, before PSI append " +
+                s"(batch $b)")
+          }
+          appendGeneration(spark, batchId)
+        } else {
+          val marker = new java.io.File(countsDir, "_last_batch")
+          val countsAreThisBatch = marker.exists() &&
+            java.nio.file.Files.readString(marker.toPath).trim.toLong == batchId
+          val generationMissing = countsAreThisBatch && {
+            val m = new java.io.File(metricsDir)
+            !m.exists() || spark.read.parquet(metricsDir)
+              .where(col("batch_id") === batchId).isEmpty
+          }
+          if (generationMissing) appendGeneration(spark, batchId)
         }
         ()
       }
@@ -663,6 +696,105 @@ object EventStreams {
     }
   }
 
+  /** [[driftMonitorSink]] through a crash in its HARDEST window: the
+    * injected kill lands on slice `crashOnSlice` AFTER the counts
+    * merge-swap has been published but BEFORE the PSI generation appends —
+    * the one crash point where the applied-flag alone (round-10 fix)
+    * would lose the generation forever (once batch N+1 merges, the
+    * standing counts can never again be "as of batch N"). The sink's
+    * AvailableNow trigger makes each fed slice one checkpointed
+    * micro-batch — the production shape: a scheduled ingest tick per
+    * arrival, each run recovering offsets from the checkpoint. The
+    * resumed run replays the crashed batch, finds marker == batchId with
+    * the generation absent, and repairs the append, so the metrics
+    * stream stays effectively-once through the kill. Returns every
+    * (batch_id, g, psi_micro, flag) generation; the oracle models the
+    * uninterrupted replay — a lost generation (missing batch_id) or a
+    * doubled one diverges. */
+  def driftMonitorRestartReplay(spark: SparkSession, events: DataFrame,
+      groupCol: String, binCol: Column, nSlices: Int = 4,
+      crashOnSlice: Int = 2, smoothing: Long = 1L): DataFrame = {
+    require(nSlices >= 2, "need >= 2 slices")
+    require(crashOnSlice >= 0 && crashOnSlice < nSlices,
+      "the crashed slice must be one of the fed slices")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_drift_restart_").toFile
+    val countsDir = new java.io.File(base, "counts").getAbsolutePath
+    val metricsDir = new java.io.File(base, "metrics").getAbsolutePath
+    val ckptDir = new java.io.File(base, "ckpt").getAbsolutePath
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = spark.conf.getOption(spKey)
+    spark.conf.set(spKey, "2")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    try {
+      try {
+        // one AvailableNow run = one micro-batch of everything fed since
+        // the last run; only the deliberately-crashed run may swallow the
+        // injected failure — a genuine error elsewhere must propagate
+        def runOnce(crashOn: Option[Long]): Unit = {
+          val q = driftMonitorSink(in.toDF(), groupCol, binCol,
+            countsDir, metricsDir, ckptDir, smoothing, crashOn)
+          try q.awaitTermination()
+          catch {
+            case _: org.apache.spark.sql.streaming.StreamingQueryException
+                if crashOn.isDefined => ()
+          }
+          finally if (q.isActive) q.stop()
+        }
+        val slices: Seq[Seq[Event]] =
+          if (rows.isEmpty) Seq.empty
+          else {
+            val (lo, hi) = (rows.head.ts.getTime, rows.last.ts.getTime)
+            val width = math.max(1L, (hi - lo) / nSlices + 1L)
+            rows.groupBy(e => (e.ts.getTime - lo) / width).toSeq.sortBy(_._1)
+              .map(_._2.toSeq)
+          }
+        slices.zipWithIndex.foreach { case (s, i) =>
+          in.addData(s: _*)
+          if (i == crashOnSlice) {
+            runOnce(Some(i.toLong)) // dies merge-landed, append-missing
+            runOnce(None)           // resume: replay + repair
+          } else runOnce(None)
+        }
+      } finally spPrev match {
+        case Some(p) => spark.conf.set(spKey, p)
+        case None => spark.conf.unset(spKey)
+      }
+      // eager read-back (the finally deletes the tree), hardcoded schema
+      // fallback for an empty feed
+      val fallback = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("psi_micro",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("flag",
+          org.apache.spark.sql.types.StringType)))
+      val (schema, sunk) =
+        if (!new java.io.File(metricsDir).exists())
+          (fallback, Seq.empty[org.apache.spark.sql.Row])
+        else {
+          val df = spark.read.parquet(metricsDir)
+            .select(col("batch_id").cast("long"), col("g"),
+              col("psi_micro"), col("flag"))
+          (df.schema, df.collect().toSeq)
+        }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(sunk, math.max(1, sunk.size min 2)),
+        schema)
+    } finally rm(base)
+  }
+
   /** [[replayDisordered]] with a kill-and-resume between slices — the
     * union of the two gate scaffolds: round-robin (event_id % nSlices)
     * slices + full-span watermark + two-sentinel flush from
@@ -695,55 +827,60 @@ object EventStreams {
     val spKey = "spark.sql.shuffle.partitions"
     val spPrev = spark.conf.getOption(spKey)
     spark.conf.set(spKey, "2")
-    try {
-      def start() = build(in.toDS(), delayStr)
-        .writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckptDir)
-        .outputMode("append")
-        .start()
-      val slices: Seq[Seq[Event]] =
-        if (rows.isEmpty) Seq.empty
-        else rows.groupBy(_.event_id % nSlices).toSeq.sortBy(_._1)
-          .map(_._2.toSeq)
-      val q1 = start()
-      try slices.take(killAfter).foreach { s =>
-        in.addData(s: _*); q1.processAllAvailable()
-      } finally q1.stop()
-      // restart: the resumed query recovers offsets, the sink metadata
-      // log, the RocksDB state (with every pending buffer), the restored
-      // watermark, and the event-time timers
-      val q2 = start()
-      try {
-        slices.drop(killAfter).foreach { s =>
-          in.addData(s: _*); q2.processAllAvailable()
-        }
-        if (rows.nonEmpty) {
-          val hi = rows.map(_.ts.getTime).max
-          val maxUser = rows.map(_.user_id).max
-          (1 to 2).foreach { k =>
-            in.addData(Event(-1L - k, new Timestamp(hi + 2L * k * delayMs),
-              maxUser + k.toLong, "__sentinel__", 0.0))
-            q2.processAllAvailable()
-          }
-        }
-      } finally q2.stop()
-    } finally spPrev match {
-      case Some(p) => spark.conf.set(spKey, p)
-      case None => spark.conf.unset(spKey)
-    }
-    // eager read-back + temp cleanup, same rationale as replayAcrossRestart
-    val schema = build(in.toDS(), delayStr).schema
-    val sunk: Seq[org.apache.spark.sql.Row] =
-      if (!new java.io.File(outDir).exists()) Seq.empty
-      else spark.read.schema(schema).parquet(outDir).collect().toSeq
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
-    rm(base)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(sunk, math.max(1, sunk.size min 2)),
-      schema)
+    // the temp checkpoint/sink tree is reclaimed in the OUTER finally so a
+    // query failure or a read-back error cannot leak a RocksDB checkpoint
+    // + parquet sink per failed gate run; the eager collect happens inside
+    // the try, before the tree vanishes
+    try {
+      try {
+        def start() = build(in.toDS(), delayStr)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append")
+          .start()
+        val slices: Seq[Seq[Event]] =
+          if (rows.isEmpty) Seq.empty
+          else rows.groupBy(_.event_id % nSlices).toSeq.sortBy(_._1)
+            .map(_._2.toSeq)
+        val q1 = start()
+        try slices.take(killAfter).foreach { s =>
+          in.addData(s: _*); q1.processAllAvailable()
+        } finally q1.stop()
+        // restart: the resumed query recovers offsets, the sink metadata
+        // log, the RocksDB state (with every pending buffer), the restored
+        // watermark, and the event-time timers
+        val q2 = start()
+        try {
+          slices.drop(killAfter).foreach { s =>
+            in.addData(s: _*); q2.processAllAvailable()
+          }
+          if (rows.nonEmpty) {
+            val hi = rows.map(_.ts.getTime).max
+            val maxUser = rows.map(_.user_id).max
+            (1 to 2).foreach { k =>
+              in.addData(Event(-1L - k, new Timestamp(hi + 2L * k * delayMs),
+                maxUser + k.toLong, "__sentinel__", 0.0))
+              q2.processAllAvailable()
+            }
+          }
+        } finally q2.stop()
+      } finally spPrev match {
+        case Some(p) => spark.conf.set(spKey, p)
+        case None => spark.conf.unset(spKey)
+      }
+      // eager read-back, same rationale as replayAcrossRestart
+      val schema = build(in.toDS(), delayStr).schema
+      val sunk: Seq[org.apache.spark.sql.Row] =
+        if (!new java.io.File(outDir).exists()) Seq.empty
+        else spark.read.schema(schema).parquet(outDir).collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(sunk, math.max(1, sunk.size min 2)),
+        schema)
+    } finally rm(base)
   }
 
   /** [[replayAdvances]] with a kill-and-resume in the middle: slices are
@@ -778,52 +915,55 @@ object EventStreams {
     val spKey = "spark.sql.shuffle.partitions"
     val spPrev = spark.conf.getOption(spKey)
     spark.conf.set(spKey, "2")
-    try {
-      def start() = build(in.toDS())
-        .writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckptDir)
-        .outputMode("append")
-        .start()
-      val slices: Seq[Seq[Event]] =
-        if (rows.isEmpty) Seq.empty
-        else {
-          val (lo, hi) = (rows.head.ts.getTime, rows.last.ts.getTime)
-          val width = math.max(1L, (hi - lo) / nBatches + 1L)
-          rows.groupBy(e => (e.ts.getTime - lo) / width).toSeq.sortBy(_._1)
-            .map(_._2.toSeq)
-        }
-      val q1 = start()
-      try slices.take(killAfter).foreach { s =>
-        in.addData(s: _*); q1.processAllAvailable()
-      } finally q1.stop()
-      // the restart: a brand-new query object recovers offsets, sink log,
-      // and RocksDB state from the checkpoint and continues
-      val q2 = start()
-      try slices.drop(killAfter).foreach { s =>
-        in.addData(s: _*); q2.processAllAvailable()
-      } finally q2.stop()
-    } finally spPrev match {
-      case Some(p) => spark.conf.set(spKey, p)
-      case None => spark.conf.unset(spKey)
-    }
-    // Read back EAGERLY with the build's own schema (an empty filtered feed
-    // writes no parquet files, and schema inference over a fileless sink
-    // dir would throw where "no rows" is the correct answer), then delete
-    // the whole temp tree — a lazy read would have to leak it per gate run.
-    // The collect is the same documented bounded class as the feed collect
-    // above: gate slices, hundreds of rows.
-    val schema = build(in.toDS()).schema
-    val sunk: Seq[org.apache.spark.sql.Row] =
-      if (!new java.io.File(outDir).exists()) Seq.empty
-      else spark.read.schema(schema).parquet(outDir).collect().toSeq
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
-    rm(base)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(sunk, math.max(1, sunk.size min 2)),
-      schema)
+    // temp tree reclaimed in the OUTER finally — failure paths (a query
+    // throw, a read-back error) must not leak a checkpoint + sink per run
+    try {
+      try {
+        def start() = build(in.toDS())
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append")
+          .start()
+        val slices: Seq[Seq[Event]] =
+          if (rows.isEmpty) Seq.empty
+          else {
+            val (lo, hi) = (rows.head.ts.getTime, rows.last.ts.getTime)
+            val width = math.max(1L, (hi - lo) / nBatches + 1L)
+            rows.groupBy(e => (e.ts.getTime - lo) / width).toSeq.sortBy(_._1)
+              .map(_._2.toSeq)
+          }
+        val q1 = start()
+        try slices.take(killAfter).foreach { s =>
+          in.addData(s: _*); q1.processAllAvailable()
+        } finally q1.stop()
+        // the restart: a brand-new query object recovers offsets, sink log,
+        // and RocksDB state from the checkpoint and continues
+        val q2 = start()
+        try slices.drop(killAfter).foreach { s =>
+          in.addData(s: _*); q2.processAllAvailable()
+        } finally q2.stop()
+      } finally spPrev match {
+        case Some(p) => spark.conf.set(spKey, p)
+        case None => spark.conf.unset(spKey)
+      }
+      // Read back EAGERLY with the build's own schema (an empty filtered
+      // feed writes no parquet files, and schema inference over a fileless
+      // sink dir would throw where "no rows" is the correct answer) — the
+      // collect runs before the finally deletes the tree, and is the same
+      // documented bounded class as the feed collect above: gate slices,
+      // hundreds of rows.
+      val schema = build(in.toDS()).schema
+      val sunk: Seq[org.apache.spark.sql.Row] =
+        if (!new java.io.File(outDir).exists()) Seq.empty
+        else spark.read.schema(schema).parquet(outDir).collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(sunk, math.max(1, sunk.size min 2)),
+        schema)
+    } finally rm(base)
   }
 
   final case class FunnelAdvance(user_id: Long, stage: Int, stage_name: String,

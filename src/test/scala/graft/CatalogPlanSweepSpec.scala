@@ -96,10 +96,14 @@ class CatalogPlanSweepSpec extends SparkSpec {
                               //   above) + q189's conformal algebra: 1-row
                               //   n_cal × α-grid and the ≤|grid|-row
                               //   threshold table into the eval pass
-    "q216_ann_ivf_bucketed")  // the q33 contract minus the assignment:
+    "q216_ann_ivf_bucketed",  // the q33 contract minus the assignment:
                               //   ONLY the query-probe × nlist-centroid
                               //   broadcast remains (PlanAuditSpec pins
                               //   the count at exactly one)
+    "q222_bm25_indexed")      // q88's (n_docs, avgdl) contract read back
+                              //   from the standing 1-row stats table:
+                              //   still a 1-row cross broadcast
+                              //   (PlanAuditSpec pins exactly one)
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

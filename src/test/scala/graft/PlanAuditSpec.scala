@@ -614,6 +614,62 @@ class PlanAuditSpec extends SparkSpec {
       s"assignment must come from the bucketed table:\n$p")
   }
 
+  test("q221 indexed incremental dedup: corpus index is read, never " +
+      "re-shuffled or re-sorted") {
+    // The standing sig/band tables are bucketed+sorted layouts; per ingest
+    // batch only BATCH-grain and PAIR-grain rows may move. Pinned shape:
+    // three sort-merge joins (band probe + two sig join-backs), each with
+    // exactly ONE sorted side (the batch/pair side) — the corpus side
+    // scans co-located and pre-sorted. So: <= 4 Sort nodes total (3 probe
+    // sides + 1 presentation), <= 4 hash exchanges (batch bands, candidate
+    // distinct, 2 pair join-backs), <= 1 range exchange (presentation
+    // ORDER BY). A corpus-side exchange or re-sort breaks the count.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = planOf("q221_incremental_dedup_indexed")
+      assert(p.contains("SelectedBucketsCount"),
+        s"corpus scans must be bucket-aware:\n$p")
+      assert("SortMergeJoin".r.findAllIn(p).size == 3,
+        s"band probe + two sig join-backs must sort-merge over the " +
+          s"bucketed corpus layout:\n$p")
+      assert("\\bSort\\b".r.findAllIn(p).size <= 4,
+        s"corpus side must never re-sort (batch/pair sides only):\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4,
+        s"only batch-grain and pair-grain exchanges allowed:\n$p")
+      assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1,
+        s"only the presentation sort may range-exchange:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q222 indexed BM25: bucket-pruned postings scan, exchange-free " +
+      "dfreq, heap top-k") {
+    // A query batch must read only the buckets its terms hash into (never
+    // the corpus index), aggregate document frequency on the bucketed
+    // distribution without an exchange, and take top-k with a heap. The
+    // only allowed exchange is the pair-grain per-doc score sum on id;
+    // the only loop join is the 1-row corpus-stats cross broadcast.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = planOf("q222_bm25_indexed")
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findAllMatchIn(p).toSeq
+      assert(sel.nonEmpty, s"postings scans must be bucket-aware:\n$p")
+      assert(sel.forall(m => m.group(1).toInt < m.group(2).toInt),
+        s"term IN-list must prune buckets (read < total):\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+        s"dfreq must reuse the tok-bucketed distribution; only the " +
+          s"per-doc sum may exchange:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"top-k must be a heap, not a global sort:\n$p")
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"no global sort allowed:\n$p")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+        s"only the 1-row stats cross broadcast may loop-join:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("epochMix is shuffle-free: explode + case chain, no exchange") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = ScaleOpsAccess.epochMix(docs)

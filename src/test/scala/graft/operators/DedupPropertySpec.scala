@@ -275,4 +275,29 @@ class DedupPropertySpec extends SparkSpec {
     assert(bucketed == base)
     assert(base.nonEmpty, "vacuous corpus: no candidate pairs at all")
   }
+
+  test("minhashCandidatesIndexed == minhashCandidatesIncremental on the " +
+      "same (corpus, batch) split (the standing index changes the read " +
+      "path, never the candidate set)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val old = docs.where(col("doc_id") % 4 =!= 0)
+    val neu = docs.where(col("doc_id") % 4 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val unindexed = canon(Dedup.minhashCandidatesIncremental(old, neu,
+      "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16))
+    graft.core.CacheScope.drain()
+    val indexed = canon(Dedup.minhashCandidatesIndexed(old, neu,
+      "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+      sigTable = graft.operators.ScaleOps
+        .bucketTableName("graft_test_incsig", sfDir),
+      bandTable = graft.operators.ScaleOps
+        .bucketTableName("graft_test_incband", sfDir)))
+    graft.core.CacheScope.drain()
+    assert(indexed == unindexed)
+    assert(indexed.nonEmpty, "vacuous split: no cross/batch pairs at all")
+    // and strictly no old-old pair sneaks in through the index
+    assert(indexed.forall { case (a, b, _) => a % 4 == 0 || b % 4 == 0 })
+  }
 }

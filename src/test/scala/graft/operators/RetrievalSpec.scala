@@ -164,4 +164,53 @@ class RetrievalSpec extends SparkSpec {
     assert(j20 < 1.0 && r20 < 1.0 && r20 > j20,
       s"top-weighted RBO $r20 should exceed Jaccard $j20 when the overlap is at the top")
   }
+
+  // ------------------------------- standing postings index (round 17)
+
+  private def idxTables = (
+    graft.operators.ScaleOps.bucketTableName("graft_test_postings", sfDir),
+    graft.operators.ScaleOps.bucketTableName("graft_test_docstats", sfDir))
+
+  test("bm25TopKIndexed == bm25TopK on the real corpus (the standing " +
+      "index changes the read path, never the ranking)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val live = canon(Retrieval.bm25TopK(docs, "doc_id", "text", terms, 25))
+    val (pt, st) = idxTables
+    val indexed = canon(Retrieval.bm25TopKIndexed(docs, "doc_id", "text",
+      terms, 25, postingsTable = pt, statsTable = st))
+    assert(indexed == live)
+    assert(live.nonEmpty, "vacuous corpus: no term matched at all")
+  }
+
+  test("coordinateTopKIndexed == coordinateTopK over the same index") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    val live = canon(Retrieval.coordinateTopK(docs, "doc_id", "text",
+      terms, 10))
+    val (pt, _) = idxTables
+    val indexed = canon(Retrieval.coordinateTopKIndexed(docs, "doc_id",
+      "text", terms, 10, postingsTable = pt))
+    assert(indexed == live)
+    assert(live.nonEmpty)
+  }
+
+  test("rankEvalIndexed == rankEval over the same index") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val queries = Seq("qa" -> Seq("hash", "stream"),
+      "qb" -> Seq("vector", "big"), "qc" -> Seq("data"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.orderBy("qid")
+      .collect().map(_.toSeq).toSeq
+    val live = canon(Retrieval.rankEval(docs, "doc_id", "text", queries,
+      k = 10))
+    graft.core.CacheScope.drain()
+    val (pt, st) = idxTables
+    val indexed = canon(Retrieval.rankEvalIndexed(docs, "doc_id", "text",
+      queries, k = 10, postingsTable = pt, statsTable = st))
+    assert(indexed == live)
+    assert(live.nonEmpty)
+  }
 }

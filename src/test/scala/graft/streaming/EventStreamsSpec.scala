@@ -504,6 +504,31 @@ class EventStreamsSpec extends SparkSpec {
       s"replay duplicated metrics: before=${before.size} after=${after.size}")
   }
 
+  test("driftMonitorRestartReplay: the PSI stream is restart-invisible — " +
+      "output independent of where the kill lands, one generation per batch") {
+    // The injected kill dies in the merge-landed/append-missing window
+    // (the one crash point the applied-flag alone cannot survive); the
+    // resumed run must repair the missing generation, so the full metrics
+    // history equals an uninterrupted run's no matter WHICH slice crashed.
+    val ev = EventStreams.withEventTime(graft.core.EventTs.toNanos(
+        spark.read.parquet(s"$sfDir/events.parquet")))
+      .where(col("user_id") % 5 === 0)
+    def run(crashOn: Int) = EventStreams.driftMonitorRestartReplay(
+        spark, ev, "event_type", floor(col("value") * 2), nSlices = 4,
+        crashOnSlice = crashOn)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val early = run(1)
+    val late = run(3)
+    assert(early == late,
+      s"crash position leaked into the metrics history: ${early.size} vs " +
+        s"${late.size} rows")
+    assert(early.nonEmpty, "vacuous gate: no PSI generations at all")
+    // effectively-once: no (batch_id, g) row may appear twice
+    val keys = early.map(r => (r.head, r(1)))
+    assert(keys.distinct.size == keys.size,
+      "a replayed batch duplicated a PSI generation")
+  }
+
   test("runningAggSink: recovers history from a crash between the swap renames") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
