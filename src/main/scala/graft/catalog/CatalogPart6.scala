@@ -325,12 +325,16 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
     * relevance standard (gain floored at relMin=2) — whether the ranker
     * actually orders well, per query. Discount constants are generated
     * ONCE in Scala and injected into both engines. */
+  /** The q191/q224 eval batch — shared so the live and indexed rank-eval
+    * rows grade the identical workload against the identical oracle. */
+  private val rankEvalQueries = Seq(
+    "q_hash" -> Seq("hash", "table"),
+    "q_sort" -> Seq("sort", "merge", "scan"),
+    "q_stream" -> Seq("stream", "window"),
+    "q_vector" -> Seq("vector", "index"))
+
   private[graft] val q191 = {
-    val queries = Seq(
-      "q_hash" -> Seq("hash", "table"),
-      "q_sort" -> Seq("sort", "merge", "scan"),
-      "q_stream" -> Seq("stream", "window"),
-      "q_vector" -> Seq("vector", "index"))
+    val queries = rankEvalQueries
     val (k, relMin) = (10, 2L)
     val allTerms = queries.flatMap(_._2).distinct
       .map(t => s"'$t'").mkString("(", ", ", ")")
@@ -1621,6 +1625,28 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
              WHEN psi_micro >= 100000 THEN 'moderate'
              ELSE 'ok' END AS flag
       FROM psi ORDER BY batch_id, g"""))
+
+  /** q191's rank eval over the STANDING postings index — the same
+    * bucketed layout q222 built (one index serves the whole lexical
+    * family: bm25, coordination, eval), the same eval batch and oracle as
+    * q191. A second query-batch row against an already-built index is the
+    * warehouse read pattern: the catalog run that executes q222 first
+    * pays the index write once; this row (and every later batch) pays
+    * only the bucket-pruned term lookup. */
+  private[graft] val q224 = QuerySpec(
+    "q224_rank_eval_indexed",
+    (s, dir) => {
+      import graft.operators.ScaleOps
+      graft.operators.Retrieval.rankEvalIndexed(
+          t(s, dir, "documents"), "doc_id", "text", rankEvalQueries,
+          k = 10,
+          postingsTable = ScaleOps.bucketTableName("graft_bkt_postings", dir),
+          statsTable = ScaleOps.bucketTableName("graft_tbl_docstats", dir),
+          relMin = 2L)
+        .withColumn("first_rel_rank", col("first_rel_rank").cast("long"))
+        .orderBy(col("qid"))
+    },
+    q191.oracle)
 
   // ----------------------------------------------------------- catalog
 }

@@ -100,10 +100,12 @@ class CatalogPlanSweepSpec extends SparkSpec {
                               //   ONLY the query-probe × nlist-centroid
                               //   broadcast remains (PlanAuditSpec pins
                               //   the count at exactly one)
-    "q222_bm25_indexed")      // q88's (n_docs, avgdl) contract read back
+    "q222_bm25_indexed",      // q88's (n_docs, avgdl) contract read back
                               //   from the standing 1-row stats table:
                               //   still a 1-row cross broadcast
                               //   (PlanAuditSpec pins exactly one)
+    "q224_rank_eval_indexed") // q191's contract over the same standing
+                              //   1-row stats table (shared lexical index)
 
   test("no undesigned cartesian/nested-loop join anywhere in the catalog") {
     val offenders = QueryCatalog.all.flatMap { spec =>

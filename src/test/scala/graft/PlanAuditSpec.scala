@@ -420,10 +420,14 @@ class PlanAuditSpec extends SparkSpec {
                              //   n_cal 1-row agg and bounded nonconformity
                              //   histogram cumsum (the qualityGate
                              //   contract, shared conformal core)
-      "q220_rater_kappa_hashed" // q201's hashed-model 1-row scalars
+      "q220_rater_kappa_hashed", // q201's hashed-model 1-row scalars
                              //   (ntot + fixed dim×|classes| grid) + q180's
                              //   (n_total, po_n)/pe_s 1-row aggs over the
                              //   ≤|labels|² cell frame
+      "q224_rank_eval_indexed" // q191's contract (rank windows are
+                             //   qid-partitioned, final joins over ≤|Q|
+                             //   rows); stats come from the standing 1-row
+                             //   table rather than a live agg
     )
     val offenders = QueryCatalog.all.map(_.name).filter { n =>
       planOf(n).contains("Exchange SinglePartition")
