@@ -296,7 +296,10 @@ object Dedup {
     * corpus side ships only (band key, id) rows into the bucket join, and
     * at warehouse scale sigs/bands of the corpus are a PRE-BUILT parquet
     * index appended per batch — so per-ingest work scales with
-    * |new| × collision rate, never |corpus|². */
+    * |new| × collision rate, never |corpus|². This form still re-shingles
+    * and re-signs the corpus per call (fine for one-shot use);
+    * [[minhashCandidatesIndexed]] is the composed warehouse form that
+    * reads the standing bucketed sig/band index instead. */
   def minhashCandidatesIncremental(oldDf: DataFrame, newDf: DataFrame,
       idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
