@@ -177,11 +177,17 @@ object Bench {
       val anchors = allTimes.filter { case (n, _) =>
         anchorRefs.contains(n) && !errored.contains(n) }
       if (sfName != "sf0.1" || anchors.isEmpty) None
-      else {
-        val refSum = anchors.map { case (n, _) => anchorRefs(n) }.sum
-        Some((0 until nPasses)
-          .map(p => anchors.map(_._2(p)).sum / refSum))
-      }
+      else Some((0 until nPasses).map { p =>
+        // MEDIAN of the per-anchor ratios, not a sum ratio: the anchors
+        // are small (~2 s combined), so one stalled anchor execution
+        // would dominate a summed estimate and overstate decay for a
+        // pass whose other 220 queries ran clean (observed: health 2.74
+        // on a pass whose matched total was only 1.2x the best pass's).
+        // A median of three per-anchor ratios survives one stall.
+        val ratios = anchors
+          .map { case (n, ts) => ts(p) / anchorRefs(n) }.sorted
+        ratios(ratios.size / 2)
+      })
     }
     val windowHealthFields: String = windowHealth match {
       case None => ""
