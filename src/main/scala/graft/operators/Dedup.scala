@@ -365,17 +365,47 @@ object Dedup {
       idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       sigTable: String, bandTable: String, buckets: Int = 32): DataFrame = {
-    val rowsPerBand = numHashes / bands
     // the standing corpus index: built once per (session, corpus), then
     // read back bucketed — repeated ingest batches in one session (and
     // every batch of a warehoused corpus) skip straight to the scans
-    val sigsOld = graft.operators.ScaleOps.ensureBucketed(
-      minhashSigs(oldDf, idCol, textCol, shingleSize, numHashes),
+    buildDedupIndex(oldDf, idCol, textCol, shingleSize, numHashes, bands,
+      sigTable, bandTable, buckets)
+    minhashCandidatesIndexedTables(newDf, idCol, textCol, shingleSize,
+      numHashes, bands, sigTable, bandTable)
+  }
+
+  /** Build (once per session+tables) the standing dedup index for a
+    * corpus: signatures bucketed+sorted on id, band keys bucketed+sorted
+    * on the fused [[fusedBandKey]]. The write pays the corpus shuffle
+    * exactly once; [[minhashCandidatesIndexedTables]] is the per-batch
+    * read path, [[indexAppend]]/[[indexCompact]] the maintenance path. */
+  def buildDedupIndex(corpus: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int,
+      sigTable: String, bandTable: String, buckets: Int = 32): Unit = {
+    val rowsPerBand = numHashes / bands
+    val sigs = graft.operators.ScaleOps.ensureBucketed(
+      minhashSigs(corpus, idCol, textCol, shingleSize, numHashes),
       sigTable, buckets, Seq("id"))
-    val bandsOld = graft.operators.ScaleOps.ensureBucketed(
-      lshBands(sigsOld, "id", "sig", bands, rowsPerBand)
+    graft.operators.ScaleOps.ensureBucketed(
+      lshBands(sigs, "id", "sig", bands, rowsPerBand)
         .select(fusedBandKey.as("bkey"), col("id")),
       bandTable, buckets, Seq("bkey"))
+    ()
+  }
+
+  /** The per-ingest-batch probe of [[minhashCandidatesIndexed]], reading
+    * the standing index TABLES directly (whatever built or appended them —
+    * [[buildDedupIndex]], [[indexAppend]], or a prior
+    * [[minhashCandidatesIndexed]] call). Same output contract and scale
+    * shape as [[minhashCandidatesIndexed]]. */
+  def minhashCandidatesIndexedTables(newDf: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int,
+      sigTable: String, bandTable: String): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val spark = newDf.sparkSession
+    val sigsOld = spark.table(sigTable)
+    val bandsOld = spark.table(bandTable)
     // the batch side: |new| signatures, persisted because they feed the
     // band probe AND the est-jaccard join-backs
     val sigsNew = graft.core.CacheScope.persist(
@@ -418,6 +448,91 @@ object Dedup {
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
           .cast("double") / lit(numHashes)).as("est_jaccard"))
+  }
+
+  /** One-shot guard registry for index maintenance ops: an append or a
+    * compaction tagged (table, tag) runs once per JVM session — the same
+    * idempotence contract as [[graft.operators.ScaleOps.ensureBucketed]]'s
+    * write-once, extended to MUTATIONS so a repeated caller (bench warmup
+    * + timed passes, verify re-runs, sweep specs) cannot double-append a
+    * generation or re-pay a compaction. Session-scoped is the right
+    * scope: the metastore is in-memory and the warehouse a per-JVM temp
+    * dir, so the tables themselves are session-scoped too. */
+  private val appliedIndexOps =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Append one ingest batch's signatures and band keys to the STANDING
+    * dedup index — the maintenance half of the production loop whose read
+    * half is [[minhashCandidatesIndexedTables]]: admit a batch against
+    * the index, then append the admitted docs so the NEXT batch dedups
+    * against them too, never recomputing the corpus. The append honors
+    * the tables' bucket spec (`bucketBy`+`sortBy` must match or Spark
+    * fails the write loudly) and lands exactly ONE new file per bucket
+    * (the same repartition-on-bucket-key trick as
+    * [[graft.operators.ScaleOps.writeBucketed]]), so joins against the
+    * index stay exchange-free immediately. What appends DO cost is the
+    * sort-elision: with more than one file per bucket Spark drops the
+    * scan's sortBy ordering at plan time (correctly — concatenated sorted
+    * files are not sorted) and merge joins re-sort per partition until
+    * [[indexCompact]] restores the one-file-per-bucket invariant. That is
+    * the LSM trade, chosen deliberately: appends are O(batch), reads stay
+    * co-located, and the periodic compaction is O(corpus) WRITE (no
+    * shingling, no signing — orders cheaper than recompute).
+    *
+    * Idempotent per (session, table, batchTag): a replayed call with the
+    * same tag is a no-op, so foreachBatch replays after a crash cannot
+    * double a generation. */
+  def indexAppend(batch: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int,
+      sigTable: String, bandTable: String, batchTag: String,
+      buckets: Int = 32): Unit = {
+    val key = s"append|$sigTable|$bandTable|$batchTag"
+    if (!appliedIndexOps.add(key)) return
+    val rowsPerBand = numHashes / bands
+    val sigs = graft.core.CacheScope.persist(
+      minhashSigs(batch, idCol, textCol, shingleSize, numHashes))
+    sigs.repartition(buckets, col("id"))
+      .write.mode("append")
+      .bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(sigTable)
+    lshBands(sigs, "id", "sig", bands, rowsPerBand)
+      .select(fusedBandKey.as("bkey"), col("id"))
+      .repartition(buckets, col("bkey"))
+      .write.mode("append")
+      .bucketBy(buckets, "bkey").sortBy("bkey")
+      .format("parquet").saveAsTable(bandTable)
+  }
+
+  /** Per-bucket compaction of a standing bucketed table: rewrite into
+    * exactly one sorted file per bucket (the
+    * [[graft.operators.ScaleOps.writeBucketed]] layout), restoring the
+    * sort-free merge-scan shape that [[indexAppend]]'s extra per-bucket
+    * files suspend. Write-to-sibling + catalog rename, so a reader never
+    * observes a half-compacted table; O(corpus) parquet IO, zero
+    * recompute. Idempotent per (session, table, tag). */
+  def indexCompact(spark: org.apache.spark.sql.SparkSession, table: String,
+      tag: String): Unit = {
+    val key = s"compact|$table|$tag"
+    if (!appliedIndexOps.add(key)) return
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      sys.error(s"indexCompact('$table'): not a bucketed table"))
+    val tmp = table + "_compacting"
+    // Read the RAW parquet files, not the catalog table: a bucketed scan
+    // reports a hash partitioning that already satisfies the write-side
+    // repartition, so Spark elides the exchange and each multi-file
+    // bucket passes through as multiple write tasks — the "compacted"
+    // table would keep 2+ files per bucket and never regain sort
+    // propagation. The plain file scan has no partitioning to satisfy
+    // anything, so writeBucketed's repartition actually runs and lands
+    // exactly one sorted file per bucket.
+    graft.operators.ScaleOps.writeBucketed(
+      spark.read.parquet(meta.location.toString), tmp,
+      spec.numBuckets, spec.bucketColumnNames)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    ()
   }
 
   /** Corpus version diff: per-doc status between two snapshots of a

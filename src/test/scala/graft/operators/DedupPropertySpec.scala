@@ -300,4 +300,79 @@ class DedupPropertySpec extends SparkSpec {
     // and strictly no old-old pair sneaks in through the index
     assert(indexed.forall { case (a, b, _) => a % 4 == 0 || b % 4 == 0 })
   }
+
+  test("index lifecycle: append keeps the probe exchange-free (sort-elision " +
+      "suspended), compact restores it, output identical throughout") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sigT = graft.operators.ScaleOps
+      .bucketTableName("graft_test_lcsig", sfDir)
+    val bandT = graft.operators.ScaleOps
+      .bucketTableName("graft_test_lcband", sfDir)
+    val batch = docs.where(col("doc_id") % 4 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def probe() = Dedup.minhashCandidatesIndexedTables(batch, "doc_id",
+      "text", shingleSize = 3, numHashes = 32, bands = 16,
+      sigTable = sigT, bandTable = bandT)
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) { df.explain() }
+      out.toString
+    }
+    val want = canon(Dedup.minhashCandidatesIncremental(
+      docs.where(col("doc_id") % 4 =!= 0), batch, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16))
+    graft.core.CacheScope.drain()
+    // gen 1 + appended gen 2 == the full corpus the unindexed form sees
+    Dedup.buildDedupIndex(
+      docs.where(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2),
+      "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+      sigTable = sigT, bandTable = bandT)
+    Dedup.indexAppend(docs.where(col("doc_id") % 4 === 3), "doc_id",
+      "text", shingleSize = 3, numHashes = 32, bands = 16,
+      sigTable = sigT, bandTable = bandT, batchTag = "gen2")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // post-append, pre-compact: buckets hold two files each, so the
+      // scan's sort order is (correctly) dropped and merge joins re-sort —
+      // but the layout's exchange-freedom must survive: the corpus side
+      // still scans co-located (the q221 pin: <= 4 hash exchanges are
+      // batch/pair-grain; corpus-side Sorts push the count past 4)
+      val pAppended = planOf(probe())
+      assert("Exchange hashpartitioning".r.findAllIn(pAppended).size <= 4,
+        s"append must not cost the corpus its co-location:\n$pAppended")
+      assert("\\bSort\\b".r.findAllIn(pAppended).size > 4,
+        s"multi-file buckets should re-sort (sort-elision suspended) — " +
+          s"if this starts failing, Spark kept ordering over 2-file " +
+          s"buckets and the compaction rationale needs re-checking:\n" +
+          pAppended)
+      val gotAppended = canon(probe())
+      graft.core.CacheScope.drain()
+      assert(gotAppended == want,
+        "two-generation index diverged from the recompute path")
+      // compaction: one sorted file per bucket again — the q221 plan
+      // shape (corpus never re-sorted) must come back, output unchanged
+      Dedup.indexCompact(spark, sigT, tag = "t1")
+      Dedup.indexCompact(spark, bandT, tag = "t1")
+      val pCompacted = planOf(probe())
+      assert("\\bSort\\b".r.findAllIn(pCompacted).size <= 4,
+        s"compaction must restore sort-elision:\n$pCompacted")
+      assert("Exchange hashpartitioning".r.findAllIn(pCompacted).size <= 4,
+        s"compaction must preserve the bucket layout:\n$pCompacted")
+      val gotCompacted = canon(probe())
+      graft.core.CacheScope.drain()
+      assert(gotCompacted == want, "compaction corrupted the index")
+      // idempotence: replaying a tagged append or compaction is a no-op
+      Dedup.indexAppend(docs.where(col("doc_id") % 4 === 3), "doc_id",
+        "text", shingleSize = 3, numHashes = 32, bands = 16,
+        sigTable = sigT, bandTable = bandT, batchTag = "gen2")
+      Dedup.indexCompact(spark, sigT, tag = "t1")
+      val gotReplayed = canon(probe())
+      graft.core.CacheScope.drain()
+      assert(gotReplayed == want,
+        "a replayed append/compact changed the index (idempotence broken)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
