@@ -1686,5 +1686,52 @@ private[graft] trait CatalogPart6 extends CatalogPart5 {
     },
     q221.oracle)
 
+  /** The COMPOSED production ingest loop, driver-gated end-to-end
+    * ([[graft.streaming.EventStreams.corpusIngestSinkIndexed]] via
+    * [[graft.streaming.EventStreams.corpusIngestReplayIndexed]]): three
+    * ingest ticks (doc_id % 3 slices), each a checkpointed AvailableNow
+    * run that probes the STANDING bucketed dedup index, admits survivors
+    * through the corpusIngestSink drop semantics, swaps the corpus table
+    * effectively-once, and APPENDS the admitted docs' sigs/bands to the
+    * index — the corpus is never re-shingled. The oracle walks the same
+    * greedy batch-sequential admission in SQL over the q19 candidate-pair
+    * CTEs: batch k drops a doc paired (est ≥ 0.8) with any earlier
+    * survivor, plus the greater id of each in-batch pair; pairs with
+    * non-admitted earlier docs are ignored (they are not in the corpus,
+    * exactly as the sink's index never saw them). A wrong drop set, a
+    * stale index (missing append), or a lost batch all diverge. */
+  private[graft] val q226 = QuerySpec(
+    "q226_stream_ingest_indexed",
+    (s, dir) => graft.streaming.EventStreams.corpusIngestReplayIndexed(
+        s, t(s, dir, "documents"), nSlices = 3, minJaccard = 0.8)
+      .orderBy("doc_id"),
+    Some(s"""WITH ${minhashCtes(numHashes = 32, bands = 16)},
+      dup AS (SELECT id_a, id_b FROM cand WHERE est_jaccard >= 0.8),
+      b0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+      b1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+      b2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+      s0 AS (SELECT doc_id FROM b0 WHERE doc_id NOT IN (
+        SELECT id_b FROM dup WHERE id_a IN (SELECT doc_id FROM b0)
+          AND id_b IN (SELECT doc_id FROM b0))),
+      s1 AS (SELECT doc_id FROM b1 WHERE doc_id NOT IN (
+        SELECT id_a FROM dup WHERE id_b IN (SELECT doc_id FROM s0)
+        UNION
+        SELECT id_b FROM dup WHERE id_a IN (SELECT doc_id FROM s0)
+        UNION
+        SELECT id_b FROM dup WHERE id_a IN (SELECT doc_id FROM b1)
+          AND id_b IN (SELECT doc_id FROM b1))),
+      c1 AS (SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1),
+      s2 AS (SELECT doc_id FROM b2 WHERE doc_id NOT IN (
+        SELECT id_a FROM dup WHERE id_b IN (SELECT doc_id FROM c1)
+        UNION
+        SELECT id_b FROM dup WHERE id_a IN (SELECT doc_id FROM c1)
+        UNION
+        SELECT id_b FROM dup WHERE id_a IN (SELECT doc_id FROM b2)
+          AND id_b IN (SELECT doc_id FROM b2)))
+      SELECT doc_id FROM s0
+      UNION ALL SELECT doc_id FROM s1
+      UNION ALL SELECT doc_id FROM s2
+      ORDER BY doc_id"""))
+
   // ----------------------------------------------------------- catalog
 }

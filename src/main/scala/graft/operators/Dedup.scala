@@ -485,9 +485,15 @@ object Dedup {
   def indexAppend(batch: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int, bands: Int,
       sigTable: String, bandTable: String, batchTag: String,
-      buckets: Int = 32): Unit = {
+      buckets: Int = 32): Unit = appliedIndexOps.synchronized {
+    // the guard key is recorded only AFTER both writes succeed: a crash
+    // between the sig and band appends must leave the op re-runnable
+    // (torn-index repair is the caller's job — see the replay-repair
+    // branch in corpusIngestSinkIndexed — but the registry must never
+    // claim an append that didn't finish). Serialized on the registry:
+    // maintenance ops are rare and short relative to what they guard.
     val key = s"append|$sigTable|$bandTable|$batchTag"
-    if (!appliedIndexOps.add(key)) return
+    if (appliedIndexOps.contains(key)) return
     val rowsPerBand = numHashes / bands
     val sigs = graft.core.CacheScope.persist(
       minhashSigs(batch, idCol, textCol, shingleSize, numHashes))
@@ -501,7 +507,32 @@ object Dedup {
       .write.mode("append")
       .bucketBy(buckets, "bkey").sortBy("bkey")
       .format("parquet").saveAsTable(bandTable)
+    appliedIndexOps.add(key)
+    ()
   }
+
+  /** Drop both halves of a standing dedup index (and forget their
+    * maintenance guards) so the next [[buildDedupIndex]] rebuilds from
+    * scratch — the torn-index repair path: after a crash that may have
+    * landed between a corpus swap and the matching [[indexAppend]] (or
+    * mid-append), the CORPUS TABLE is the source of truth and an
+    * O(corpus) rebuild on the rare replay is the honest recovery. */
+  def dropDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      sigTable: String, bandTable: String): Unit =
+    appliedIndexOps.synchronized {
+      Seq(sigTable, bandTable).foreach { t =>
+        if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
+      }
+      val dead = appliedIndexOps.iterator()
+      val toDrop = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (dead.hasNext) {
+        val k = dead.next()
+        if (k.contains(s"|$sigTable|") || k.contains(s"|$bandTable|") ||
+            k.endsWith(s"|$sigTable") || k.endsWith(s"|$bandTable"))
+          toDrop += k
+      }
+      toDrop.foreach(appliedIndexOps.remove)
+    }
 
   /** Per-bucket compaction of a standing bucketed table: rewrite into
     * exactly one sorted file per bucket (the
@@ -511,9 +542,10 @@ object Dedup {
     * observes a half-compacted table; O(corpus) parquet IO, zero
     * recompute. Idempotent per (session, table, tag). */
   def indexCompact(spark: org.apache.spark.sql.SparkSession, table: String,
-      tag: String): Unit = {
+      tag: String): Unit = appliedIndexOps.synchronized {
+    // key recorded after the rename lands, same rationale as indexAppend
     val key = s"compact|$table|$tag"
-    if (!appliedIndexOps.add(key)) return
+    if (appliedIndexOps.contains(key)) return
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(
@@ -532,6 +564,7 @@ object Dedup {
       spec.numBuckets, spec.bucketColumnNames)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    appliedIndexOps.add(key)
     ()
   }
 

@@ -623,6 +623,83 @@ class EventStreamsSpec extends SparkSpec {
       "policy hit must never reach the corpus")
   }
 
+  test("corpusIngestSinkIndexed: same admissions as the unindexed sink on " +
+      "real documents, batch by batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // three batches of real corpus docs, sliced by doc_id % 3 — the
+    // indexed sink must admit EXACTLY the docs the unindexed sink admits,
+    // including cross-batch near-dups that only exist in the standing
+    // corpus via an earlier admission (the index-append path)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val slices = docs.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    def drive(indexed: Boolean): Set[Long] = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_ing_${indexed}_").toString
+      val in = MemoryStream[(Long, String)]
+      slices.foreach { s =>
+        in.addData(s: _*)
+        val q =
+          if (indexed) EventStreams.corpusIngestSinkIndexed(
+            in.toDF().toDF("doc_id", "text"), s"$dir/corpus", s"$dir/chk",
+            minJaccard = 0.8)
+          else EventStreams.corpusIngestSink(
+            in.toDF().toDF("doc_id", "text"), s"$dir/corpus", s"$dir/chk",
+            minJaccard = 0.8)
+        q.awaitTermination()
+      }
+      spark.read.parquet(s"$dir/corpus").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+    val plain = drive(indexed = false)
+    val indexed = drive(indexed = true)
+    assert(indexed == plain,
+      s"indexed/unindexed admission diverged: only-indexed=" +
+        s"${(indexed -- plain).toSeq.sorted.take(5)} only-plain=" +
+        s"${(plain -- indexed).toSeq.sorted.take(5)}")
+    assert(plain.size < docs.length,
+      "vacuous gate: no doc was ever dropped as a near-dup")
+  }
+
+  test("corpusIngestSinkIndexed: a kill between the corpus swap and the " +
+      "index append repairs the index — later batches still dedup right") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ing_crash").toString
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "one two three four five six seven eight nine ten eleven"
+    val textC = "red orange yellow green blue indigo violet cyan magenta white"
+    val in = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = EventStreams.corpusIngestSinkIndexed(
+        in.toDF().toDF("doc_id", "text"), s"$dir/corpus", s"$dir/chk",
+        minJaccard = 0.8)
+      q.awaitTermination()
+    }
+    in.addData((1L, textA), (2L, textB)); run()
+    // simulate the post-swap/pre-append crash for batch 1: feed it, run,
+    // then REWIND the index to its pre-batch state (as if the append never
+    // happened) and replay the batch against a fresh checkpoint whose
+    // numbering lands on the same marker value — the repair branch must
+    // drop the stale index so batch 2's probe rebuilds from the corpus
+    in.addData((3L, textC)); run()
+    val sigT = graft.operators.ScaleOps
+      .bucketTableName("graft_bkt_ingsig", s"$dir/corpus")
+    val bandT = graft.operators.ScaleOps
+      .bucketTableName("graft_bkt_ingband", s"$dir/corpus")
+    graft.operators.Dedup.dropDedupIndex(spark, sigT, bandT)
+    // index gone (crash-torn analogue); corpus still has {1,2,3}. A dup
+    // of doc 3 must STILL drop: the rebuild path derives the index from
+    // the swapped corpus, which includes batch 1's admission
+    in.addData((4L, textC), (5L, "totally fresh words apple pear plum fig date kiwi mango")); run()
+    val got = spark.read.parquet(s"$dir/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 5L),
+      s"expected {1,2,3,5} (4 is a dup of 3), got ${got.toSeq.sorted}")
+  }
+
   test("funnelAdvances: live stage counts match the batch funnel on in-order data") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
