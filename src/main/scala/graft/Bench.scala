@@ -169,9 +169,30 @@ object Bench {
     // health factor can, and ships IN the JSON so a decayed window is
     // self-labeling. References are sf0.1 measurements; the field only
     // appears at sf0.1.
-    val anchorRefs = Map(
-      "q01_group_sum" -> 0.213, "q05_join_chain" -> 0.338,
-      "q19_dedup_minhash" -> 0.822)
+    // References come from the committed baseline artifact (round-17 verdict
+    // item 5: hardcoded literals go silently wrong after a hardware change
+    // or a real optimization of the anchors themselves). The artifact is
+    // re-measurable: scripts/time_oracle.py-style clean-window protocol,
+    // values documented inside the file. Fallback to the round-15 closing
+    // literals only when the artifact is absent (e.g. a bare checkout) so
+    // the field degrades to its pre-r18 behavior rather than vanishing.
+    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_BASELINE",
+      "ANCHOR_BASELINE.json")
+    val anchorRefs: Map[String, Double] = {
+      val fallback = Map(
+        "q01_group_sum" -> 0.213, "q05_join_chain" -> 0.338,
+        "q19_dedup_minhash" -> 0.822)
+      try {
+        val p = java.nio.file.Paths.get(anchorPath)
+        if (!java.nio.file.Files.exists(p)) fallback
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val m = parsePerQ(txt) // same "qNN...": <num> shape as oracle files
+          if (m.isEmpty) fallback else m
+        }
+      } catch { case _: Throwable => fallback }
+    }
     val windowHealth: Option[IndexedSeq[Double]] = {
       val sfName = sfDir.stripSuffix("/").split('/').last
       val anchors = allTimes.filter { case (n, _) =>

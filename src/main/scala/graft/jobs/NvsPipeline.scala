@@ -39,6 +39,16 @@ object NvsPipeline {
   def cleanedDmas(demographics: DataFrame): DataFrame =
     demographics.select(col("dma_code"), col("dma_name")).distinct()
 
+  /** The DMA dim each view builder joins: the shared persisted copy when
+    * the caller composed one (q168's 6-view union re-derived it per view —
+    * six nation scans + six distinct exchanges + six broadcast builds for
+    * the same ~25 rows; guide §2.4/§5: derive once, share the exchange),
+    * else derived fresh exactly as before. Values are identical either
+    * way — cleanedDmas is deterministic and the join is broadcast on the
+    * same key in both shapes. */
+  private def dmasOr(s: SparkSession, shared: Option[DataFrame]): DataFrame =
+    shared.getOrElse(cleanedDmas(T(s, "demographics")))
+
   /** The shared DTC/HCP "nvs_cleaned" shape (S1:252-264): constants + period
     * split + sum of lenient-cast measures, grouped by the six dims. */
   def nvsCleaned(unioned: DataFrame, channel: String, audience: String,
@@ -177,7 +187,7 @@ object NvsPipeline {
   private def periodCols(names: String*): Seq[Column] = names.map(col)
 
   /** `dtc_display` (S1:228-321). */
-  def dtcDisplay(s: SparkSession): DataFrame = {
+  def dtcDisplay(s: SparkSession, dmas: Option[DataFrame] = None): DataFrame = {
     val cols = periodCols("year_mth", "dma_region", "dma_code", "impressions", "clicks")
     val unioned = Seq(
       T(s, "dtc_display_v1").select(cols: _*).where(col("year_mth").between(202201, 202212)),
@@ -186,14 +196,14 @@ object NvsPipeline {
     ).reduce(_ union _)
     val cleaned = nvsCleaned(unioned, "Display", "DTC",
       sum(col("clicks").cast("double")))
-    val dj = dmaJoined(cleaned, cleanedDmas(T(s, "demographics")))
+    val dj = dmaJoined(cleaned, dmasOr(s, dmas))
     val costs = costsWide(T(s, "costs_wide"), "dtc_display_")
       .union(costsUnpivot(T(s, "costs_unpivot"), "DTC", "DIGITAL DISPLAY"))
     windowAllocated(dj, costs, "inner")
   }
 
   /** `dtc_paid_search` (S1:323-416). */
-  def dtcPaidSearch(s: SparkSession): DataFrame = {
+  def dtcPaidSearch(s: SparkSession, dmas: Option[DataFrame] = None): DataFrame = {
     val cols = periodCols("year_mth", "dma_name", "dma_code", "impressions", "clicks")
     val unioned = Seq(
       T(s, "dtc_search_v1").select(cols: _*).where(col("year_mth").between(202201, 202212)),
@@ -202,14 +212,14 @@ object NvsPipeline {
     ).reduce(_ union _)
     val cleaned = nvsCleaned(unioned, "Paid Search", "DTC",
       sum(col("clicks").cast("double")))
-    val dj = dmaJoined(cleaned, cleanedDmas(T(s, "demographics")))
+    val dj = dmaJoined(cleaned, dmasOr(s, dmas))
     val costs = costsWide(T(s, "costs_wide"), "dtc_search")
       .union(costsUnpivot(T(s, "costs_unpivot"), "DTC", "PAID SEARCH"))
     windowAllocated(dj, costs, "inner")
   }
 
   /** `dtc_poc` (S1:419-499): no clicks (engage NULL), LEFT join to costs. */
-  def dtcPoc(s: SparkSession): DataFrame = {
+  def dtcPoc(s: SparkSession, dmas: Option[DataFrame] = None): DataFrame = {
     val cols = periodCols("year_mth", "dma", "dma_code", "impressions")
     val unioned = Seq(
       T(s, "poc_v1").select(cols: _*).where(col("year_mth").between(202201, 202212)),
@@ -218,13 +228,13 @@ object NvsPipeline {
     ).reduce(_ union _)
     val cleaned = nvsCleaned(unioned, "Point of Care", "DTC",
       max(nullOf("double"))) // S1:448: engage is a NULL literal, not a click sum
-    val dj = dmaJoined(cleaned, cleanedDmas(T(s, "demographics")))
+    val dj = dmaJoined(cleaned, dmasOr(s, dmas))
     val costs = costsWide(T(s, "costs_wide"), "dtc_poc")
     windowAllocated(dj, costs, "left")
   }
 
   /** `dtc_paid_social` (S1:502-578): 2 vintages, LEFT join, no cost cutoff. */
-  def dtcPaidSocial(s: SparkSession): DataFrame = {
+  def dtcPaidSocial(s: SparkSession, dmas: Option[DataFrame] = None): DataFrame = {
     val cols = periodCols("dma_code", "dma_name", "year_mth", "impressions", "clicks")
     val unioned = Seq(
       T(s, "social_v1").select(cols: _*).where(col("year_mth").between(202201, 202212)),
@@ -232,7 +242,7 @@ object NvsPipeline {
     ).reduce(_ union _)
     val cleaned = nvsCleaned(unioned, "Paid Social", "DTC",
       sum(col("clicks").cast("double")))
-    val dj = dmaJoined(cleaned, cleanedDmas(T(s, "demographics")))
+    val dj = dmaJoined(cleaned, dmasOr(s, dmas))
     val costs = costsWide(T(s, "costs_wide"), "dtc_social", cutoff = false)
     windowAllocated(dj, costs, "left")
   }
@@ -241,7 +251,7 @@ object NvsPipeline {
 
   /** `hcp_paid_search` (S1:580-679): the groupBy+join-back allocation twin
     * (monthly_reach ratio instead of a window). */
-  def hcpPaidSearch(s: SparkSession): DataFrame = {
+  def hcpPaidSearch(s: SparkSession, dmas: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val v1 = T(s, "hcp_search_v1")
       .where($"activity_date" <= "2022-12-31")
@@ -255,7 +265,11 @@ object NvsPipeline {
 
     val cleaned = nvsCleaned(unioned, "Paid Search", "HCP",
       sum(col("clicks").cast("double")))
-    val dj = dmaJoined(cleaned, cleanedDmas(T(s, "demographics")))
+    // persisted: dj feeds BOTH the monthly_reach aggregate-of-aggregate and
+    // the final ratio join (S1:650-675) — without it each consumer re-runs
+    // the 3-vintage union + group-sum + dim join (guide §5)
+    val dj = graft.core.CacheScope.persist(
+      dmaJoined(cleaned, dmasOr(s, dmas)))
 
     // S1:634-648: 16% of npp before 2024, summed unpivot rows after
     val costs = costsWide(T(s, "costs_wide"), "npp")
@@ -303,7 +317,7 @@ object NvsPipeline {
     * week→month bucketing, old∪new channel normalization, share-spread ∪
     * unpivot cost reconciliation, missing-cost probe (coalesce-key FULL JOIN),
     * and the /11 /9 back-spread. */
-  def hcpAllChannels(s: SparkSession): DataFrame = {
+  def hcpAllChannels(s: SparkSession, dmas: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
 
     // S1:823-837: weekly long→wide via conditional aggregation
@@ -360,10 +374,10 @@ object NvsPipeline {
         lit("US").as("country"))
       .agg(sum($"impressions").as("reach"), sum($"clicks").as("engage"))
 
-    val dmas = cleanedDmas(T(s, "demographics"))
+    val dmaDim = dmasOr(s, dmas)
     // S1:905-929: cast-key dim join (J-5) + new-channel canonicalization
     val hcpChannelsNew = hcpRaw.as("nvs")
-      .join(broadcast(dmas).as("cd"), $"nvs.dma_code".cast("string") === $"cd.dma_code")
+      .join(broadcast(dmaDim).as("cd"), $"nvs.dma_code".cast("string") === $"cd.dma_code")
       .select($"brand", canonChannelNew($"nvs.channel").as("channel"), $"audience",
         $"year", $"month".cast("string").as("month"), $"zip_code",
         $"cd.dma_name".as("dma"), $"state", $"country", $"reach", $"engage")
@@ -405,11 +419,19 @@ object NvsPipeline {
       .agg(sum($"cost").as("cost"))
       .select($"brand", $"year", $"month", $"channel", $"cost")
 
-    val allocations = allocOld.union(allocNew)
+    // persisted: allocations feeds BOTH the missing-cost probe's FULL
+    // JOIN and the final allocation join, monthlyReach both reach joins —
+    // without the persists each consumer re-derives the share-spread ∪
+    // unpivot union (allocations) and the group-sum over allHcp
+    // (monthlyReach) from scratch (guide §5: reuse beats recompute; values
+    // unchanged — the cache stores exactly the rows the plan produced)
+    val allocations = graft.core.CacheScope.persist(
+      allocOld.union(allocNew))
 
     // S1:993-1001
-    val monthlyReach = allHcp.groupBy($"brand", $"year", $"month", $"channel")
-      .agg(sum($"reach").as("total_monthly_reach"))
+    val monthlyReach = graft.core.CacheScope.persist(
+      allHcp.groupBy($"brand", $"year", $"month", $"channel")
+        .agg(sum($"reach").as("total_monthly_reach")))
 
     // S1:1004-1027: missing-cost probe — inner join reach, coalesce-key FULL
     // JOIN to allocations, keep 2024 rows where reach is null
@@ -459,8 +481,16 @@ object NvsPipeline {
           .otherwise(ratio * $"ca.cost").as("cost"))
   }
 
-  /** `combined_nvs_data` (S1:1069-1084): 6-way positional UNION ALL. */
-  def combined(s: SparkSession): DataFrame =
-    Seq(dtcDisplay(s), dtcPaidSearch(s), dtcPoc(s), dtcPaidSocial(s),
-      hcpPaidSearch(s), hcpAllChannels(s)).reduce(_ union _)
+  /** `combined_nvs_data` (S1:1069-1084): 6-way positional UNION ALL.
+    * The DMA dim is derived and persisted ONCE here and shared by all six
+    * views (see [[dmasOr]]) — the reference's single-plan Catalyst run
+    * re-derived it per view; sharing changes execution cost only, never
+    * values. */
+  def combined(s: SparkSession): DataFrame = {
+    val dmas = Some(graft.core.CacheScope.persist(
+      cleanedDmas(T(s, "demographics"))))
+    Seq(dtcDisplay(s, dmas), dtcPaidSearch(s, dmas), dtcPoc(s, dmas),
+      dtcPaidSocial(s, dmas), hcpPaidSearch(s, dmas),
+      hcpAllChannels(s, dmas)).reduce(_ union _)
+  }
 }

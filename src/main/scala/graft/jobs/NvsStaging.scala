@@ -41,8 +41,17 @@ object NvsStaging {
   def register(s: SparkSession, dir: String): Unit = {
     import s.implicits._
 
-    s.read.parquet(s"$dir/customer.parquet")
-      .selectExpr("c_custkey AS k").createOrReplaceTempView("nvs_src_k")
+    // One bottom scan for the whole staging fabric (guide §5/§6): every
+    // derived staging view reads `nvs_src_k`, and a composed query re-scans
+    // customer.parquet once PER VIEW REFERENCE without this (q168's 6-view
+    // union holds 18 such references — 18 parquet scans of the same file
+    // plus 18 projections). Persisting the one-column projection turns all
+    // but the first into cache reads; CacheScope-registered, so the query
+    // owner's drain releases it after the action. Values are unchanged by
+    // construction — the cache stores exactly the rows the scan produced.
+    graft.core.CacheScope.persist(
+      s.read.parquet(s"$dir/customer.parquet").selectExpr("c_custkey AS k"))
+      .createOrReplaceTempView("nvs_src_k")
     s.read.parquet(s"$dir/nation.parquet")
       .createOrReplaceTempView("nvs_src_nation")
 

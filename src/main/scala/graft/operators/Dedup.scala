@@ -406,6 +406,17 @@ object Dedup {
     val spark = newDf.sparkSession
     val sigsOld = spark.table(sigTable)
     val bandsOld = spark.table(bandTable)
+    // leveled appends ([[indexAppendLeveled]]) park recent generations in
+    // unbucketed L0 side tables until the next fold; a probe between folds
+    // must see corpus = main ∪ L0. Auto-detected so the no-L0 plan (every
+    // caller that maintains the index with indexAppend/indexCompact, e.g.
+    // q221/q225) is byte-identical to the pre-L0 shape; when L0 is live its
+    // rows join as SEPARATE small branches — the main level's exchange-free
+    // bucketed scans are never unioned into (a union would re-exchange the
+    // corpus side and forfeit the layout).
+    val hasL0 = spark.catalog.tableExists(l0Of(sigTable))
+    val sigsL0 = if (hasL0) Some(spark.table(l0Of(sigTable))) else None
+    val bandsL0 = if (hasL0) Some(spark.table(l0Of(bandTable))) else None
     // the batch side: |new| signatures, persisted because they feed the
     // band probe AND the est-jaccard join-backs
     val sigsNew = graft.core.CacheScope.persist(
@@ -421,29 +432,50 @@ object Dedup {
       .join(bandsOld.as("r").hint("merge"), Seq("bkey"))
       .select(least(col("l.id"), col("r.id")).as("id_a"),
         greatest(col("l.id"), col("r.id")).as("id_b"))
+    // new × L0: both sides batch-grain (≤ foldEvery pending batches), any
+    // strategy — this branch exists only between folds
+    val newL0 = bandsL0.map { b0 =>
+      bandsNew.as("l")
+        .join(b0.as("r"), Seq("bkey"))
+        .select(least(col("l.id"), col("r.id")).as("id_a"),
+          greatest(col("l.id"), col("r.id")).as("id_b"))
+    }
     // new × new: batch-grain self-join — tiny both sides, any strategy
     val newNew = bandsNew.as("l")
       .join(bandsNew.as("r"), Seq("bkey"))
       .where(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-    val pairs = newOld.unionByName(newNew).distinct()
+    val pairs = newL0.foldLeft(newOld.unionByName(newNew))(_ unionByName _)
+      .distinct()
     // est-jaccard join-backs: each pair endpoint's signature comes from
     // the bucketed corpus table (merge-hinted: sigs side pre-sorted and
-    // co-located, only the pair-grain side exchanges) OR from the batch
-    // sigs (left joins + coalesce — a union of the two sig frames would
-    // re-exchange the corpus side and forfeit the layout)
-    val withA = pairs
+    // co-located, only the pair-grain side exchanges), the L0 side table
+    // (small, plain join) when live, OR the batch sigs (left joins +
+    // coalesce — a union of the sig frames would re-exchange the corpus
+    // side and forfeit the layout). Ids are disjoint across all three by
+    // the maintenance contract, so coalesce order cannot matter.
+    def l0SigJoin(df: DataFrame, idAlias: String, out: String): DataFrame =
+      sigsL0 match {
+        case None => df // no-L0 plan stays byte-identical to the pre-L0 shape
+        case Some(s0) => df.join(
+          s0.select(col("id").as(idAlias), col("sig").as(out)),
+          Seq(idAlias), "left")
+      }
+    def sigCoalesce(oldC: String, l0C: String, newC: String): Column =
+      if (hasL0) coalesce(col(oldC), col(l0C), col(newC))
+      else coalesce(col(oldC), col(newC))
+    val withA = l0SigJoin(pairs
       .join(sigsOld.select(col("id").as("id_a"), col("sig").as("_sa_old"))
         .hint("merge"), Seq("id_a"), "left")
       .join(sigsNew.select(col("id").as("id_a"), col("sig").as("_sa_new")),
-        Seq("id_a"), "left")
-      .withColumn("sig_a", coalesce(col("_sa_old"), col("_sa_new")))
-    withA
+        Seq("id_a"), "left"), "id_a", "_sa_l0")
+      .withColumn("sig_a", sigCoalesce("_sa_old", "_sa_l0", "_sa_new"))
+    l0SigJoin(withA
       .join(sigsOld.select(col("id").as("id_b"), col("sig").as("_sb_old"))
         .hint("merge"), Seq("id_b"), "left")
       .join(sigsNew.select(col("id").as("id_b"), col("sig").as("_sb_new")),
-        Seq("id_b"), "left")
-      .withColumn("sig_b", coalesce(col("_sb_old"), col("_sb_new")))
+        Seq("id_b"), "left"), "id_b", "_sb_l0")
+      .withColumn("sig_b", sigCoalesce("_sb_old", "_sb_l0", "_sb_new"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
@@ -511,16 +543,121 @@ object Dedup {
     ()
   }
 
+  /** L0 side-table name for a standing index table (leveled appends). */
+  private def l0Of(table: String): String = table + "_l0"
+
+  /** LEVELED (L0→L1) append — the round-17 verdict's refinement of
+    * [[indexAppend]], whose one-file-per-bucket append dirties EVERY
+    * bucket on every batch (`buckets` new files per table per batch) and
+    * therefore couples compaction cadence to batch cadence: at small
+    * frequent batches the only way to keep file counts bounded is an
+    * O(corpus) [[indexCompact]] per few batches — prohibitive at 100 TB.
+    * The LSM shape instead: each batch lands in PLAIN unbucketed L0 side
+    * tables (`<table>_l0`, one append of batch-partition-many files — no
+    * bucket fan-out, no bucket-spec shuffle), and every `foldEvery`-th
+    * pending generation is FOLDED into the main bucketed level (read main
+    * raw + L0, one [[graft.operators.ScaleOps.writeBucketed]] rewrite,
+    * rename, drop L0 — the same publish mechanics as [[indexCompact]], so
+    * readers never see a half-folded index). Probe-side,
+    * [[minhashCandidatesIndexedTables]] auto-detects a live L0 and unions
+    * its (small, batch-grain) rows into the candidate and signature
+    * lookups WITHOUT touching the main level's exchange-free bucketed
+    * scans — the trade is a bounded extra join against ≤ foldEvery
+    * batches of rows, and the payoff is a compaction cadence chosen by
+    * `foldEvery`, decoupled from how often batches arrive.
+    *
+    * Same idempotence contract as [[indexAppend]]: once per (session,
+    * tables, batchTag), key recorded only after both L0 writes land, so a
+    * crash mid-append leaves the op re-runnable and the caller's
+    * torn-index repair ([[dropDedupIndex]], which drops L0 too) covers
+    * the replayed-batch window. The fold count is tracked by the same
+    * session-scoped registry (consistent: tables live in the in-memory
+    * metastore, so registry and tables die together). */
+  def indexAppendLeveled(batch: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int,
+      sigTable: String, bandTable: String, batchTag: String,
+      foldEvery: Int = 8): Unit = appliedIndexOps.synchronized {
+    require(foldEvery >= 1, "foldEvery must be >= 1")
+    val key = s"appendL0|$sigTable|$bandTable|$batchTag"
+    if (appliedIndexOps.contains(key)) return
+    val rowsPerBand = numHashes / bands
+    val sigs = graft.core.CacheScope.persist(
+      minhashSigs(batch, idCol, textCol, shingleSize, numHashes))
+    sigs.write.mode("append").format("parquet").saveAsTable(l0Of(sigTable))
+    lshBands(sigs, "id", "sig", bands, rowsPerBand)
+      .select(fusedBandKey.as("bkey"), col("id"))
+      .write.mode("append").format("parquet").saveAsTable(l0Of(bandTable))
+    appliedIndexOps.add(key)
+    // fold cadence: count this session's pending L0 generations from the
+    // registry (zero IO; registry and L0 tables are both session-scoped).
+    // Pending markers are a SEPARATE namespace from the idempotence keys:
+    // folds clear pending markers (folded generations no longer count
+    // toward the next fold) but must never clear the append keys — a
+    // replayed batchTag after a fold would otherwise re-append rows the
+    // fold already moved into the main level.
+    appliedIndexOps.add(s"pendingL0|$sigTable|$bandTable|$batchTag")
+    val prefix = s"pendingL0|$sigTable|$bandTable|"
+    var pending = 0
+    val it = appliedIndexOps.iterator()
+    while (it.hasNext) if (it.next().startsWith(prefix)) pending += 1
+    if (pending >= foldEvery) foldDedupIndexL0(batch.sparkSession,
+      sigTable, bandTable)
+    ()
+  }
+
+  /** Fold the L0 side tables into the main bucketed level: read the main
+    * level's raw parquet (NOT the bucketed scan — see [[indexCompact]]'s
+    * exchange-elision trap) plus L0, rewrite as one sorted file per bucket
+    * via write-to-sibling + catalog rename, drop L0. O(main + L0) parquet
+    * IO, zero recompute (no shingling, no signing); after the fold the
+    * probe's no-L0 fast path and full sort-elision are restored. Safe to
+    * call with no pending L0 (no-op). */
+  def foldDedupIndexL0(spark: org.apache.spark.sql.SparkSession,
+      sigTable: String, bandTable: String): Unit = {
+    Seq(sigTable, bandTable).foreach { t =>
+      val l0 = l0Of(t)
+      if (spark.catalog.tableExists(l0)) {
+        val cat = spark.sessionState.catalog
+        val meta = cat.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t))
+        val spec = meta.bucketSpec.getOrElse(
+          sys.error(s"foldDedupIndexL0('$t'): not a bucketed table"))
+        val l0Meta = cat.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(l0))
+        val merged = spark.read.parquet(meta.location.toString)
+          .unionByName(spark.read.parquet(l0Meta.location.toString))
+        val tmp = t + "_folding"
+        graft.operators.ScaleOps.writeBucketed(
+          merged, tmp, spec.numBuckets, spec.bucketColumnNames)
+        spark.sql(s"DROP TABLE $t")
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
+        spark.sql(s"DROP TABLE $l0")
+      }
+    }
+    // folded generations are no longer pending: clear their PENDING markers
+    // so the next fold counts only new generations. The appendL0 idempotence
+    // keys stay — a replayed batchTag must remain a no-op after its rows
+    // were folded into the main level.
+    val prefix1 = s"pendingL0|$sigTable|$bandTable|"
+    val it = appliedIndexOps.iterator()
+    val toDrop = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val k = it.next(); if (k.startsWith(prefix1)) toDrop += k
+    }
+    toDrop.foreach(appliedIndexOps.remove)
+  }
+
   /** Drop both halves of a standing dedup index (and forget their
     * maintenance guards) so the next [[buildDedupIndex]] rebuilds from
     * scratch — the torn-index repair path: after a crash that may have
     * landed between a corpus swap and the matching [[indexAppend]] (or
     * mid-append), the CORPUS TABLE is the source of truth and an
-    * O(corpus) rebuild on the rare replay is the honest recovery. */
+    * O(corpus) rebuild on the rare replay is the honest recovery.
+    * Leveled L0 side tables are part of the index and drop with it. */
   def dropDedupIndex(spark: org.apache.spark.sql.SparkSession,
       sigTable: String, bandTable: String): Unit =
     appliedIndexOps.synchronized {
-      Seq(sigTable, bandTable).foreach { t =>
+      Seq(sigTable, bandTable, l0Of(sigTable), l0Of(bandTable)).foreach { t =>
         if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
       }
       val dead = appliedIndexOps.iterator()

@@ -30,9 +30,14 @@ object LpProbe {
         .select(col("i.p").as("a"), col("j.p").as("b"))
     }
 
-    // current operator: checksum = sum of id*31+lbl (order-free, exact int)
+    // order-free multiset checksum: sum of per-row xxhash64(id, lbl) — a
+    // linear id*31+lbl sum is not collision-resistant (swapping label
+    // assignments between two ids preserves it; r17 ADVICE), and the
+    // coalesce guards the empty-result case (sum over zero rows is NULL,
+    // which would NPE instead of reporting a mismatch)
     def checksum(df: org.apache.spark.sql.DataFrame): Long =
-      df.select(sum(col("id") * 31 + col("lbl"))).head().getLong(0)
+      df.select(coalesce(sum(xxhash64(col("id"), col("lbl"))), lit(0L)))
+        .head().getLong(0)
 
     // variant: adjacency repartitioned+sorted on the join key once
     def lpRepart(edges: org.apache.spark.sql.DataFrame, rounds: Int) = {

@@ -375,4 +375,98 @@ class DedupPropertySpec extends SparkSpec {
         "a replayed append/compact changed the index (idempotence broken)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("leveled index lifecycle: probe reads main ∪ L0 between folds, the " +
+      "fold restores the no-L0 one-file-per-bucket shape, output identical " +
+      "throughout, and a replayed folded tag stays a no-op") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sigT = graft.operators.ScaleOps
+      .bucketTableName("graft_test_lvsig", sfDir)
+    val bandT = graft.operators.ScaleOps
+      .bucketTableName("graft_test_lvband", sfDir)
+    val batch = docs.where(col("doc_id") % 4 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def probe() = Dedup.minhashCandidatesIndexedTables(batch, "doc_id",
+      "text", shingleSize = 3, numHashes = 32, bands = 16,
+      sigTable = sigT, bandTable = bandT)
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) { df.explain() }
+      out.toString
+    }
+    val want = canon(Dedup.minhashCandidatesIncremental(
+      docs.where(col("doc_id") % 4 =!= 0), batch, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16))
+    graft.core.CacheScope.drain()
+    // main level = %4==1; generations 2 and 3 land in L0 (foldEvery=3:
+    // two pending generations, no fold yet)
+    Dedup.buildDedupIndex(docs.where(col("doc_id") % 4 === 1),
+      "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+      sigTable = sigT, bandTable = bandT)
+    Dedup.indexAppendLeveled(docs.where(col("doc_id") % 4 === 2), "doc_id",
+      "text", shingleSize = 3, numHashes = 32, bands = 16,
+      sigTable = sigT, bandTable = bandT, batchTag = "g2", foldEvery = 3)
+    Dedup.indexAppendLeveled(docs.where(col("doc_id") % 4 === 3), "doc_id",
+      "text", shingleSize = 3, numHashes = 32, bands = 16,
+      sigTable = sigT, bandTable = bandT, batchTag = "g3", foldEvery = 3)
+    assert(spark.catalog.tableExists(sigT + "_l0") &&
+      spark.catalog.tableExists(bandT + "_l0"),
+      "two pending generations under foldEvery=3 must sit in L0")
+    val gotPending = canon(probe())
+    graft.core.CacheScope.drain()
+    assert(gotPending == want,
+      "probe over main ∪ L0 diverged from the recompute path")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // explicit fold: L0 gone, main level back to one sorted file per
+      // bucket — the no-L0 plan shape (corpus co-located, sort elision
+      // live; the q221 pins) must come back, output unchanged
+      Dedup.foldDedupIndexL0(spark, sigT, bandT)
+      assert(!spark.catalog.tableExists(sigT + "_l0") &&
+        !spark.catalog.tableExists(bandT + "_l0"), "fold must drop L0")
+      val pFolded = planOf(probe())
+      assert("Exchange hashpartitioning".r.findAllIn(pFolded).size <= 4,
+        s"fold must preserve the corpus-side bucket layout:\n$pFolded")
+      assert("\\bSort\\b".r.findAllIn(pFolded).size <= 4,
+        s"fold must restore sort-elision (one file per bucket):\n$pFolded")
+      val gotFolded = canon(probe())
+      graft.core.CacheScope.drain()
+      assert(gotFolded == want, "fold corrupted the index")
+      // a replayed tag whose generation was already folded must stay a
+      // no-op: neither recreate L0 nor double the rows
+      Dedup.indexAppendLeveled(docs.where(col("doc_id") % 4 === 2),
+        "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+        sigTable = sigT, bandTable = bandT, batchTag = "g2", foldEvery = 3)
+      assert(!spark.catalog.tableExists(sigT + "_l0"),
+        "a replayed folded tag must not recreate L0")
+      val gotReplayed = canon(probe())
+      graft.core.CacheScope.drain()
+      assert(gotReplayed == want,
+        "a replayed folded tag changed the index (idempotence broken)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // automatic cadence on a fresh table pair: foldEvery=1 folds the
+    // append immediately (same two-generation corpus as the q225 gate)
+    val sigT2 = graft.operators.ScaleOps
+      .bucketTableName("graft_test_lvsig2", sfDir)
+    val bandT2 = graft.operators.ScaleOps
+      .bucketTableName("graft_test_lvband2", sfDir)
+    Dedup.buildDedupIndex(
+      docs.where(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2),
+      "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+      sigTable = sigT2, bandTable = bandT2)
+    Dedup.indexAppendLeveled(docs.where(col("doc_id") % 4 === 3), "doc_id",
+      "text", shingleSize = 3, numHashes = 32, bands = 16,
+      sigTable = sigT2, bandTable = bandT2, batchTag = "g2", foldEvery = 1)
+    assert(!spark.catalog.tableExists(sigT2 + "_l0"),
+      "foldEvery=1 must fold the append into the main level immediately")
+    val gotAuto = canon(Dedup.minhashCandidatesIndexedTables(batch,
+      "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+      sigTable = sigT2, bandTable = bandT2))
+    graft.core.CacheScope.drain()
+    assert(gotAuto == want,
+      "auto-folded index diverged from the recompute path")
+  }
 }
