@@ -70,6 +70,80 @@ object IngestProbe {
     run("ingest_fixedbatch_unindexed", () =>
       graft.operators.Dedup.minhashCandidatesIncremental(corpus, batch,
         "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16))
+    // ---- leveled-append (L0/L1) evidence, round-17 verdict item 3 ----
+    // Probe latency with FOUR pending L0 generations: main level = doc_id
+    // % 4 in {1,2} of the corpus dir, the % 4 == 3 slice L0-appended as
+    // four generations (doc_id % 16 in {3,7,11,15}) that never fold
+    // (foldEvery large). The effective corpus (main ∪ L0) equals the plain
+    // indexed run's, so the ROW COUNT must match it exactly — the probe
+    // pays only the extra batch-grain L0 joins, and the claim to check
+    // across tiers is that this stays as flat as the no-L0 probe. All
+    // appends are idempotent per tag, so reps after the first re-pay only
+    // the probe (exactly like the indexed run re-pays only the scans).
+    val corpusMain = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .where(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2)
+    val lvSig = graft.operators.ScaleOps
+      .bucketTableName("graft_probe_lvsig", corpusDir)
+    val lvBand = graft.operators.ScaleOps
+      .bucketTableName("graft_probe_lvband", corpusDir)
+    run("ingest_fixedbatch_indexed_l0pending", () => {
+      graft.operators.Dedup.buildDedupIndex(corpusMain, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16, lvSig, lvBand)
+      Seq(3L, 7L, 11L, 15L).foreach { r =>
+        graft.operators.Dedup.indexAppendLeveled(
+          spark.read.parquet(s"$corpusDir/documents.parquet")
+            .where(col("doc_id") % 16 === r),
+          "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+          lvSig, lvBand, batchTag = s"gen$r", foldEvery = Int.MaxValue)
+      }
+      graft.operators.Dedup.minhashCandidatesIndexedTables(batch,
+        "doc_id", "text", shingleSize = 3, numHashes = 32, bands = 16,
+        lvSig, lvBand)
+    })
+    // Append-cost comparison on fresh throwaway tables (unique tag per
+    // rep, so every rep pays a REAL append): leveled L0 (plain parquet
+    // append, no bucket fan-out) vs the bucketed indexAppend (one new
+    // file per bucket per batch = `buckets` files per table). Both append
+    // the same fixed batch; both should be O(batch) across tiers — the
+    // leveled one without dirtying every bucket.
+    def timeAppends(tag: String)(f: String => Unit): Unit = {
+      f(s"${tag}_warm")
+      graft.core.CacheScope.drain()
+      val times = (1 to reps).map { i =>
+        val t0 = System.nanoTime()
+        f(s"${tag}_$i")
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.core.CacheScope.drain()
+        t
+      }.sorted
+      val all = times.map(t => f"$t%.2f").mkString(",")
+      println(f"SCALEAUDIT $tag $corpusDir ${times.head}%.2f s (0 rows) " +
+        s"all=$all")
+      sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { path =>
+        def js(s: String): String = graft.core.Jsons.str(s)
+        val line = s"""{"query":${js(tag)},"dir":${js(corpusDir)},""" +
+          s""""median_s":${times(times.size / 2)},"rows":0,""" +
+          s""""all_s":[${times.mkString(",")}]}""" + "\n"
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND): Unit
+      }
+    }
+    timeAppends("ingest_l0_append") { t =>
+      graft.operators.Dedup.indexAppendLeveled(batch, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16,
+        graft.operators.ScaleOps.bucketTableName("graft_probe_apl0s", corpusDir),
+        graft.operators.ScaleOps.bucketTableName("graft_probe_apl0b", corpusDir),
+        batchTag = t, foldEvery = Int.MaxValue)
+    }
+    timeAppends("ingest_bucketed_append") { t =>
+      graft.operators.Dedup.indexAppend(batch, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16,
+        graft.operators.ScaleOps.bucketTableName("graft_probe_apbks", corpusDir),
+        graft.operators.ScaleOps.bucketTableName("graft_probe_apbkb", corpusDir),
+        batchTag = t, buckets = 32)
+    }
     spark.stop()
   }
 }

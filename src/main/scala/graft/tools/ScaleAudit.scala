@@ -32,12 +32,40 @@ object ScaleAudit {
       shufflePartitions = cpus
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Memory/spill audit (guide §5, round-17 verdict item 6): accumulate
+    // stage-level task metrics across each query's TIMED passes so the
+    // per-tier lines carry spill growth next to wall growth. spill_* are
+    // sums over stages (well-defined totals); peak_exec_mb is the MAX over
+    // stages of the stage's task-summed peak execution memory — an upper
+    // bound on the query's concurrent execution-memory footprint, the
+    // right shape for "does memory grow faster than data".
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    val peakExec = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val m = s.stageInfo.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+            peakExec.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+            ()
+          }
+        }
+      })
     names.foreach { name =>
       val q = graft.QueryCatalog.all.find(_.name == name)
         .getOrElse(sys.error(s"no such query: $name"))
       var rows = 0L
       rows = q.run(spark, dir).count() // discarded warmup
       graft.core.CacheScope.drain()
+      // listener events are posted async; give the bus a beat so warmup
+      // stages don't leak into the timed counters
+      Thread.sleep(500)
+      spillMem.set(0); spillDisk.set(0); peakExec.set(0)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         rows = q.run(spark, dir).count()
@@ -45,9 +73,16 @@ object ScaleAudit {
         graft.core.CacheScope.drain() // outside the timed region, as Bench
         t
       }.sorted
+      Thread.sleep(500) // drain the listener bus before reading counters
+      val mb = 1024.0 * 1024.0
+      val spillM = spillMem.get / mb
+      val spillD = spillDisk.get / mb
+      val peakM = peakExec.get / mb
       val median = times(times.size / 2)
       val all = times.map(t => f"$t%.2f").mkString(",")
-      println(f"SCALEAUDIT $name $dir $median%.2f s ($rows rows) all=$all")
+      println(f"SCALEAUDIT $name $dir $median%.2f s ($rows rows) all=$all " +
+        f"spill_mem_mb=$spillM%.1f spill_disk_mb=$spillD%.1f " +
+        f"peak_exec_mb=$peakM%.1f")
       sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { path =>
         // Escape interpolated strings so a quote/backslash in a data dir
         // path can't produce a line scripts/scale_json.py fails to parse.
@@ -59,7 +94,9 @@ object ScaleAudit {
             case c    => c.toString
           }
         val line = f"""{"query":"${js(name)}","dir":"${js(dir)}","median_s":$median%.3f,""" +
-          s""""rows":$rows,"all_s":[$all]}""" + "\n"
+          s""""rows":$rows,"all_s":[$all],""" +
+          f""""spill_mem_mb":$spillM%.1f,"spill_disk_mb":$spillD%.1f,""" +
+          f""""peak_exec_mb":$peakM%.1f}""" + "\n"
         java.nio.file.Files.write(java.nio.file.Paths.get(path),
           line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE,
